@@ -1,0 +1,12 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Tests exercise the same JAX code paths as TPU, but on an 8-device virtual CPU
+mesh so multi-chip sharding logic is testable without hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,120 @@
+"""Radix-2 NTT / inverse NTT / coset LDE over KoalaBear.
+
+TPU-first design: the transform operates on (n, w) matrices — n rows = the
+polynomial axis, w columns = trace columns riding the VPU lane dimension.
+Each butterfly stage is a reshape + elementwise modmul/add, which XLA lowers
+to fused VPU code; there are log2(n) passes over the array.  Twiddle tables
+are host-precomputed per stage (Montgomery form) and cached.
+
+Replaces the reference's Radix2DitParallel CPU DFT
+(crates/stark/src/kb31_poseidon2.rs:34) and its rayon row-parallelism with
+whole-array vectorization.  The LDE coset shift is the field generator 3,
+matching Plonky3's coset_lde_batch default used by TwoAdicFriPcs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import bits, field as f
+
+# (log_n, inverse) -> list of per-stage twiddle arrays (monty uint32)
+_TWIDDLE_CACHE: dict[tuple[int, bool], list[np.ndarray]] = {}
+_SHIFT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _stage_twiddles(log_n: int, inverse: bool) -> list[np.ndarray]:
+    key = (log_n, inverse)
+    if key not in _TWIDDLE_CACHE:
+        stages = []
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            w_m = f.two_adic_generator_int(s)
+            if inverse:
+                w_m = f.inv_int(w_m)
+            stages.append(bits.powers_monty_np(w_m, m // 2))
+        _TWIDDLE_CACHE[key] = stages
+    return _TWIDDLE_CACHE[key]
+
+
+def ntt(x, inverse: bool = False):
+    """In-order DIT NTT over axis 0 of (n,) or (n, w) uint32 Montgomery array.
+
+    Forward: coefficients -> evaluations over the order-n subgroup, in natural
+    (power-of-root) order.  Inverse: the exact inverse (including the 1/n
+    scale).
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n, w = x.shape
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, "NTT size must be a power of two"
+    if n == 1:
+        return x[:, 0] if squeeze else x
+    x = bits.bitrev_rows(x)
+    for s, tw in enumerate(_stage_twiddles(log_n, inverse), start=1):
+        m = 1 << s
+        half = m // 2
+        y = x.reshape(n // m, m, w)
+        even = y[:, :half]
+        odd = y[:, half:]
+        t = f.mul(odd, tw[None, :, None])
+        x = _concat_axis1(f.add(even, t), f.sub(even, t)).reshape(n, w)
+    if inverse:
+        n_inv = np.uint32(f.to_monty_int(f.inv_int(n)))
+        x = f.mul(x, n_inv)
+    return x[:, 0] if squeeze else x
+
+
+def _concat_axis1(a, b):
+    if isinstance(a, np.ndarray):
+        return np.concatenate([a, b], axis=1)
+    import jax.numpy as jnp
+
+    return jnp.concatenate([a, b], axis=1)
+
+
+def _shift_powers(shift: int, n: int) -> np.ndarray:
+    key = (shift, n)
+    if key not in _SHIFT_CACHE:
+        _SHIFT_CACHE[key] = bits.powers_monty_np(shift, n)
+    return _SHIFT_CACHE[key]
+
+
+def coset_lde(x, log_blowup: int = 1, shift: int = f.GENERATOR):
+    """Low-degree extend evals on the size-n subgroup to the coset shift*K.
+
+    x: (n, w) evaluations in natural order.  Returns (n << log_blowup, w)
+    evaluations over {shift * g^i} in natural order.
+    """
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n, w = x.shape
+    coeffs = ntt(x, inverse=True)
+    coeffs = f.mul(coeffs, _shift_powers(shift, n)[:, None])
+    big_n = n << log_blowup
+    if isinstance(x, np.ndarray):
+        padded = np.zeros((big_n, w), dtype=np.uint32)
+        padded[:n] = coeffs
+    else:
+        import jax.numpy as jnp
+
+        padded = jnp.zeros((big_n, w), dtype=np.uint32).at[:n].set(coeffs)
+    out = ntt(padded)
+    return out[:, 0] if squeeze else out
+
+
+def coset_lde_bitrev(x, log_blowup: int = 1, shift: int = f.GENERATOR):
+    """coset_lde + bit-reversed row order (the committed-matrix layout)."""
+    return bits.bitrev_rows(coset_lde(x, log_blowup, shift))
+
+
+def domain_points_np(log_n: int, shift: int = 1) -> np.ndarray:
+    """Canonical-u32 numpy array of the domain points shift * g^i (natural)."""
+    g = f.two_adic_generator_int(log_n)
+    pts = bits.powers_canonical_np(g, 1 << log_n)
+    if shift != 1:
+        pts = (pts * (shift % f.P)) % f.P
+    return pts.astype(np.uint32)

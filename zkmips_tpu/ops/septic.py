@@ -1,0 +1,200 @@
+"""Septic extension F_{p^7} = F_p[z]/(z^7 + 2z - 8) and the lookup curve.
+
+The cross-shard ("global") lookup argument hashes multisets onto the elliptic
+curve y^2 = x^3 + 3z*x - 3 over F_{p^7} (reference:
+crates/stark/src/septic_curve.rs:1-20, septic_extension.rs, septic_digest.rs).
+Protocol constants (dummy/start points) are transcribed from
+crates/stark/src/septic_curve.rs:18-24 and septic_digest.rs:9-22.
+
+Representation: uint32 arrays with a trailing axis of length 7 (coefficients
+of 1, z, ..., z^6), Montgomery form, numpy/jax.numpy agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import field as f
+
+D = 7
+
+# z^7 = -2z + 8
+_RED_C0 = 8  # coefficient folded into position k-7
+_RED_C1 = -2  # coefficient folded into position k-6
+
+
+def _poly_mulmod_int(a: list[int], b: list[int]) -> list[int]:
+    """Host-side septic mul over python ints (for precomputing constants)."""
+    c = [0] * 13
+    for i in range(7):
+        for j in range(7):
+            c[i + j] = (c[i + j] + a[i] * b[j]) % f.P
+    for k in range(12, 6, -1):
+        c[k - 7] = (c[k - 7] + 8 * c[k]) % f.P
+        c[k - 6] = (c[k - 6] - 2 * c[k]) % f.P
+    return [x % f.P for x in c[:7]]
+
+
+def _pow_int(a: list[int], e: int) -> list[int]:
+    r = [1, 0, 0, 0, 0, 0, 0]
+    base = list(a)
+    while e:
+        if e & 1:
+            r = _poly_mulmod_int(r, base)
+        e >>= 1
+        base = _poly_mulmod_int(base, base)
+    return r
+
+
+def _frob_matrix(k: int) -> np.ndarray:
+    """7x7 matrix M with rows M[i] = coefficients of (z^i)^(p^k)."""
+    zp = _pow_int([0, 1, 0, 0, 0, 0, 0], pow(f.P, k))
+    rows = [[1, 0, 0, 0, 0, 0, 0]]
+    for _ in range(6):
+        rows.append(_poly_mulmod_int(rows[-1], zp))
+    return np.array(
+        [[f.to_monty_int(c) for c in row] for row in rows], dtype=np.uint32
+    )
+
+
+# frobenius matrices for k = 1..6 (host precompute, cached at import)
+_FROB_M = {k: _frob_matrix(k) for k in range(1, 7)}
+
+
+def scalar(coeffs) -> np.ndarray:
+    return np.array([f.to_monty_int(int(c) % f.P) for c in coeffs], dtype=np.uint32)
+
+
+ZERO = scalar([0] * 7)
+ONE = scalar([1, 0, 0, 0, 0, 0, 0])
+# curve: y^2 = x^3 + B_X1 * z * x - 3  => a = 3z, b = -3
+CURVE_A = scalar([0, 3, 0, 0, 0, 0, 0])
+CURVE_B = scalar([f.P - 3, 0, 0, 0, 0, 0, 0])
+
+# septic_curve.rs:18-24 — witness dummy point (padding lookups)
+DUMMY_X = scalar([1706420302, 1319108093, 148224806, 26874985, 1766171812, 1645633948, 2028659224])
+DUMMY_Y = scalar([942390502, 1239997438, 458866455, 1843332012, 1309764648, 572807436, 74267719])
+# septic_digest.rs:9-14 — cumulative-sum start point (derived from sqrt(2))
+START_X = scalar([637514027, 1595065213, 1998064738, 72333738, 1211544370, 822986770, 1518535784])
+START_Y = scalar([1604177449, 90440090, 259343427, 140470264, 1162099742, 941559812, 1064053343])
+# septic_digest.rs:17-22 — digest accumulation start (derived from sqrt(3))
+DIGEST_START_X = scalar([1656788302, 897965284, 874620737, 1581672598, 655804282, 1962911564, 80580607])
+DIGEST_START_Y = scalar([1024875409, 218609128, 1856341123, 583920580, 1274441611, 118766316, 81843042])
+
+
+def add(a, b):
+    return f.add(a, b)
+
+
+def sub(a, b):
+    return f.sub(a, b)
+
+
+def neg(a):
+    return f.neg(a)
+
+
+def from_base(x):
+    xp = np if isinstance(x, np.ndarray) else _jnp()
+    z = x * np.uint32(0)
+    return xp.stack([x] + [z] * 6, axis=-1)
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def mul(a, b):
+    """Schoolbook septic mul (49 base muls) with z^7 = 8 - 2z folding."""
+    xp = np if isinstance(a, np.ndarray) else _jnp()
+    c = [None] * 13
+    for i in range(7):
+        for j in range(7):
+            t = f.mul(a[..., i], b[..., j])
+            k = i + j
+            c[k] = t if c[k] is None else f.add(c[k], t)
+    for k in range(12, 6, -1):
+        t8 = f.mul(c[k], f.monty_const(8))
+        t2 = f.mul(c[k], f.monty_const(2))
+        c[k - 7] = f.add(c[k - 7], t8)
+        c[k - 6] = f.sub(c[k - 6], t2)
+    return xp.stack(c[:7], axis=-1)
+
+
+def mul_base(a, b):
+    return f.mul(a, b[..., None])
+
+
+def square(a):
+    return mul(a, a)
+
+
+def frobenius(a, k: int):
+    """a^(p^k) via the precomputed linear map (49 base muls)."""
+    xp = np if isinstance(a, np.ndarray) else _jnp()
+    m = _FROB_M[k]
+    out = []
+    for j in range(7):
+        acc = f.mul(a[..., 0], m[0, j])
+        for i in range(1, 7):
+            acc = f.add(acc, f.mul(a[..., i], m[i, j]))
+        out.append(acc)
+    return xp.stack(out, axis=-1)
+
+
+def inv(a):
+    """a^{-1} = (prod_{k=1..6} a^{p^k}) / N(a) with N(a) in F_p."""
+    b = frobenius(a, 1)
+    for k in range(2, 7):
+        b = mul(b, frobenius(a, k))
+    prod = mul(a, b)  # lies in F_p: coefficients 1..6 are zero
+    return mul_base(b, f.inv(prod[..., 0]))
+
+
+def curve_formula(x):
+    """x^3 + 3z*x - 3."""
+    return add(add(mul(square(x), x), mul(CURVE_A, x)), CURVE_B)
+
+
+def is_on_curve(x, y):
+    lhs = square(y)
+    rhs = curve_formula(x)
+    return lhs, rhs
+
+
+def curve_add(x1, y1, x2, y2):
+    """Incomplete Weierstrass addition (septic_curve.rs:54-60).
+
+    Assumes x1 != x2 (the protocol's start/dummy points make exceptions
+    cryptographically unreachable).
+    """
+    slope = mul(sub(y2, y1), inv(sub(x2, x1)))
+    x3 = sub(sub(square(slope), x1), x2)
+    y3 = sub(mul(slope, sub(x1, x3)), y1)
+    return x3, y3
+
+
+def curve_double(x1, y1):
+    """Point doubling: slope = (3x^2 + a) / (2y)."""
+    three = f.monty_const(3)
+    sl_num = add(mul_base(square(x1), three), CURVE_A)
+    slope = mul(sl_num, inv(add(y1, y1)))
+    x3 = sub(sub(square(slope), x1), x1)
+    y3 = sub(mul(slope, sub(x1, x3)), y1)
+    return x3, y3
+
+
+def curve_sum_host(xs: np.ndarray, ys: np.ndarray, start_x=None, start_y=None):
+    """Host-side sequential sum of curve points starting from START (numpy).
+
+    xs, ys: (n, 7).  Returns the final (x, y) with the start point *included*
+    (reference SepticDigest accumulation semantics: digest = start + sum(points),
+    septic_digest.rs:30-50).
+    """
+    ax = START_X.copy() if start_x is None else np.asarray(start_x)
+    ay = START_Y.copy() if start_y is None else np.asarray(start_y)
+    for i in range(xs.shape[0]):
+        ax, ay = curve_add(ax, ay, xs[i], ys[i])
+    return ax, ay
