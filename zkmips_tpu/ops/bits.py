@@ -32,11 +32,10 @@ def bitrev_rows(x):
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "bitrev needs power-of-two height"
     idx = bitrev_indices(log_n)
-    if isinstance(x, np.ndarray):
+    xp = f.xp_of(x)
+    if xp is np:
         return x[idx]
-    import jax.numpy as jnp
-
-    return jnp.take(x, jnp.asarray(idx), axis=0)
+    return xp.take(x, xp.asarray(idx), axis=0)
 
 
 def sum_mod(x, axis: int = 0):
@@ -44,7 +43,7 @@ def sum_mod(x, axis: int = 0):
 
     log2(n) vectorized halving steps; works for numpy and jax.numpy.
     """
-    xp = np if isinstance(x, np.ndarray) else _jnp()
+    xp = f.xp_of(x)
     x = xp.moveaxis(x, axis, 0)
     n = x.shape[0]
     while n > 1:

@@ -35,7 +35,7 @@ def zeros_like(a):
 
 def from_base(x):
     """Embed base-field array (...,) -> ext array (..., 4)."""
-    xp_stack = np if isinstance(x, np.ndarray) else _jnp()
+    xp_stack = f.xp_of(x)
     z = x * np.uint32(0)
     return xp_stack.stack([x, z, z, z], axis=-1)
 
@@ -87,7 +87,7 @@ def mul(a, b):
 
 
 def _stack4(proto, c0, c1, c2, c3):
-    xp = np if isinstance(c0, np.ndarray) else _jnp()
+    xp = f.xp_of(c0)
     return xp.stack([c0, c1, c2, c3], axis=-1)
 
 

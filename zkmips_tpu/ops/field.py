@@ -48,6 +48,23 @@ _M16 = _U(0xFFFF)
 _P_HI16 = _U(0x7F00)  # high 16-bit limb of p (low limb is 1)
 
 
+
+
+def xp_of(*arrays):
+    """Pick the array backend: numpy unless some input is a JAX array.
+
+    numpy scalars (``np.uint32`` etc.) count as numpy — ``isinstance(x,
+    np.ndarray)`` alone misclassifies them and silently dispatches tiny ops
+    through JAX, which is catastrophically slow on host paths.
+    """
+    for a in arrays:
+        if a is None or isinstance(a, (np.ndarray, np.generic, int, float)):
+            continue
+        import jax.numpy as jnp
+
+        return jnp
+    return np
+
 # ---------------------------------------------------------------------------
 # Scalar (python int) reference arithmetic — used for constants, tests,
 # and host-side protocol logic where vectorization is pointless.

@@ -68,11 +68,7 @@ def ntt(x, inverse: bool = False):
 
 
 def _concat_axis1(a, b):
-    if isinstance(a, np.ndarray):
-        return np.concatenate([a, b], axis=1)
-    import jax.numpy as jnp
-
-    return jnp.concatenate([a, b], axis=1)
+    return f.xp_of(a).concatenate([a, b], axis=1)
 
 
 def _shift_powers(shift: int, n: int) -> np.ndarray:
@@ -95,13 +91,12 @@ def coset_lde(x, log_blowup: int = 1, shift: int = f.GENERATOR):
     coeffs = ntt(x, inverse=True)
     coeffs = f.mul(coeffs, _shift_powers(shift, n)[:, None])
     big_n = n << log_blowup
-    if isinstance(x, np.ndarray):
+    xp = f.xp_of(x)
+    if xp is np:
         padded = np.zeros((big_n, w), dtype=np.uint32)
         padded[:n] = coeffs
     else:
-        import jax.numpy as jnp
-
-        padded = jnp.zeros((big_n, w), dtype=np.uint32).at[:n].set(coeffs)
+        padded = xp.zeros((big_n, w), dtype=np.uint32).at[:n].set(coeffs)
     out = ntt(padded)
     return out[:, 0] if squeeze else out
 

@@ -79,7 +79,7 @@ def _external_linear(cols: list):
 
 def permute(state):
     """Poseidon2 permutation on (..., 16) uint32 Montgomery arrays."""
-    xp = np if isinstance(state, np.ndarray) else _jnp()
+    xp = f.xp_of(state)
     cols = [state[..., i] for i in range(WIDTH)]
     cols = _external_linear(cols)
     for r in range(4):
@@ -109,7 +109,7 @@ def compress(left, right):
 
     left/right: (..., 8) -> (..., 8).  (kb31_poseidon2.rs:24 InnerCompress.)
     """
-    xp = np if isinstance(left, np.ndarray) else _jnp()
+    xp = f.xp_of(left)
     state = xp.concatenate([left, right], axis=-1)
     return permute(state)[..., :OUT]
 
@@ -122,7 +122,7 @@ def hash_matrix_rows(mat):
     8 state elements.  Matches kb31_poseidon2.rs:21 InnerHash / p3
     PaddingFreeSponge.  Returns (n, 8).
     """
-    xp = np if isinstance(mat, np.ndarray) else _jnp()
+    xp = f.xp_of(mat)
     n, w = mat.shape
     z = xp.zeros((n,), dtype=np.uint32)
     cols = [z] * WIDTH
@@ -142,5 +142,5 @@ def hash_flat(values):
     Equivalent to the reference's poseidon2_hash(Vec<KoalaBear>)
     (crates/primitives/src/lib.rs:1125).
     """
-    xp = np if isinstance(values, np.ndarray) else _jnp()
+    xp = f.xp_of(values)
     return hash_matrix_rows(values.reshape(1, -1))[0]

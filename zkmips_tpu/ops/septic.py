@@ -95,7 +95,7 @@ def neg(a):
 
 
 def from_base(x):
-    xp = np if isinstance(x, np.ndarray) else _jnp()
+    xp = f.xp_of(x)
     z = x * np.uint32(0)
     return xp.stack([x] + [z] * 6, axis=-1)
 
@@ -108,7 +108,7 @@ def _jnp():
 
 def mul(a, b):
     """Schoolbook septic mul (49 base muls) with z^7 = 8 - 2z folding."""
-    xp = np if isinstance(a, np.ndarray) else _jnp()
+    xp = f.xp_of(a)
     c = [None] * 13
     for i in range(7):
         for j in range(7):
@@ -133,7 +133,7 @@ def square(a):
 
 def frobenius(a, k: int):
     """a^(p^k) via the precomputed linear map (49 base muls)."""
-    xp = np if isinstance(a, np.ndarray) else _jnp()
+    xp = f.xp_of(a)
     m = _FROB_M[k]
     out = []
     for j in range(7):

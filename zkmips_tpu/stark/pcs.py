@@ -1,0 +1,397 @@
+"""Two-adic FRI polynomial commitment scheme over KoalaBear / quartic ext.
+
+Reimplements (TPU-first, self-contained) the protocol of the reference's
+``TwoAdicFriPcs`` as fixed by its in-circuit verifier (reference:
+crates/recursion/circuit/src/fri.rs):
+
+  * commit: each matrix of evaluations over a coset (n, shift s) is LDE'd
+    onto the standard coset (n * 2^log_blowup, shift = GENERATOR) and the
+    batch committed in one mixed-matrix Merkle tree (fri.rs:139-151 fixes
+    x = g * w^rev(i) as the committed point layout, bit-reversed rows).
+  * open: alpha sampled first (fri.rs:78); per-height reduced vectors
+    ro_H(x) = sum over (matrix, point z, column j) of
+    alpha^{k_H++} * (p_j(z) - p_j(x)) / (z - x)   (fri.rs:155-201),
+    with one alpha-power counter PER log-height.
+  * FRI: the reduced vector of the max height is folded in halves over the
+    *plain* subgroup (x = w^rev(i), no coset shift — fri.rs:258-266), one
+    Merkle commit + beta challenge per layer, lower-height reduced vectors
+    injected with beta^2 scaling (fri.rs:345-351), constant final poly,
+    proof-of-work grind, then query-index sampling
+    (verify_shape_and_sample_challenges, fri.rs:34-70).
+
+Heavy array math (LDE, Merkle layers, reductions, folds) is backend-agnostic
+numpy/jax.numpy; transcript logic is host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import lru_cache
+
+import numpy as np
+
+from ..ops import bits, ext4, field as f, merkle, ntt
+from .challenger import DuplexChallenger
+from .domain import Domain, fold_inv_2x_monty, lde_points_bitrev_monty
+
+
+@dataclass(frozen=True)
+class FriConfig:
+    """FRI parameters; reference values kb31_poseidon2.rs:54-63,203-240."""
+
+    log_blowup: int = 1
+    num_queries: int = 84
+    proof_of_work_bits: int = 16
+
+    @staticmethod
+    def core() -> "FriConfig":
+        return FriConfig(1, 84, 16)
+
+    @staticmethod
+    def compressed() -> "FriConfig":
+        return FriConfig(2, 42, 16)
+
+    @staticmethod
+    def ultra_compressed() -> "FriConfig":
+        return FriConfig(3, 28, 16)
+
+    @staticmethod
+    def test() -> "FriConfig":
+        """Small config for fast unit tests (NOT sound)."""
+        return FriConfig(1, 8, 4)
+
+
+# ---------------------------------------------------------------------------
+# Prover data
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ProverData:
+    """Result of a batch commit: committed LDEs + coefficients + tree."""
+
+    domains: list[Domain]
+    coeffs: list  # per matrix: (n, w) coefficient matrix wrt its own domain
+    ldes: list  # per matrix: (n << log_blowup, w) bitrev-row LDE on shift-g coset
+    tree: merkle.MerkleTree
+
+    @property
+    def root(self) -> np.ndarray:
+        return self.tree.root
+
+
+def commit(config: FriConfig, domains_and_matrices, xp=np) -> ProverData:
+    """Commit to [(Domain, evals (n, w) monty uint32 natural order)] pairs."""
+    domains, coeffs, ldes = [], [], []
+    for dom, evals in domains_and_matrices:
+        assert evals.shape[0] == dom.size, "evals height must match domain size"
+        c = ntt.ntt(evals, inverse=True)
+        # relative shift g / s maps the coset s*<w> onto the standard g*<W>
+        rel_shift = f.GENERATOR * f.inv_int(dom.shift) % f.P
+        scaled = f.mul(c, bits.powers_monty_np(rel_shift, dom.size)[:, None])
+        big_n = dom.size << config.log_blowup
+        if xp is np:
+            padded = np.zeros((big_n, scaled.shape[1]), dtype=np.uint32)
+            padded[: dom.size] = scaled
+        else:
+            padded = xp.zeros((big_n, scaled.shape[1]), dtype=np.uint32).at[: dom.size].set(scaled)
+        lde = bits.bitrev_rows(ntt.ntt(padded))
+        domains.append(dom)
+        coeffs.append(c)
+        ldes.append(lde)
+    tree = merkle.MerkleTree(ldes, xp=xp)
+    return ProverData(domains, coeffs, ldes, tree)
+
+
+def eval_at_ext_point(coeffs, dom: Domain, z: np.ndarray, xp=np) -> np.ndarray:
+    """Evaluate every column poly at ext point z: returns (w, 4).
+
+    p(z) = sum_i c_i (z/s)^i where c are coefficients over the coset s*<w>.
+    """
+    n, w = coeffs.shape
+    zs = ext4.mul_base(z, np.uint32(f.to_monty_int(f.inv_int(dom.shift))))
+    zpows = _ext_powers(zs, n, xp)  # (n, 4)
+    out = []
+    for c in range(4):
+        prod = f.mul(coeffs, zpows[:, c : c + 1])  # (n, w)
+        out.append(bits.sum_mod(prod, axis=0))  # (w,)
+    stack = xp.stack
+    return stack(out, axis=-1)
+
+
+def _ext_powers(z: np.ndarray, n: int, xp=np) -> np.ndarray:
+    """[1, z, ..., z^(n-1)] as (n, 4) via log-doubling (O(log n) array ops)."""
+    concat = xp.concatenate
+    out = ext4.ONE.astype(np.uint32)[None, :]
+    cur = z[None, :]
+    while out.shape[0] < n:
+        out = concat([out, ext4.mul(out, cur)], axis=0)
+        cur = ext4.mul(cur, cur)
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Proof structures
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CommitPhaseOpening:
+    sibling_value: np.ndarray  # (4,) ext monty
+    siblings: np.ndarray  # (log, 8) merkle path
+
+
+@dataclass
+class QueryProof:
+    input_openings: list  # per round: (rows list, siblings (log, 8))
+    commit_openings: list[CommitPhaseOpening]
+
+
+@dataclass
+class FriProof:
+    commit_roots: list  # (8,) monty digests, one per fold layer
+    final_poly: np.ndarray  # (4,) ext monty
+    pow_witness: int
+    query_proofs: list[QueryProof]
+
+
+# ---------------------------------------------------------------------------
+# Open
+# ---------------------------------------------------------------------------
+
+
+def open_batches(
+    config: FriConfig,
+    rounds: list,  # [(ProverData, points_per_matrix: list[list[(4,) ext]])]
+    challenger: DuplexChallenger,
+    xp=np,
+):
+    """Open every committed matrix at its points. Returns (opened_values, FriProof).
+
+    opened_values[round][matrix][point] = (w, 4) claimed evaluations.
+    """
+    alpha = challenger.sample_ext()
+
+    # 1. claimed evaluations
+    opened_values = []
+    for pdata, points_per_mat in rounds:
+        mats_vals = []
+        for coeffs, dom, pts in zip(pdata.coeffs, pdata.domains, points_per_mat):
+            mats_vals.append([eval_at_ext_point(coeffs, dom, z, xp) for z in pts])
+        opened_values.append(mats_vals)
+
+    # 2. per-height reduced vectors (bitrev layout, ext (H, 4))
+    reduced: dict[int, np.ndarray] = {}
+    alpha_pow_count: dict[int, int] = {}
+    for (pdata, points_per_mat), mats_vals in zip(rounds, opened_values):
+        for lde, dom, pts, vals in zip(pdata.ldes, pdata.domains, points_per_mat, mats_vals):
+            log_h = dom.log_n + config.log_blowup
+            h, w = lde.shape
+            x_vec = lde_points_bitrev_monty(log_h)  # (H,) monty
+            for z, ys in zip(pts, vals):
+                k0 = alpha_pow_count.get(log_h, 0)
+                apows = _alpha_powers(alpha, k0, w)  # (w, 4)
+                alpha_pow_count[log_h] = k0 + w
+                # S = sum_j apow_j * y_j  (ext scalar)
+                s_val = _ext_dot_ext(apows, ys)
+                # t(x) = sum_j apow_j * p_j(x)  (ext vector over H)
+                t_vec = _ext_dot_base(apows, lde, xp)  # (H, 4)
+                num = ext4.sub(s_val[None, :], t_vec)
+                denom = ext4.sub(z[None, :], ext4.from_base(x_vec))
+                contrib = ext4.mul(num, ext4.inv(denom))
+                acc = reduced.get(log_h)
+                reduced[log_h] = contrib if acc is None else ext4.add(acc, contrib)
+
+    log_max = max(reduced)
+    assert min(reduced) > config.log_blowup, "matrices at the minimum height are unsupported"
+
+    # 3. FRI commit phase
+    cur = reduced[log_max]
+    commit_roots, betas, layer_trees = [], [], []
+    for log_h in range(log_max, config.log_blowup, -1):
+        evens, odds = cur[0::2], cur[1::2]
+        concat = xp.concatenate
+        layer_mat = concat([evens, odds], axis=1).reshape(evens.shape[0], 8)
+        tree = merkle.MerkleTree([layer_mat], xp=xp)
+        layer_trees.append(tree)
+        commit_roots.append(np.asarray(tree.root))
+        challenger.observe_digest(tree.root)
+        beta = challenger.sample_ext()
+        betas.append(beta)
+        inv2x = fold_inv_2x_monty(log_h)  # (H/2,) monty, plain subgroup
+        half_sum = ext4.mul_base(ext4.add(evens, odds), np.uint32(f.HALF))
+        half_diff = ext4.mul_base(ext4.sub(evens, odds), inv2x)
+        cur = ext4.add(half_sum, ext4.mul(beta[None, :], half_diff))
+        nxt = reduced.get(log_h - 1)
+        if nxt is not None and log_h - 1 > config.log_blowup:
+            beta2 = ext4.mul(beta, beta)
+            cur = ext4.add(cur, ext4.mul(beta2[None, :], nxt))
+
+    final_poly = np.asarray(cur[0])
+    challenger.observe_slice(ext4.to_canonical(final_poly))
+    pow_witness = challenger.grind(config.proof_of_work_bits)
+    assert challenger.check_witness(config.proof_of_work_bits, pow_witness)
+
+    indices = [challenger.sample_bits(log_max) for _ in range(config.num_queries)]
+
+    # 4. query proofs
+    query_proofs = []
+    for idx in indices:
+        input_openings = []
+        for pdata, _pts in rounds:
+            batch_log_max = max(d.log_n for d in pdata.domains) + config.log_blowup
+            rows, sibs = pdata.tree.open(idx >> (log_max - batch_log_max))
+            input_openings.append((rows, sibs))
+        commit_openings = []
+        for k, tree in enumerate(layer_trees):
+            pair_idx = (idx >> k) >> 1
+            rows, sibs = tree.open(pair_idx)
+            row = rows[0]  # (8,) = [even ext, odd ext]
+            bit = (idx >> k) & 1
+            sibling = row[4:8] if bit == 0 else row[0:4]
+            commit_openings.append(CommitPhaseOpening(np.asarray(sibling), sibs))
+        query_proofs.append(QueryProof(input_openings, commit_openings))
+
+    return opened_values, FriProof(commit_roots, final_poly, pow_witness, query_proofs)
+
+
+def _alpha_powers(alpha: np.ndarray, start: int, count: int) -> np.ndarray:
+    """(count, 4) array [alpha^start, ..., alpha^(start+count-1)] (host, cached)."""
+    pows = _alpha_powers_table(_key(alpha), count + start)
+    return pows[start : start + count]
+
+
+_ALPHA_CACHE: dict = {}
+
+
+def _key(alpha: np.ndarray):
+    return tuple(int(v) for v in alpha)
+
+
+def _alpha_powers_table(key, n: int) -> np.ndarray:
+    tbl = _ALPHA_CACHE.get(key)
+    if tbl is None or tbl.shape[0] < n:
+        alpha = np.array(key, dtype=np.uint32)
+        size = max(n, 64)
+        tbl = ext4.powers_host(alpha, size)
+        _ALPHA_CACHE[key] = tbl
+    return tbl
+
+
+def _ext_dot_ext(apows: np.ndarray, ys) -> np.ndarray:
+    """sum_j apows[j] * ys[j], both (w, 4) ext arrays -> (4,)."""
+    prod = ext4.mul(apows, np.asarray(ys))
+    return bits.sum_mod(prod, axis=0)
+
+
+def _ext_dot_base(apows: np.ndarray, mat, xp=np) -> np.ndarray:
+    """sum_j apows[j] * mat[:, j] for base matrix (H, w) -> ext (H, 4)."""
+    out = []
+    for c in range(4):
+        prod = f.mul(mat, apows[None, :, c])
+        out.append(bits.sum_mod(prod, axis=1))
+    stack = xp.stack
+    return stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Verify
+# ---------------------------------------------------------------------------
+
+
+class PcsError(Exception):
+    pass
+
+
+def verify_batches(
+    config: FriConfig,
+    rounds_info: list,  # [(root, [(Domain, [(z, ys (w,4))...]) per matrix])]
+    proof: FriProof,
+    challenger: DuplexChallenger,
+):
+    """Verify openings; raises PcsError on failure."""
+    alpha = challenger.sample_ext()
+
+    betas = []
+    for root in proof.commit_roots:
+        challenger.observe_digest(root)
+        betas.append(challenger.sample_ext())
+    challenger.observe_slice(ext4.to_canonical(proof.final_poly))
+    if not challenger.check_witness(config.proof_of_work_bits, proof.pow_witness):
+        raise PcsError("invalid proof-of-work witness")
+    log_max = len(proof.commit_roots) + config.log_blowup
+    if len(proof.query_proofs) != config.num_queries:
+        raise PcsError("wrong number of query proofs")
+    indices = [challenger.sample_bits(log_max) for _ in range(config.num_queries)]
+
+    # Precompute alpha power layout per height (must mirror the prover's order).
+    for idx, qproof in zip(indices, proof.query_proofs):
+        ro: dict[int, np.ndarray] = {}
+        apow_count: dict[int, int] = {}
+        if len(qproof.input_openings) != len(rounds_info):
+            raise PcsError("wrong number of input openings")
+        for (rows, sibs), (root, mats) in zip(qproof.input_openings, rounds_info):
+            dims = [(dom.size << config.log_blowup, np.asarray(r).shape[0]) for (dom, _pts), r in zip(mats, rows)]
+            batch_log_max = max(d.log_n for d, _ in mats) + config.log_blowup
+            reduced_idx = idx >> (log_max - batch_log_max)
+            if not merkle.verify_opening(root, reduced_idx, dims, [np.asarray(r) for r in rows], np.asarray(sibs)):
+                raise PcsError("merkle verification failed for input batch")
+            for (dom, pts), row in zip(mats, rows):
+                log_h = dom.log_n + config.log_blowup
+                mat_idx = idx >> (log_max - log_h)
+                # x = g * w^{rev(mat_idx)} (fri.rs:139-151)
+                x = lde_points_bitrev_monty(log_h)[mat_idx]
+                row = np.asarray(row, dtype=np.uint32)
+                w = row.shape[0]
+                for z, ys in pts:
+                    k0 = apow_count.get(log_h, 0)
+                    apows = _alpha_powers(alpha, k0, w)
+                    apow_count[log_h] = k0 + w
+                    ys = np.asarray(ys)
+                    diff = ext4.sub(ys, ext4.from_base(row))  # (w,4): p(z)-p(x)
+                    acc = bits.sum_mod(ext4.mul(apows, diff), axis=0)
+                    denom = ext4.sub(z, ext4.from_base(x))
+                    contrib = ext4.mul(acc, ext4.inv(denom))
+                    ro[log_h] = contrib if log_h not in ro else ext4.add(ro[log_h], contrib)
+
+        if config.log_blowup in ro:
+            raise PcsError("matrix at minimum height not allowed")
+
+        # fold chain (plain subgroup points)
+        folded = ro.get(log_max)
+        if folded is None:
+            raise PcsError("no reduced opening at max height")
+        x = pow(f.two_adic_generator_int(log_max), _bitrev_int(idx, log_max), f.P)
+        for k, (beta, opening) in enumerate(zip(betas, qproof.commit_openings)):
+            log_folded = log_max - k - 1
+            layer_idx = idx >> k
+            bit = layer_idx & 1
+            pair_idx = layer_idx >> 1
+            ours = folded
+            row = np.concatenate([ours, opening.sibling_value]) if bit == 0 else np.concatenate([opening.sibling_value, ours])
+            if not merkle.verify_opening(
+                proof.commit_roots[k], pair_idx, [(1 << log_folded, 8)], [row.astype(np.uint32)], np.asarray(opening.siblings)
+            ):
+                raise PcsError(f"merkle verification failed at fold layer {k}")
+            e0, e1 = row[0:4], row[4:8]
+            x_even = x if bit == 0 else (f.P - x) % f.P
+            # folded = e0 + (beta - x_even) * (e1 - e0) / (-2 * x_even)
+            diff = ext4.sub(e1, e0)
+            slope = ext4.mul_base(diff, f.inv(f.to_monty(np.uint32((f.P - 2 * x_even % f.P) % f.P))))
+            bm = ext4.sub(beta, ext4.from_base(f.to_monty(np.uint32(x_even))))
+            folded = ext4.add(e0, ext4.mul(bm, slope))
+            nxt = ro.get(log_folded)
+            if nxt is not None and log_folded > config.log_blowup:
+                beta2 = ext4.mul(beta, beta)
+                folded = ext4.add(folded, ext4.mul(beta2, nxt))
+            x = x * x % f.P
+        if not np.array_equal(folded, proof.final_poly):
+            raise PcsError("final poly mismatch")
+    return True
+
+
+def _bitrev_int(i: int, nbits: int) -> int:
+    r = 0
+    for b in range(nbits):
+        r |= ((i >> b) & 1) << (nbits - 1 - b)
+    return r
