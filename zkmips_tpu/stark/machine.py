@@ -1,0 +1,437 @@
+"""StarkMachine: multi-chip shard prover + verifier.
+
+The analog of the reference's ``StarkMachine`` + ``CpuProver`` + shard
+verifier (crates/stark/src/machine.rs:37, prover.rs:30-202, verifier.rs:30).
+
+Shard transcript order (must match between prove and verify; mirrors
+crates/recursion/circuit/src/stark.rs:294-325 and machine.rs:79):
+
+  observe(vk: preprocessed root, prep heights)
+  observe(public_values)
+  observe(main root); sample perm challenges alpha_p, beta_p
+  observe(perm root); per chip: observe local cumsum (4 felts),
+    and for global-scope chips the 14 septic digest felts
+  sample alpha; observe(quotient root); sample zeta
+  PCS open/verify (rounds: preprocessed, main, permutation, quotient)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import ext4, field as f
+from . import air, pcs, permutation, quotient as quotient_mod
+from .challenger import DuplexChallenger
+from .chip import Chip, pad_to_power_of_two
+from .domain import Domain
+from .pcs import FriConfig
+
+
+@dataclass
+class StarkConfig:
+    fri: FriConfig
+
+    @staticmethod
+    def core() -> "StarkConfig":
+        return StarkConfig(FriConfig.core())
+
+    @staticmethod
+    def test() -> "StarkConfig":
+        return StarkConfig(FriConfig.test())
+
+
+@dataclass
+class ProvingKey:
+    prep_data: pcs.ProverData | None
+    prep_traces: dict  # name -> (H, wp) monty padded
+    prep_order: list  # chip names in committed (height-desc) order
+    vk: "VerifyingKey"
+
+
+@dataclass
+class VerifyingKey:
+    prep_root: np.ndarray | None
+    prep_heights: list  # [(name, log_h)] in committed order
+
+    def observe_into(self, ch: DuplexChallenger):
+        if self.prep_root is not None:
+            ch.observe_digest(self.prep_root)
+        for _name, log_h in self.prep_heights:
+            ch.observe(log_h)
+
+
+@dataclass
+class ChipOpenedValues:
+    preprocessed_local: np.ndarray | None  # (wp, 4) ext
+    preprocessed_next: np.ndarray | None
+    main_local: np.ndarray  # (w, 4)
+    main_next: np.ndarray
+    perm_local: np.ndarray  # (4*W, 4)
+    perm_next: np.ndarray
+    quotient: list  # per chunk: (4, 4) ext values of the 4 base columns
+    local_cumulative_sum: np.ndarray  # (4,) ext monty
+    global_sum: np.ndarray | None  # (14,) canonical or None
+    log_degree: int
+
+
+@dataclass
+class ShardProof:
+    main_root: np.ndarray
+    perm_root: np.ndarray
+    quotient_root: np.ndarray
+    chip_names: list  # included chips, height-desc order
+    opened: list  # ChipOpenedValues, same order
+    fri_proof: pcs.FriProof
+    public_values: np.ndarray  # (num_pv,) canonical
+
+
+class VerificationError(Exception):
+    pass
+
+
+class StarkMachine:
+    def __init__(self, config: StarkConfig, chips: list[Chip], num_public_values: int = 0):
+        self.config = config
+        self.chips = chips
+        self.num_public_values = num_public_values
+        self.chip_map = {c.name: c for c in chips}
+
+    # ------------------------------------------------------------------ setup
+
+    def setup(self, program) -> ProvingKey:
+        preps = []
+        for chip in self.chips:
+            t = chip.air.generate_preprocessed(program)
+            if t is not None:
+                t = pad_to_power_of_two(t)
+                preps.append((chip.name, f.to_monty(t.astype(np.uint32))))
+        preps.sort(key=lambda nt: (-nt[1].shape[0],))
+        if preps:
+            doms_mats = [(Domain(m.shape[0].bit_length() - 1, 1), m) for _n, m in preps]
+            prep_data = pcs.commit(self.config.fri, doms_mats)
+            vk = VerifyingKey(
+                np.asarray(prep_data.root),
+                [(n, m.shape[0].bit_length() - 1) for n, m in preps],
+            )
+        else:
+            prep_data, vk = None, VerifyingKey(None, [])
+        return ProvingKey(prep_data, {n: m for n, m in preps}, [n for n, _ in preps], vk)
+
+    # ------------------------------------------------------------------ prove
+
+    def prove_shard(self, pk: ProvingKey, record, public_values: np.ndarray, xp=np) -> ShardProof:
+        """Prove one shard. ``record`` is passed opaquely to the chips."""
+        chips = [c for c in self.chips if c.air.included(record)]
+        for name in pk.prep_traces:
+            assert self.chip_map[name] in chips, f"preprocessed chip {name} must be included"
+
+        # 1. generate + pad main traces
+        traces = {}
+        for chip in chips:
+            t = chip.air.generate_trace(record, None).astype(np.uint32)
+            fixed = pk.prep_traces.get(chip.name)
+            t = pad_to_power_of_two(t, fixed_rows=None if fixed is None else fixed.shape[0])
+            traces[chip.name] = f.to_monty(t)
+        chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
+        names = [c.name for c in chips]
+        log_degrees = {n: traces[n].shape[0].bit_length() - 1 for n in names}
+
+        ch = DuplexChallenger()
+        pk.vk.observe_into(ch)
+        ch.observe_slice(public_values)
+
+        # 2. commit main
+        main_data = pcs.commit(
+            self.config.fri, [(Domain(log_degrees[n], 1), traces[n]) for n in names], xp=xp
+        )
+        ch.observe_digest(main_data.root)
+        perm_challenges = [ch.sample_ext(), ch.sample_ext()]
+
+        # 3. permutation traces
+        perm_flats, cum_sums = {}, {}
+        for chip in chips:
+            prep = pk.prep_traces.get(chip.name)
+            flat, cum = permutation.generate_permutation_trace(
+                chip, prep, traces[chip.name], perm_challenges[0], perm_challenges[1],
+                chip.batch_size, xp=xp,
+            )
+            perm_flats[chip.name] = flat
+            cum_sums[chip.name] = cum
+        perm_names = [c.name for c in chips if c.perm_width_ext > 0]
+        perm_data = None
+        if perm_names:
+            perm_data = pcs.commit(
+                self.config.fri,
+                [(Domain(log_degrees[n], 1), perm_flats[n]) for n in perm_names],
+                xp=xp,
+            )
+            ch.observe_digest(perm_data.root)
+        global_sums = {}
+        for chip in chips:
+            ch.observe_slice(ext4.to_canonical(cum_sums[chip.name]))
+            if chip.commit_scope == air.Scope.Global:
+                gsum = self._chip_global_sum(chip, traces[chip.name])
+                global_sums[chip.name] = gsum
+                ch.observe_slice(gsum)
+        alpha = ch.sample_ext()
+
+        # 4. quotient
+        publics_monty = f.to_monty(public_values.astype(np.uint32))
+        q_doms, q_mats = [], []
+        for chip in chips:
+            gs = global_sums.get(chip.name)
+            doms, chunks = quotient_mod.quotient_chunks(
+                chip,
+                traces[chip.name],
+                pk.prep_traces.get(chip.name),
+                perm_flats[chip.name],
+                publics_monty,
+                perm_challenges,
+                cum_sums[chip.name],
+                f.to_monty(gs.astype(np.uint32)) if gs is not None else None,
+                alpha,
+                xp=xp,
+            )
+            for d, c in zip(doms, chunks):
+                q_doms.append(d)
+                q_mats.append(c.reshape(c.shape[0], 4))
+        quotient_data = pcs.commit(self.config.fri, list(zip(q_doms, q_mats)), xp=xp)
+        ch.observe_digest(quotient_data.root)
+        zeta = ch.sample_ext()
+
+        # 5. open
+        rounds = []
+        if pk.prep_data is not None:
+            prep_points = [
+                [zeta, Domain(pk.prep_traces[n].shape[0].bit_length() - 1, 1).next_point_ext(zeta)]
+                for n in pk.prep_order
+            ]
+            rounds.append((pk.prep_data, prep_points))
+        trace_points = [[zeta, Domain(log_degrees[n], 1).next_point_ext(zeta)] for n in names]
+        rounds.append((main_data, trace_points))
+        if perm_data is not None:
+            perm_points = [[zeta, Domain(log_degrees[n], 1).next_point_ext(zeta)] for n in perm_names]
+            rounds.append((perm_data, perm_points))
+        rounds.append((quotient_data, [[zeta]] * len(q_mats)))
+        opened_vals, fri_proof = pcs.open_batches(self.config.fri, rounds, ch, xp=xp)
+
+        # 6. assemble per-chip opened values
+        ri = 0
+        prep_opened = {}
+        if pk.prep_data is not None:
+            for n, vals in zip(pk.prep_order, opened_vals[ri]):
+                prep_opened[n] = vals
+            ri += 1
+        main_opened = opened_vals[ri]
+        if perm_data is not None:
+            perm_opened = {n: v for n, v in zip(perm_names, opened_vals[ri + 1])}
+            q_opened = opened_vals[ri + 2]
+        else:
+            perm_opened = {}
+            q_opened = opened_vals[ri + 1]
+
+        opened = []
+        qi = 0
+        empty = np.zeros((0, 4), dtype=np.uint32)
+        for i, chip in enumerate(chips):
+            nchunks = chip.quotient_chunks
+            qvals = [np.asarray(q_opened[qi + k][0]) for k in range(nchunks)]
+            qi += nchunks
+            po = prep_opened.get(chip.name)
+            pe = perm_opened.get(chip.name)
+            opened.append(
+                ChipOpenedValues(
+                    preprocessed_local=None if po is None else np.asarray(po[0]),
+                    preprocessed_next=None if po is None else np.asarray(po[1]),
+                    main_local=np.asarray(main_opened[i][0]),
+                    main_next=np.asarray(main_opened[i][1]),
+                    perm_local=empty if pe is None else np.asarray(pe[0]),
+                    perm_next=empty if pe is None else np.asarray(pe[1]),
+                    quotient=qvals,
+                    local_cumulative_sum=cum_sums[chip.name],
+                    global_sum=global_sums.get(chip.name),
+                    log_degree=log_degrees[chip.name],
+                )
+            )
+
+        return ShardProof(
+            main_root=np.asarray(main_data.root),
+            perm_root=np.zeros(8, dtype=np.uint32) if perm_data is None else np.asarray(perm_data.root),
+            quotient_root=np.asarray(quotient_data.root),
+            chip_names=names,
+            opened=opened,
+            fri_proof=fri_proof,
+            public_values=public_values.astype(np.uint32),
+        )
+
+    def _chip_global_sum(self, chip, trace_monty) -> np.ndarray:
+        """Read the claimed global septic digest from the last row (canonical)."""
+        last = f.from_monty(trace_monty[-1, -14:])
+        return np.asarray(last, dtype=np.uint32)
+
+    # ----------------------------------------------------------------- verify
+
+    def verify_shard(self, vk: VerifyingKey, proof: ShardProof):
+        ch = DuplexChallenger()
+        vk.observe_into(ch)
+        if proof.public_values.shape[0] != self.num_public_values:
+            raise VerificationError("wrong number of public values")
+        ch.observe_slice(proof.public_values)
+
+        chips = []
+        for n in proof.chip_names:
+            c = self.chip_map.get(n)
+            if c is None:
+                raise VerificationError(f"unknown chip {n}")
+            chips.append(c)
+        prep_names = [n for n, _ in vk.prep_heights]
+        for n in prep_names:
+            if n not in proof.chip_names:
+                raise VerificationError(f"preprocessed chip {n} missing from shard")
+
+        ch.observe_digest(proof.main_root)
+        perm_challenges = [ch.sample_ext(), ch.sample_ext()]
+        perm_chip_names = [c.name for c in chips if c.perm_width_ext > 0]
+        if perm_chip_names:
+            ch.observe_digest(proof.perm_root)
+        for chip, ov in zip(chips, proof.opened):
+            if chip.perm_width_ext == 0 and not np.array_equal(
+                ov.local_cumulative_sum, ext4.ZERO.astype(np.uint32)
+            ):
+                raise VerificationError(f"{chip.name}: nonzero cumsum without lookups")
+            ch.observe_slice(ext4.to_canonical(ov.local_cumulative_sum))
+            if chip.commit_scope == air.Scope.Global:
+                if ov.global_sum is None:
+                    raise VerificationError("missing global sum")
+                ch.observe_slice(ov.global_sum)
+        alpha = ch.sample_ext()
+        ch.observe_digest(proof.quotient_root)
+        zeta = ch.sample_ext()
+
+        # shape checks
+        for chip, ov in zip(chips, proof.opened):
+            if ov.main_local.shape != (chip.main_width, 4):
+                raise VerificationError(f"{chip.name}: bad main opening width")
+            if ov.perm_local.shape != (4 * chip.perm_width_ext, 4):
+                raise VerificationError(f"{chip.name}: bad perm opening width")
+            if len(ov.quotient) != chip.quotient_chunks:
+                raise VerificationError(f"{chip.name}: bad quotient chunk count")
+
+        # PCS rounds info
+        rounds_info = []
+        if vk.prep_root is not None:
+            prep_mats = []
+            for (n, log_h) in vk.prep_heights:
+                ov = proof.opened[proof.chip_names.index(n)]
+                d = Domain(log_h, 1)
+                prep_mats.append(
+                    (d, [(zeta, ov.preprocessed_local), (d.next_point_ext(zeta), ov.preprocessed_next)])
+                )
+            rounds_info.append((vk.prep_root, prep_mats))
+        main_mats, perm_mats, q_mats = [], [], []
+        for chip, ov in zip(chips, proof.opened):
+            d = Domain(ov.log_degree, 1)
+            zg = d.next_point_ext(zeta)
+            main_mats.append((d, [(zeta, ov.main_local), (zg, ov.main_next)]))
+            if chip.perm_width_ext > 0:
+                perm_mats.append((d, [(zeta, ov.perm_local), (zg, ov.perm_next)]))
+            qdom = d.create_disjoint_domain(d.size << chip.log_quotient_degree)
+            for k, qd in enumerate(qdom.split_domains(chip.quotient_chunks)):
+                q_mats.append((qd, [(zeta, ov.quotient[k])]))
+        rounds_info.append((proof.main_root, main_mats))
+        if perm_mats:
+            rounds_info.append((proof.perm_root, perm_mats))
+        rounds_info.append((proof.quotient_root, q_mats))
+
+        try:
+            pcs.verify_batches(self.config.fri, rounds_info, proof.fri_proof, ch)
+        except pcs.PcsError as e:
+            raise VerificationError(f"pcs: {e}") from e
+
+        # constraint identity per chip
+        publics_monty = f.to_monty(proof.public_values)
+        for chip, ov in zip(chips, proof.opened):
+            self._verify_chip_constraints(chip, ov, zeta, alpha, perm_challenges, publics_monty)
+
+        # local lookup balance across the shard
+        total = ext4.ZERO.astype(np.uint32)
+        for ov in proof.opened:
+            total = ext4.add(total, ov.local_cumulative_sum)
+        if not np.array_equal(total, ext4.ZERO.astype(np.uint32)):
+            raise VerificationError("local cumulative sums do not balance")
+        return True
+
+    def _verify_chip_constraints(self, chip, ov: ChipOpenedValues, zeta, alpha, perm_challenges, publics_monty):
+        d = Domain(ov.log_degree, 1)
+        sels = d.selectors_at_point_ext(zeta)
+
+        def var_fn(segment, col, offset):
+            if segment == air.MAIN:
+                return (ov.main_local if offset == 0 else ov.main_next)[col]
+            if segment == air.PREPROCESSED:
+                return (ov.preprocessed_local if offset == 0 else ov.preprocessed_next)[col]
+            if segment == air.PERM:
+                flat = ov.perm_local if offset == 0 else ov.perm_next
+                return _ext_from_flat(flat[4 * col : 4 * col + 4])
+            raise ValueError(segment)
+
+        gs = ov.global_sum
+        ctx = air.EvalContext(
+            var_fn,
+            selectors={
+                air.Selector.FIRST: sels["is_first_row"],
+                air.Selector.LAST: sels["is_last_row"],
+                air.Selector.TRANSITION: sels["is_transition"],
+            },
+            publics=publics_monty,
+            challenges=perm_challenges,
+            cum_sum=ov.local_cumulative_sum,
+            global_sum=f.to_monty(gs.astype(np.uint32)) if gs is not None else None,
+            ext_mode=True,
+        )
+        folded = air.fold_constraints(chip.constraints, alpha, ctx)  # (4,)
+
+        # recombine quotient chunks (p3 uni-stark verifier recombination)
+        qdom = d.create_disjoint_domain(d.size << chip.log_quotient_degree)
+        chunk_doms = qdom.split_domains(chip.quotient_chunks)
+        qz = None
+        for i, (cd, vals) in enumerate(zip(chunk_doms, ov.quotient)):
+            zp = ext4.ONE.astype(np.uint32)
+            for j, od in enumerate(chunk_doms):
+                if j == i:
+                    continue
+                num = od.zp_at_point_ext(zeta)
+                den = od.zp_at_point_int(cd.shift)
+                zp = ext4.mul(zp, ext4.mul_base(num, np.uint32(f.to_monty_int(f.inv_int(den)))))
+            chunk_val = None
+            for c in range(4):
+                mono = np.zeros(4, dtype=np.uint32)
+                mono[c] = f.MONTY_ONE
+                term = ext4.mul(np.asarray(vals[c]), mono)
+                chunk_val = term if chunk_val is None else ext4.add(chunk_val, term)
+            term = ext4.mul(zp, chunk_val)
+            qz = term if qz is None else ext4.add(qz, term)
+
+        z_h = d.zp_at_point_ext(zeta)
+        lhs = folded
+        rhs = ext4.mul(qz, z_h)
+        if not np.array_equal(np.asarray(lhs), np.asarray(rhs)):
+            raise VerificationError(f"{chip.name}: constraint identity failed at zeta")
+
+
+def _ext_from_flat(rows4):
+    """4 opened ext values of the 4 base limbs -> one ext value.
+
+    The flattened permutation matrix stores ext element e = sum_c e_c X^c as 4
+    base columns; opening each base column at zeta gives ext values v_c, and
+    e(zeta) = sum_c v_c * X^c.
+    """
+    out = None
+    for c in range(4):
+        mono = np.zeros(4, dtype=np.uint32)
+        mono[c] = f.MONTY_ONE
+        term = ext4.mul(np.asarray(rows4[c]), mono)
+        out = term if out is None else ext4.add(out, term)
+    return out

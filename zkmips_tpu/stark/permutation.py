@@ -1,0 +1,177 @@
+"""LogUp permutation argument: trace generation + constraint generation.
+
+Faithful to the reference's batched-fraction LogUp
+(crates/stark/src/permutation.rs):
+
+  * fingerprint D = alpha + kind + sum_i beta^{i+1} * value_i   (:40-55)
+  * perm column j = sum over batch j of (+-) mult / D            (:46-68)
+  * last column = inclusive prefix sum of the batch-column row sums (:175-190)
+  * constraints: entry * prod(D) = sum m_i * prod_{j!=i} D_j;
+    phi_first = row_sum; phi_next - phi_local = row_sum_next;
+    phi_last = claimed local cumulative sum                       (:267-333)
+  * global-scope chips bind their last-row trailing 14 main columns to the
+    claimed global septic digest                                  (:338-348)
+
+Trace generation is fully vectorized (ext4 arrays over all rows at once);
+the prefix sum is a log-depth Hillis–Steele scan, TPU/XLA friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import ext4, field as f
+from . import air
+from .air import AirBuilder, Challenge, Const, CumSumLocal, EvalContext, GlobalSumCoord, Scope, Var, eval_expr
+
+BATCH_SIZE = 2
+
+
+def perm_width(n_lookups: int, batch_size: int = BATCH_SIZE) -> int:
+    """Width in ext elements (permutation.rs:18-23)."""
+    if n_lookups == 0:
+        return 0
+    return -(-n_lookups // batch_size) + 1
+
+
+def local_lookups(chip) -> tuple[list, list]:
+    sends = [l for l in chip.sends if l.scope == Scope.Local]
+    receives = [l for l in chip.receives if l.scope == Scope.Local]
+    return sends, receives
+
+
+def _lookup_chunks(sends, receives, batch_size):
+    items = [(l, True) for l in sends] + [(l, False) for l in receives]
+    return [items[i : i + batch_size] for i in range(0, len(items), batch_size)]
+
+
+def _row_ctx(prep, main, xp=np) -> EvalContext:
+    """Context binding local-row vars to full trace columns (monty arrays)."""
+
+    def var_fn(segment, col, offset):
+        assert offset == 0, "lookup exprs may only reference the local row"
+        if segment == air.MAIN:
+            return main[:, col]
+        if segment == air.PREPROCESSED:
+            return prep[:, col]
+        raise ValueError("lookups cannot reference the permutation trace")
+
+    return EvalContext(var_fn, selectors=None, xp=xp)
+
+
+def generate_permutation_trace(
+    chip,
+    prep,  # (H, wp) monty or None
+    main,  # (H, w) monty
+    alpha: np.ndarray,  # (4,) ext monty
+    beta: np.ndarray,
+    batch_size: int = BATCH_SIZE,
+    xp=np,
+):
+    """Returns (perm_flat (H, 4*width) base monty, local_cumulative_sum (4,))."""
+    sends, receives = local_lookups(chip)
+    n = len(sends) + len(receives)
+    h = main.shape[0]
+    if n == 0:
+        return xp.zeros((h, 0), dtype=np.uint32), ext4.ZERO.astype(np.uint32)
+
+    ctx = _row_ctx(prep, main, xp)
+    chunks = _lookup_chunks(sends, receives, batch_size)
+    width = len(chunks) + 1
+
+    beta_pows = ext4.powers_host(beta, 2 + max(len(l.values) for l in sends + receives))
+
+    cols = []
+    for chunk in chunks:
+        col = None
+        for lookup, is_send in chunk:
+            # D = alpha + kind + sum_i beta^{i+1} v_i
+            d = ext4.add(alpha, ext4.scalar(lookup.argument_index))
+            for i, v in enumerate(lookup.values):
+                val = eval_expr(v, ctx).arr  # (H,) base
+                d = ext4.add(d[None, :] if d.ndim == 1 else d, f.mul(beta_pows[i + 1][None, :], _b(val)))
+            mult = eval_expr(lookup.multiplicity, ctx).arr  # (H,)
+            if not is_send:
+                mult = f.neg(mult)
+            frac = f.mul(ext4.inv(d), _b(mult))
+            col = frac if col is None else ext4.add(col, frac)
+        cols.append(col)
+
+    row_sum = cols[0]
+    for c in cols[1:]:
+        row_sum = ext4.add(row_sum, c)
+    phi = _prefix_sum(row_sum, xp)
+    local_cumulative_sum = np.asarray(phi[-1])
+
+    concat = xp.concatenate
+    flat = concat([c.reshape(h, 4) for c in cols] + [phi.reshape(h, 4)], axis=1)
+    return flat, local_cumulative_sum
+
+
+def _b(arr):
+    """base (H,) -> broadcastable against ext (H, 4)."""
+    return arr[:, None]
+
+
+def _prefix_sum(x, xp=np):
+    """Inclusive mod-p prefix sum over axis 0 of ext (H, 4): log-depth scan."""
+    h = x.shape[0]
+    shift = 1
+    concat = xp.concatenate
+    while shift < h:
+        shifted = concat([xp.zeros((shift, 4), dtype=np.uint32), x[:-shift]], axis=0)
+        x = f.add(x, shifted)
+        shift *= 2
+    return x
+
+
+def eval_permutation_constraints(chip, builder: AirBuilder, batch_size: int = BATCH_SIZE):
+    """Append LogUp constraints to the chip's builder (permutation.rs:267-348)."""
+    sends, receives = local_lookups(chip)
+    n = len(sends) + len(receives)
+    if n > 0:
+        chunks = _lookup_chunks(sends, receives, batch_size)
+        width = len(chunks) + 1
+        alpha, beta = Challenge(0), Challenge(1)
+
+        def perm(col, offset=0):
+            return Var(air.PERM, col, offset)
+
+        for j, chunk in enumerate(chunks):
+            rlcs, mults = [], []
+            for lookup, is_send in chunk:
+                rlc = alpha + Const(lookup.argument_index)
+                bpow = beta
+                for v in lookup.values:
+                    rlc = rlc + bpow * v
+                    bpow = bpow * beta
+                rlcs.append(rlc)
+                mults.append(lookup.multiplicity if is_send else -lookup.multiplicity)
+            product = rlcs[0]
+            for r in rlcs[1:]:
+                product = product * r
+            numerator = None
+            for i, m in enumerate(mults):
+                others = None
+                for k, r in enumerate(rlcs):
+                    if k != i:
+                        others = r if others is None else others * r
+                term = m if others is None else m * others
+                numerator = term if numerator is None else numerator + term
+            builder.assert_zero(perm(j) * product - numerator)
+
+        sum_local = perm(0)
+        sum_next = perm(0, 1)
+        for j in range(1, width - 1):
+            sum_local = sum_local + perm(j)
+            sum_next = sum_next + perm(j, 1)
+        phi_local = perm(width - 1)
+        phi_next = perm(width - 1, 1)
+        builder.when_first_row().assert_zero(phi_local - sum_local)
+        builder.when_transition().assert_zero(phi_next - phi_local - sum_next)
+        builder.when_last_row().assert_zero(phi_local - CumSumLocal())
+
+    if chip.commit_scope == Scope.Global:
+        w = chip.main_width
+        for i in range(14):
+            builder.when_last_row().assert_zero(builder.main(w - 14 + i) - GlobalSumCoord(i))
