@@ -1,0 +1,657 @@
+"""MIPS32r2 interpreter with event recording and shard splitting.
+
+Pure-Python reference implementation, semantics faithful to the reference
+executor (crates/core/executor/src/executor.rs): delay slots via
+(pc, next_pc, next_next_pc), clk += 5 per cycle with per-position access
+timestamps (events/memory.rs:29-40), registers as memory addresses 0..35,
+lexicographic (shard, timestamp) memory ordering with (0, 0) as the
+initial-state sentinel, and HALT steering next_pc to 0.
+
+Modes (executor.rs:175-182): Simple (no events), Trace (full events).
+Checkpoint mode is subsumed by ``fork_state`` snapshots here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .events import (
+    AluEvent,
+    CpuEvent,
+    ExecutionRecord,
+    MemoryAccessRecord,
+    MemoryInitFinalEvent,
+    MemoryLocalEvent,
+    MemoryReadRecord,
+    MemoryRecord,
+    MemoryWriteRecord,
+    SyscallEvent,
+)
+from .instruction import Instruction
+from .opcodes import (
+    ALU_OPS,
+    BRANCH_OPS,
+    JUMP_OPS,
+    LOAD_OPS,
+    LO_HI_OPS,
+    MISC_OPS,
+    MOVCOND_OPS,
+    ONE_OPERAND_BRANCH,
+    STORE_OPS,
+    Opcode,
+    Register,
+    SyscallCode,
+)
+from .program import MAX_MEMORY, Program
+from . import syscalls as syscalls_mod
+
+MASK32 = 0xFFFFFFFF
+
+# MemoryAccessPosition (events/memory.rs:29-40)
+POS_MEMORY, POS_C, POS_B, POS_A, POS_HI = 0, 1, 2, 3, 4
+
+
+class ExecutorMode:
+    Simple = 0
+    Trace = 2
+
+
+class ExecutionError(Exception):
+    pass
+
+
+class Executor:
+    def __init__(self, program: Program, shard_size: int = 1 << 20, mode: int = ExecutorMode.Trace):
+        self.program = program
+        self.mode = mode
+        self.shard_size = shard_size  # max cycles (cpu events) per shard
+
+        # state
+        self.pc = program.pc_start
+        self.next_pc = program.pc_start + 4
+        self.clk = 0
+        self.global_clk = 0
+        self.shard = 1
+        self.exited = False
+        self.exit_code = 0
+        self.next_is_delayslot = False
+
+        # memory: addr -> MemoryRecord; registers are addrs 0..35
+        self.memory: dict[int, MemoryRecord] = {}
+        self.uninitialized_memory: dict[int, int] = {}
+        self.touched_order: list[int] = []  # addresses in first-touch order
+
+        # io
+        self.input_stream: list[bytes] = []
+        self.input_stream_ptr = 0
+        self.public_values_stream = bytearray()
+        self.stdout = bytearray()
+        self.committed_value_digest = [0] * 8
+
+        # records
+        self.record = ExecutionRecord(shard=1, program=program)
+        self.records: list[ExecutionRecord] = []
+        self.access: MemoryAccessRecord | None = None
+        self.report_opcode_counts: dict = {}
+        self.cycle_tracker: dict[str, int] = {}
+        self._io_buf: dict[int, str] = {}
+
+    # ------------------------------------------------------------- io API
+
+    def write_stdin(self, data: bytes):
+        self.input_stream.append(bytes(data))
+
+    # --------------------------------------------------------- mem access
+
+    def _load_initial(self, addr: int) -> MemoryRecord:
+        if addr in self.uninitialized_memory:
+            value = self.uninitialized_memory[addr]
+        else:
+            value = self.program.image.get(addr, 0)
+        rec = MemoryRecord(value, 0, 0)
+        self.memory[addr] = rec
+        self.touched_order.append(addr)
+        return rec
+
+    def _mr(self, addr: int, timestamp: int) -> MemoryReadRecord:
+        prev = self.memory.get(addr)
+        if prev is None:
+            prev = self._load_initial(addr)
+        rec = MemoryRecord(prev.value, self.shard, timestamp)
+        self.memory[addr] = rec
+        self._track_local(addr, prev, rec)
+        return MemoryReadRecord(prev.value, self.shard, timestamp, prev.shard, prev.timestamp)
+
+    def _mw(self, addr: int, value: int, timestamp: int) -> MemoryWriteRecord:
+        prev = self.memory.get(addr)
+        if prev is None:
+            prev = self._load_initial(addr)
+        rec = MemoryRecord(value, self.shard, timestamp)
+        self.memory[addr] = rec
+        self._track_local(addr, prev, rec)
+        return MemoryWriteRecord(value, self.shard, timestamp, prev.value, prev.shard, prev.timestamp)
+
+    def _track_local(self, addr: int, prev: MemoryRecord, new: MemoryRecord):
+        ev = self.record.local_memory_access.get(addr)
+        if ev is None:
+            self.record.local_memory_access[addr] = MemoryLocalEvent(addr, prev, new)
+        else:
+            self.record.local_memory_access[addr] = MemoryLocalEvent(addr, ev.initial, new)
+
+    def _timestamp(self, pos: int) -> int:
+        return self.clk + pos
+
+    # register helpers
+    def register(self, reg: int) -> int:
+        """Peek a register without creating an access record."""
+        rec = self.memory.get(reg)
+        if rec is None:
+            rec = self._load_initial(reg)
+        return rec.value
+
+    def word(self, addr: int) -> int:
+        rec = self.memory.get(addr)
+        if rec is None:
+            if addr in self.uninitialized_memory:
+                return self.uninitialized_memory[addr]
+            return self.program.image.get(addr, 0)
+        return rec.value
+
+    def byte(self, addr: int) -> int:
+        return (self.word(addr & ~3) >> ((addr % 4) * 8)) & 0xFF
+
+    def rr_cpu(self, reg: int, pos: int) -> int:
+        rec = self._mr(reg, self._timestamp(pos))
+        if self.access is not None:
+            if pos == POS_A:
+                self.access.a = rec
+            elif pos == POS_B:
+                self.access.b = rec
+            elif pos == POS_C:
+                self.access.c = rec
+        return rec.value
+
+    def rw_cpu(self, reg: int, value: int, pos: int):
+        if reg == Register.ZERO:
+            value = 0
+        rec = self._mw(reg, value & MASK32, self._timestamp(pos))
+        if self.access is not None:
+            if pos == POS_A:
+                self.access.a = rec
+            elif pos == POS_HI:
+                self.access.hi = rec
+
+    def mr_cpu(self, addr: int) -> int:
+        rec = self._mr(addr, self._timestamp(POS_MEMORY))
+        if self.access is not None:
+            self.access.memory = rec
+            self.access.memory_addr = addr
+        return rec.value
+
+    def mw_cpu(self, addr: int, value: int):
+        rec = self._mw(addr, value & MASK32, self._timestamp(POS_MEMORY))
+        if self.access is not None:
+            self.access.memory = rec
+            self.access.memory_addr = addr
+
+    # ------------------------------------------------------------ running
+
+    def run(self, max_cycles: int | None = None):
+        while not self.exited:
+            if self.pc == 0:
+                break
+            self.execute_cycle()
+            if max_cycles is not None and self.global_clk >= max_cycles:
+                raise ExecutionError(f"exceeded max_cycles {max_cycles}")
+        self._bump_record(final=True)
+        self._postprocess()
+        return self.records
+
+    def execute_cycle(self):
+        instruction = self.program.fetch(self.pc)
+        in_delay_slot = self.next_is_delayslot
+        self.execute_operation(instruction, in_delay_slot)
+        self.global_clk += 1
+        if len(self.record.cpu_events) >= self.shard_size and not self.next_is_delayslot:
+            self._bump_record()
+
+    def _bump_record(self, final: bool = False):
+        pv = self.record.public_values
+        pv.shard = self.shard
+        pv.exit_code = self.exit_code
+        pv.committed_value_digest = list(self.committed_value_digest)
+        if self.record.cpu_events or final:
+            self.records.append(self.record)
+        if not final:
+            self.shard += 1
+            self.clk = 0
+            self.record = ExecutionRecord(shard=self.shard, program=self.program)
+
+    def _postprocess(self):
+        """Build global memory init/finalize events (executor.rs:2506)."""
+        first = self.records[0] if self.records else None
+        last = self.records[-1] if self.records else None
+        if first is None:
+            return
+        for addr in self.touched_order:
+            rec = self.memory[addr]
+            if addr in self.uninitialized_memory:
+                init_val = self.uninitialized_memory[addr]
+            else:
+                init_val = self.program.image.get(addr, 0)
+            first.global_memory_initialize_events.append(
+                MemoryInitFinalEvent(addr, init_val, 0, 0, 1)
+            )
+            last.global_memory_finalize_events.append(
+                MemoryInitFinalEvent(addr, rec.value, rec.shard, rec.timestamp, 1)
+            )
+
+    # ----------------------------------------------------- the cycle body
+
+    def execute_operation(self, instruction: Instruction, in_delay_slot: bool):
+        pc = self.pc
+        clk = self.clk
+        exit_code = 0
+        next_pc = self.next_pc
+        next_next_pc = (self.next_pc + 4) & MASK32
+        a = b = c = 0
+        hi_or_prev_a = None
+        syscall_code = 0
+        self.next_is_delayslot = False
+        op = instruction.opcode
+
+        if self.mode == ExecutorMode.Trace:
+            self.access = MemoryAccessRecord()
+
+        if op in ALU_OPS:
+            hi_or_prev_a, a, b, c = self._execute_alu(instruction)
+        elif op in LOAD_OPS:
+            hi_or_prev_a, a, b, c = self._execute_load(instruction)
+        elif op in STORE_OPS:
+            hi_or_prev_a, a, b, c = self._execute_store(instruction)
+        elif op in BRANCH_OPS:
+            a, b, c, next_next_pc = self._execute_branch(instruction, next_pc, next_next_pc)
+            self.next_is_delayslot = True
+        elif op in JUMP_OPS:
+            if op == Opcode.Jump:
+                a, b, c, next_next_pc = self._execute_jump(instruction)
+            elif op == Opcode.Jumpi:
+                a, b, c, next_next_pc = self._execute_jumpi(instruction)
+            else:
+                a, b, c, next_next_pc = self._execute_jump_direct(instruction)
+            self.next_is_delayslot = True
+        elif op in MOVCOND_OPS:
+            hi_or_prev_a, a, b, c = self._execute_condmov(instruction)
+        elif op in MISC_OPS:
+            hi_or_prev_a, a, b, c = self._execute_misc(instruction)
+        elif op == Opcode.SYSCALL:
+            syscall_id = self.register(Register.V0)
+            c = self.rr_cpu(Register.A1, POS_C)
+            b = self.rr_cpu(Register.A0, POS_B)
+            prev_a = syscall_id
+            try:
+                code = SyscallCode(syscall_id)
+            except ValueError as e:
+                raise ExecutionError(f"unsupported syscall {syscall_id:#x}") from e
+            syscall_code = code.syscall_id
+            res, s_next_pc, extra_cycles, returned_exit_code = syscalls_mod.dispatch(self, code, b, c)
+            a = res if res is not None else syscall_id
+            if code == SyscallCode.HALT:
+                if returned_exit_code != 0:
+                    raise ExecutionError(f"halt with nonzero exit code {returned_exit_code}")
+                self.exited = True
+            self.rw_cpu(Register.V0, a, POS_A)
+            next_pc = s_next_pc
+            next_next_pc = (s_next_pc + 4) & MASK32
+            self.clk += extra_cycles
+            exit_code = returned_exit_code
+            hi_or_prev_a = prev_a
+            if self.mode == ExecutorMode.Trace and code.should_send:
+                self.record.syscall_events.append(
+                    SyscallEvent(self.shard, clk, syscall_code, b, c)
+                )
+        elif op == Opcode.UNIMPL:
+            raise ExecutionError(f"unimplemented instruction {instruction.op_c:#010x} at pc {pc:#x}")
+        else:
+            raise AssertionError(f"unhandled opcode {op}")
+
+        if next_next_pc == 0 and not self.exited:
+            raise ExecutionError(f"null pointer reference at pc {pc:#x}")
+
+        if self.mode == ExecutorMode.Trace:
+            self._emit_events(
+                clk, pc, next_pc, next_next_pc, instruction, a, b, c,
+                hi_or_prev_a, self.access, exit_code, syscall_code, in_delay_slot,
+            )
+
+        self.pc = next_pc
+        self.next_pc = next_next_pc
+        self.clk += 5
+
+    # -- ALU -----------------------------------------------------------------
+
+    def _alu_rr(self, instruction: Instruction):
+        if not instruction.imm_c:
+            c = self.rr_cpu(instruction.op_c, POS_C)
+            b = self.rr_cpu(instruction.op_b, POS_B)
+            return instruction.op_a, b, c
+        if not instruction.imm_b:
+            return instruction.op_a, self.rr_cpu(instruction.op_b, POS_B), instruction.op_c
+        return instruction.op_a, instruction.op_b, instruction.op_c
+
+    def _execute_alu(self, instruction: Instruction):
+        op = instruction.opcode
+        rd, b, c = self._alu_rr(instruction)
+        if op in (Opcode.DIV, Opcode.DIVU, Opcode.MOD, Opcode.MODU) and c == 0:
+            raise ExecutionError("division by zero trap")
+        hi = 0
+        if op == Opcode.ADD:
+            a = (b + c) & MASK32
+        elif op == Opcode.SUB:
+            a = (b - c) & MASK32
+        elif op == Opcode.SLL:
+            a = (b << (c & 0x1F)) & MASK32
+        elif op == Opcode.SRL:
+            a = b >> (c & 0x1F)
+        elif op == Opcode.SRA:
+            a = (_s32(b) >> (c & 0x1F)) & MASK32
+        elif op == Opcode.ROR:
+            s = c & 0x1F
+            a = ((b >> s) | (b << (32 - s))) & MASK32 if s else b
+        elif op == Opcode.MUL:
+            a = (b * c) & MASK32
+        elif op == Opcode.SLTU:
+            a = 1 if b < c else 0
+        elif op == Opcode.SLT:
+            a = 1 if _s32(b) < _s32(c) else 0
+        elif op == Opcode.MULT:
+            out = (_s32(b) * _s32(c)) & 0xFFFFFFFFFFFFFFFF
+            a, hi = out & MASK32, out >> 32
+        elif op == Opcode.MULTU:
+            out = b * c
+            a, hi = out & MASK32, out >> 32
+        elif op == Opcode.DIV:
+            a = _div_s(b, c) & MASK32
+            hi = _rem_s(b, c) & MASK32
+        elif op == Opcode.DIVU:
+            a, hi = b // c, b % c
+        elif op == Opcode.MOD:
+            a = _rem_s(b, c) & MASK32
+        elif op == Opcode.MODU:
+            a = b % c
+        elif op == Opcode.AND:
+            a = b & c
+        elif op == Opcode.OR:
+            a = b | c
+        elif op == Opcode.XOR:
+            a = b ^ c
+        elif op == Opcode.NOR:
+            a = (~(b | c)) & MASK32
+        elif op == Opcode.CLZ:
+            a = _clz(b)
+        elif op == Opcode.CLO:
+            a = _clz(~b & MASK32)
+        else:
+            raise AssertionError(op)
+        # write destination (alu_rw, executor.rs:1430-1449)
+        if op in LO_HI_OPS and op not in (Opcode.MOD, Opcode.MODU):
+            self.rw_cpu(Register.LO, a, POS_A)
+            self.rw_cpu(Register.HI, hi, POS_HI)
+            return hi, a, b, c
+        self.rw_cpu(rd, a, POS_A)
+        return None, a, b, c
+
+    # -- loads/stores ---------------------------------------------------------
+
+    def _execute_load(self, instruction: Instruction):
+        op = instruction.opcode
+        rt_reg, rs_reg, offset = instruction.op_a, instruction.op_b, instruction.op_c
+        rs_raw = self.rr_cpu(rs_reg, POS_B)
+        rt = self.register(rt_reg)
+        addr = (rs_raw + offset) & MASK32
+        aligned = addr & 0xFFFFFFFC
+        mem = self.mr_cpu(aligned)
+        if aligned + 3 > MAX_MEMORY:
+            raise ExecutionError(f"memory out of bounds {addr:#x}")
+        i = addr & 3
+        if op == Opcode.LW or op == Opcode.LL:
+            if addr & 3:
+                raise ExecutionError(f"unaligned LW at {addr:#x}")
+            val = mem
+        elif op == Opcode.LB:
+            val = _sext8((mem >> (i * 8)) & 0xFF)
+        elif op == Opcode.LBU:
+            val = (mem >> (i * 8)) & 0xFF
+        elif op == Opcode.LH:
+            if addr & 1:
+                raise ExecutionError(f"unaligned LH at {addr:#x}")
+            val = _sext16((mem >> ((addr & 2) * 8)) & 0xFFFF)
+        elif op == Opcode.LHU:
+            if addr & 1:
+                raise ExecutionError(f"unaligned LHU at {addr:#x}")
+            val = (mem >> ((addr & 2) * 8)) & 0xFFFF
+        elif op == Opcode.LWL:
+            sh = 24 - i * 8
+            mask = (0xFFFFFFFF << sh) & MASK32
+            val = (rt & ~mask) | ((mem << sh) & MASK32 & mask)
+        elif op == Opcode.LWR:
+            sh = i * 8
+            mask = 0xFFFFFFFF >> sh
+            val = (rt & ~mask & MASK32) | (mem >> sh)
+        else:
+            raise AssertionError(op)
+        self.rw_cpu(rt_reg, val, POS_A)
+        return rt, val, rs_raw, offset
+
+    def _execute_store(self, instruction: Instruction):
+        op = instruction.opcode
+        rt_reg, rs_reg, offset = instruction.op_a, instruction.op_b, instruction.op_c
+        rs = self.rr_cpu(rs_reg, POS_B)
+        if op == Opcode.SC:
+            rt = self.register(rt_reg)
+        else:
+            rt = self.rr_cpu(rt_reg, POS_A)
+        addr = (rs + offset) & MASK32
+        aligned = addr & 0xFFFFFFFC
+        mem = self.word(aligned)
+        i = addr & 3
+        if op == Opcode.SB:
+            mask = MASK32 ^ (0xFF << (i * 8))
+            val = (mem & mask) | ((rt & 0xFF) << (i * 8))
+        elif op == Opcode.SH:
+            if addr & 1:
+                raise ExecutionError(f"unaligned SH at {addr:#x}")
+            sh = (addr & 2) * 8
+            mask = MASK32 ^ (0xFFFF << sh)
+            val = (mem & mask) | ((rt & 0xFFFF) << sh)
+        elif op == Opcode.SWL:
+            sh = 24 - i * 8
+            mask = 0xFFFFFFFF >> sh
+            val = (mem & ~mask & MASK32) | (rt >> sh)
+        elif op == Opcode.SW or op == Opcode.SC:
+            if addr & 3:
+                raise ExecutionError(f"unaligned SW at {addr:#x}")
+            val = rt
+        elif op == Opcode.SWR:
+            sh = i * 8
+            mask = (0xFFFFFFFF << sh) & MASK32
+            val = (mem & ~mask & MASK32) | ((rt << sh) & MASK32 & mask)
+        else:
+            raise AssertionError(op)
+        if aligned + 3 > MAX_MEMORY:
+            raise ExecutionError(f"memory out of bounds {addr:#x}")
+        self.mw_cpu(aligned, val)
+        if op == Opcode.SC:
+            self.rw_cpu(rt_reg, 1, POS_A)
+            return rt, 1, rs, offset
+        return rt, rt, rs, offset
+
+    # -- branches/jumps -------------------------------------------------------
+
+    def _execute_branch(self, instruction: Instruction, next_pc: int, next_next_pc: int):
+        op = instruction.opcode
+        if op in ONE_OPERAND_BRANCH:
+            b = 0
+        else:
+            b = self.rr_cpu(instruction.op_b, POS_B)
+        a = self.rr_cpu(instruction.op_a, POS_A)
+        target = instruction.op_c
+        if op == Opcode.BEQ:
+            jump = a == b
+        elif op == Opcode.BNE:
+            jump = a != b
+        elif op == Opcode.BGEZ:
+            jump = _s32(a) >= 0
+        elif op == Opcode.BLEZ:
+            jump = _s32(a) <= 0
+        elif op == Opcode.BGTZ:
+            jump = _s32(a) > 0
+        else:
+            jump = _s32(a) < 0
+        if jump:
+            next_next_pc = (target + next_pc) & MASK32
+        return a, b, target, next_next_pc
+
+    def _execute_jump(self, instruction: Instruction):
+        target_pc = self.rr_cpu(instruction.op_b, POS_B)
+        return_pc = (self.next_pc + 4) & MASK32
+        self.rw_cpu(instruction.op_a, return_pc, POS_A)
+        return return_pc, target_pc, 0, target_pc
+
+    def _execute_jumpi(self, instruction: Instruction):
+        target_pc = instruction.op_b
+        return_pc = (self.next_pc + 4) & MASK32
+        self.rw_cpu(instruction.op_a, return_pc, POS_A)
+        return return_pc, target_pc, 0, target_pc
+
+    def _execute_jump_direct(self, instruction: Instruction):
+        offset = instruction.op_b
+        target_pc = (offset + self.next_pc) & MASK32
+        return_pc = (self.next_pc + 4) & MASK32
+        self.rw_cpu(instruction.op_a, return_pc, POS_A)
+        return return_pc, offset, 0, target_pc
+
+    # -- misc -----------------------------------------------------------------
+
+    def _execute_condmov(self, instruction: Instruction):
+        rd = instruction.op_a
+        a = self.register(rd)
+        prev_a = a
+        c = self.rr_cpu(instruction.op_c, POS_C)
+        b = self.rr_cpu(instruction.op_b, POS_B)
+        mov = (c == 0) if instruction.opcode == Opcode.MEQ else (c != 0)
+        if mov:
+            a = b
+        self.rw_cpu(rd, a, POS_A)
+        return prev_a, a, b, c
+
+    def _execute_misc(self, instruction: Instruction):
+        op = instruction.opcode
+        if op == Opcode.WSBH:
+            b = self.rr_cpu(instruction.op_b, POS_B)
+            a = (((b >> 16) & 0xFF) << 24) | (((b >> 24) & 0xFF) << 16) | ((b & 0xFF) << 8) | ((b >> 8) & 0xFF)
+            self.rw_cpu(instruction.op_a, a, POS_A)
+            return None, a, b, 0
+        if op == Opcode.SEXT:
+            b = self.rr_cpu(instruction.op_b, POS_B)
+            c = instruction.op_c
+            a = _sext16(b & 0xFFFF) if c > 0 else _sext8(b & 0xFF)
+            self.rw_cpu(instruction.op_a, a, POS_A)
+            return None, a, b, c
+        if op == Opcode.EXT:
+            b = self.rr_cpu(instruction.op_b, POS_B)
+            c = instruction.op_c
+            msbd, lsb = c >> 5, c & 0x1F
+            mask = MASK32 if msbd + lsb + 1 == 32 else (1 << (msbd + lsb + 1)) - 1
+            a = (b & mask) >> lsb
+            self.rw_cpu(instruction.op_a, a, POS_A)
+            return None, a, b, c
+        if op == Opcode.INS:
+            rd = instruction.op_a
+            b = self.rr_cpu(instruction.op_b, POS_B)
+            prev_a = self.register(rd)
+            c = instruction.op_c
+            msb, lsb = c >> 5, c & 0x1F
+            mask = MASK32 if msb - lsb + 1 == 32 else (1 << (msb - lsb + 1)) - 1
+            mask_field = (mask << lsb) & MASK32
+            a = (prev_a & ~mask_field & MASK32) | ((b << lsb) & mask_field)
+            self.rw_cpu(rd, a, POS_A)
+            return prev_a, a, b, c
+        if op == Opcode.TEQ:
+            src2 = self.rr_cpu(instruction.op_b, POS_B)
+            src1 = self.rr_cpu(instruction.op_a, POS_A)
+            if src1 == src2:
+                raise ExecutionError("TEQ trap")
+            return None, src1, src2, 0
+        if op in (Opcode.MADDU, Opcode.MSUBU, Opcode.MADD, Opcode.MSUB):
+            c = self.rr_cpu(instruction.op_c, POS_C)
+            b = self.rr_cpu(instruction.op_b, POS_B)
+            lo_val = self.register(Register.LO)
+            hi_val = self.register(Register.HI)
+            addend = (hi_val << 32) | lo_val
+            if op == Opcode.MADDU:
+                out = (b * c + addend) & 0xFFFFFFFFFFFFFFFF
+            elif op == Opcode.MSUBU:
+                out = (addend - b * c) & 0xFFFFFFFFFFFFFFFF
+            elif op == Opcode.MADD:
+                out = (_s32(b) * _s32(c) + addend) & 0xFFFFFFFFFFFFFFFF
+            else:
+                out = (addend - _s32(b) * _s32(c)) & 0xFFFFFFFFFFFFFFFF
+            out_lo, out_hi = out & MASK32, out >> 32
+            self.rw_cpu(Register.LO, out_lo, POS_A)
+            self.rw_cpu(Register.HI, out_hi, POS_HI)
+            return lo_val, out_lo, b, c
+        raise AssertionError(op)
+
+    # -- event emission -------------------------------------------------------
+
+    def _emit_events(self, clk, pc, next_pc, next_next_pc, instruction, a, b, c,
+                     hi_or_prev_a, access, exit_code, syscall_code, in_delay_slot):
+        ev = CpuEvent(
+            clk, pc, next_pc, next_next_pc, instruction, a, b, c,
+            hi_or_prev_a, access, exit_code, syscall_code, in_delay_slot,
+        )
+        self.record.cpu_events.append(ev)
+        op = instruction.opcode
+        if op in ALU_OPS:
+            hi = hi_or_prev_a if hi_or_prev_a is not None else 0
+            self.record.alu_events.append(AluEvent(op, a, b, c, hi))
+        elif op in LOAD_OPS or op in STORE_OPS:
+            self.record.memory_instr_events.append(ev)
+        elif op in BRANCH_OPS:
+            self.record.branch_events.append(ev)
+        elif op in JUMP_OPS:
+            self.record.jump_events.append(ev)
+        elif op in MISC_OPS or op in MOVCOND_OPS:
+            self.record.misc_events.append(ev)
+
+
+def _s32(x: int) -> int:
+    return x - 0x100000000 if x & 0x80000000 else x
+
+
+def _sext8(x: int) -> int:
+    return (x | 0xFFFFFF00) & MASK32 if x & 0x80 else x
+
+
+def _sext16(x: int) -> int:
+    return (x | 0xFFFF0000) & MASK32 if x & 0x8000 else x
+
+
+def _clz(x: int) -> int:
+    if x == 0:
+        return 32
+    return 32 - x.bit_length()
+
+
+def _div_s(b: int, c: int) -> int:
+    """C-style truncated signed division."""
+    sb, sc = _s32(b), _s32(c)
+    q = abs(sb) // abs(sc)
+    return q if (sb < 0) == (sc < 0) else -q
+
+
+def _rem_s(b: int, c: int) -> int:
+    sb, sc = _s32(b), _s32(c)
+    r = abs(sb) % abs(sc)
+    return r if sb >= 0 else -r

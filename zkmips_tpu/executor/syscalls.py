@@ -1,0 +1,108 @@
+"""Syscall dispatch (host side).
+
+Mirrors the reference's syscall layer (crates/core/executor/src/syscalls/):
+HALT steers next_pc to 0 and carries the exit code (halt.rs); WRITE routes
+file descriptors to stdout/stderr/public-values/hint streams and parses
+cycle-tracker commands (write.rs); COMMIT records the committed-value digest
+words (commit.rs); SYSHINTLEN/SYSHINTREAD stream host inputs into
+uninitialized memory (hint.rs).  Precompile syscalls are registered in
+``PRECOMPILES`` as they are implemented.
+
+Returns (result_or_None, next_pc, extra_cycles, exit_code).
+"""
+
+from __future__ import annotations
+
+from .opcodes import Register, SyscallCode
+
+FD_STDOUT = 1
+FD_STDERR = 2
+FD_PUBLIC_VALUES = 3
+FD_HINT = 4
+
+# syscall code -> callable(executor, code, b, c) -> Optional[int]
+PRECOMPILES: dict = {}
+
+
+def dispatch(ex, code: SyscallCode, b: int, c: int):
+    next_pc = ex.next_pc
+    exit_code = 0
+    extra = code.num_extra_cycles
+    if code == SyscallCode.HALT:
+        return None, 0, extra, b
+    if code == SyscallCode.WRITE:
+        _write(ex, b, c)
+        return None, next_pc, extra, exit_code
+    if code == SyscallCode.SYSHINTLEN:
+        if ex.input_stream_ptr >= len(ex.input_stream):
+            raise _err("hint length requested but input stream is empty")
+        return len(ex.input_stream[ex.input_stream_ptr]), next_pc, extra, exit_code
+    if code == SyscallCode.SYSHINTREAD:
+        _hint_read(ex, b, c)
+        return None, next_pc, extra, exit_code
+    if code == SyscallCode.COMMIT:
+        if b >= 8:
+            raise _err(f"commit word index {b} out of range")
+        ex.committed_value_digest[b] = c
+        return None, next_pc, extra, exit_code
+    impl = PRECOMPILES.get(code)
+    if impl is not None:
+        res = impl(ex, code, b, c)
+        return res, next_pc, extra, exit_code
+    raise _err(f"unsupported syscall {code!r}")
+
+
+def _err(msg):
+    from .executor import ExecutionError
+
+    return ExecutionError(msg)
+
+
+def _write(ex, fd: int, buf: int):
+    nbytes = ex.register(Register.A2)
+    data = bytes(ex.byte(buf + i) for i in range(nbytes))
+    if fd == FD_STDOUT:
+        try:
+            s = data.decode()
+            if not _handle_cycle_tracker(ex, s):
+                ex.stdout.extend(data)
+        except UnicodeDecodeError:
+            ex.stdout.extend(data)
+    elif fd == FD_STDERR:
+        ex.stdout.extend(data)
+    elif fd == FD_PUBLIC_VALUES:
+        ex.public_values_stream.extend(data)
+    elif fd == FD_HINT:
+        ex.input_stream.append(data)
+    # unknown fds are ignored (hooks registry comes with precompile work)
+
+
+def _handle_cycle_tracker(ex, s: str) -> bool:
+    if ":" not in s:
+        return False
+    command, name = s.split(":", 1)
+    name = name.strip()
+    if command == "cycle-tracker-start" or command == "cycle-tracker-report-start":
+        ex.cycle_tracker[f"_start_{name}"] = ex.global_clk
+        return True
+    if command == "cycle-tracker-end" or command == "cycle-tracker-report-end":
+        start = ex.cycle_tracker.pop(f"_start_{name}", None)
+        if start is not None:
+            ex.cycle_tracker[name] = ex.cycle_tracker.get(name, 0) + ex.global_clk - start
+        return True
+    return False
+
+
+def _hint_read(ex, ptr: int, length: int):
+    if ex.input_stream_ptr >= len(ex.input_stream):
+        raise _err("hint read requested but input stream is empty")
+    data = ex.input_stream[ex.input_stream_ptr]
+    ex.input_stream_ptr += 1
+    if len(data) != length or ptr % 4 != 0:
+        raise _err(f"invalid hint read args ptr={ptr:#x} len={length} data_len={len(data)}")
+    for i in range(0, length, 4):
+        word = int.from_bytes(data[i : i + 4].ljust(4, b"\x00"), "little")
+        addr = ptr + i
+        if addr in ex.uninitialized_memory:
+            raise _err("hint read address already initialized")
+        ex.uninitialized_memory[addr] = word
