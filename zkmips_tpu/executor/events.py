@@ -129,7 +129,9 @@ class ExecutionRecord:
     local_memory_access: dict = field(default_factory=dict)  # addr -> MemoryLocalEvent
     global_memory_initialize_events: list = field(default_factory=list)
     global_memory_finalize_events: list = field(default_factory=list)
-    byte_lookups: dict = field(default_factory=dict)  # (opcode,a,b,c) -> mult
+    byte_lookups: dict = field(default_factory=dict)  # "arrays" -> [(op, a, b, c) arrays]
+    global_lookup_events: list = field(default_factory=list)
+    nested_alu_events: list = field(default_factory=list)
     public_values: PublicValues = field(default_factory=PublicValues)
 
     def add_alu_event(self, e: AluEvent):

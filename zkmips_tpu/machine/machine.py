@@ -1,0 +1,188 @@
+"""MIPS core machine assembly: chip set, shard orchestration, verification.
+
+The analog of MipsAir::machine() + prove/verify plumbing (reference:
+crates/core/machine/src/mips/mod.rs:77-206, utils/prove.rs:128,
+crates/prover/src/verify.rs:56): execute -> records -> per-shard proofs,
+then shard-chain public-value checks and the cross-shard septic digest sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..executor import Executor
+from ..executor.events import ExecutionRecord
+from ..ops import field as ff, septic
+from ..stark import air
+from ..stark.chip import Chip
+from ..stark.machine import StarkConfig, StarkMachine, VerificationError
+from .alu import AddSubAir, BitwiseAir, LtAir
+from .byte import ByteAir
+from .cpu import CpuAir
+from .global_chip import START, GlobalAir
+from .memory_bridge import MemoryGlobalFinalizeAir, MemoryGlobalInitAir, MemoryLocalAir
+from .program import ProgramAir
+from .pv import NUM_PV, PV_EXIT_CODE, PV_NEXT_PC, PV_SHARD, PV_START_PC, PV_DIGEST
+from .syscall_instr import SyscallInstrAir
+
+
+def core_chip_airs() -> list:
+    """Chip list; byte-lookup producers must precede the Byte chip."""
+    from .branch import BranchAir
+    from .jump import JumpAir
+    from .shift import ShiftLeftAir, ShiftRightAir
+    from .mul import MulAir
+    from .divrem import DivRemAir
+    from .cloclz import CloClzAir
+    from .memory_instr import MemoryInstrAir
+    from .misc import MiscInstrAir, MovCondAir
+
+    return [
+        CpuAir(),
+        AddSubAir(),
+        BitwiseAir(),
+        LtAir(),
+        ShiftLeftAir(),
+        ShiftRightAir(),
+        MulAir(),
+        DivRemAir(),
+        CloClzAir(),
+        BranchAir(),
+        JumpAir(),
+        MemoryInstrAir(),
+        MiscInstrAir(),
+        MovCondAir(),
+        SyscallInstrAir(),
+        MemoryLocalAir(),
+        MemoryGlobalInitAir(),
+        MemoryGlobalFinalizeAir(),
+        GlobalAir(),
+        ProgramAir(),
+        ByteAir(),
+    ]
+
+
+class MipsMachine:
+    def __init__(self, config: StarkConfig | None = None, chip_airs=None):
+        airs = chip_airs if chip_airs is not None else core_chip_airs()
+        self.airs = airs
+        chips = [Chip(a, num_public_values=NUM_PV) for a in airs]
+        self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=NUM_PV)
+
+    def setup(self, program):
+        return self.machine.setup(program)
+
+    # ------------------------------------------------------------------ prove
+
+    def generate_dependencies(self, record: ExecutionRecord):
+        for a in self.airs:
+            a.generate_dependencies(record, None)
+
+    def shard_public_values(self, record: ExecutionRecord, executor: Executor | None = None) -> np.ndarray:
+        pv = np.zeros(NUM_PV, dtype=np.uint32)
+        events = record.cpu_events
+        pv[PV_SHARD] = record.shard
+        pv[PV_START_PC] = events[0].pc if events else 0
+        pv[PV_NEXT_PC] = events[-1].next_pc if events else 0
+        pv[PV_EXIT_CODE] = record.public_values.exit_code
+        for i, word in enumerate(record.public_values.committed_value_digest[:8]):
+            pv[PV_DIGEST + 2 * i] = word & 0xFFFF
+            pv[PV_DIGEST + 2 * i + 1] = (word >> 16) & 0xFFFF
+        return pv
+
+    def prove_record(self, pk, record: ExecutionRecord):
+        self.generate_dependencies(record)
+        pv = self.shard_public_values(record)
+        return self.machine.prove_shard(pk, record, pv)
+
+    def prove(self, pk, records: list) -> list:
+        return [self.prove_record(pk, r) for r in records]
+
+    # ----------------------------------------------------------------- verify
+
+    def verify(self, vk, proofs: list, program) -> bool:
+        """Shard proofs + cross-shard chain + global septic digest sum."""
+        if not proofs:
+            raise VerificationError("no shard proofs")
+        for proof in proofs:
+            self.machine.verify_shard(vk, proof)
+
+        # shard chaining (reference verify.rs:62-290 subset)
+        prev_next_pc = None
+        for i, proof in enumerate(proofs):
+            pv = proof.public_values
+            if int(pv[PV_SHARD]) != i + 1:
+                raise VerificationError(f"shard index mismatch at proof {i}")
+            if i == 0 and int(pv[PV_START_PC]) != program.pc_start:
+                raise VerificationError("first shard does not start at pc_start")
+            if prev_next_pc is not None and int(pv[PV_START_PC]) != prev_next_pc:
+                raise VerificationError(f"pc chain broken at shard {i + 1}")
+            prev_next_pc = int(pv[PV_NEXT_PC])
+        if prev_next_pc != 0:
+            raise VerificationError("final shard does not halt (next_pc != 0)")
+
+        # global septic digest sum: sum over shards of (digest - START) == identity
+        total = None  # None = point at infinity
+        for proof in proofs:
+            digest = self._proof_global_digest(proof)
+            total = _complete_add(total, digest)
+            total = _complete_add(total, _neg_point(_start_point()))
+        if total is not None:
+            raise VerificationError("global memory digest does not sum to zero")
+        return True
+
+    def _proof_global_digest(self, proof):
+        for name, ov in zip(proof.chip_names, proof.opened):
+            if name == "Global":
+                gs = [int(v) for v in ov.global_sum]
+                return (gs[:7], gs[7:])
+        raise VerificationError("proof missing Global chip")
+
+
+def _start_point():
+    return ([int(c) for c in START[0]], [int(c) for c in START[1]])
+
+
+def _neg_point(p):
+    x, y = p
+    return (list(x), [(ff.P - c) % ff.P for c in y])
+
+
+def _complete_add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if y1 == y2:
+            raise VerificationError("unexpected septic point doubling in digest sum")
+        return None
+    return septic.curve_add_int(p1, p2)
+
+
+def mips_machine(config: StarkConfig | None = None, minimal: bool = False) -> MipsMachine:
+    if minimal:
+        airs = [
+            CpuAir(), AddSubAir(), BitwiseAir(), LtAir(), SyscallInstrAir(),
+            MemoryLocalAir(), MemoryGlobalInitAir(), MemoryGlobalFinalizeAir(),
+            GlobalAir(), ProgramAir(), ByteAir(),
+        ]
+        return MipsMachine(config, chip_airs=airs)
+    return MipsMachine(config)
+
+
+def prove_program(program, stdin=(), config: StarkConfig | None = None, machine: MipsMachine | None = None, shard_size: int = 1 << 20):
+    m = machine or MipsMachine(config)
+    ex = Executor(program, shard_size=shard_size)
+    for d in stdin:
+        ex.write_stdin(d)
+    records = ex.run()
+    pk = m.setup(program)
+    proofs = m.prove(pk, records)
+    return m, pk, proofs, ex
+
+
+def verify_program(m: MipsMachine, vk, proofs, program) -> bool:
+    return m.verify(vk, proofs, program)

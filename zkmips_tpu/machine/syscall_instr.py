@@ -1,0 +1,84 @@
+"""SyscallInstrs chip: verifies SYSCALL-opcode rows (halt, write, commit,
+hint streams).  Precompile syscalls additionally send Syscall-kind lookups
+to their precompile chips (added with the precompile work).
+
+Analog of crates/core/machine/src/syscall/instructions/.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..executor.opcodes import Opcode, SyscallCode
+from ..stark.air import AirBuilder
+from .gadgets import ColView
+from .instr_chip import InstrAir
+from .pv import PV_DIGEST
+
+# round-1 syscalls, keyed by low-16-bit id (all have num_extra = 0)
+SYS_FLAGS = [
+    ("is_halt_sc", SyscallCode.HALT),
+    ("is_write_sc", SyscallCode.WRITE),
+    ("is_commit_sc", SyscallCode.COMMIT),
+    ("is_hintlen_sc", SyscallCode.SYSHINTLEN),
+    ("is_hintread_sc", SyscallCode.SYSHINTREAD),
+]
+
+
+class SyscallInstrAir(InstrAir):
+    name = "SyscallInstrs"
+    OPCODES = [Opcode.SYSCALL]
+    EXTRA_COLS = [n for n, _ in SYS_FLAGS] + [f"digest_idx{i}" for i in range(8)]
+
+    def control_flags(self, col, is_real, flag):
+        is_halt = col("is_halt_sc")
+        return is_halt, is_real - is_halt
+
+    def eval_op(self, b: AirBuilder, col: ColView, sels):
+        is_real = col("is_real")
+        pa = col.word("pa")  # previous $v0 = syscall id
+        flags = [col(n) for n, _ in SYS_FLAGS]
+        total = flags[0]
+        for f_ in flags[1:]:
+            total = total + f_
+        b.when(is_real).assert_eq(total, 1)
+        for f_, (_n, code) in zip(flags, SYS_FLAGS):
+            b.assert_bool(f_)
+            b.when(f_).assert_eq(pa.lo, code.syscall_id)
+            b.when(f_).assert_zero(pa.hi)
+        # result register: keep the syscall id, except hint-len (host data)
+        a = col.word("a")
+        keep = is_real - col("is_hintlen_sc")
+        b.when(keep).assert_eq(a.lo, pa.lo)
+        b.when(keep).assert_eq(a.hi, pa.hi)
+        # halt: exit code (checked against pv by the CPU) must be a clean u32
+        bw = col.word("b")
+        b.when(col("is_halt_sc")).assert_zero(bw.hi)
+        # commit: bind the public-values digest word at index b
+        idx_flags = [col(f"digest_idx{i}") for i in range(8)]
+        isum = 0
+        wsum = 0
+        for i, f_ in enumerate(idx_flags):
+            b.assert_bool(f_)
+            isum = isum + f_
+            wsum = wsum + f_ * i
+        is_commit = col("is_commit_sc")
+        b.when(is_real).assert_eq(isum, is_commit)
+        b.when(is_commit).assert_eq(wsum, bw.lo)
+        b.when(is_commit).assert_zero(bw.hi)
+        cw = col.word("c")
+        for i, f_ in enumerate(idx_flags):
+            b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i), cw.lo)
+            b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i + 1), cw.hi)
+
+    def fill_op(self, t, i, e, op, sink):
+        s = self.schema
+        sid = int(e.hi_or_prev_a)
+        for n, code in SYS_FLAGS:
+            if sid == int(code):
+                t[i, s.idx(n)] = 1
+                if code == SyscallCode.COMMIT:
+                    t[i, s.idx(f"digest_idx{int(e.b)}")] = 1
+                break
+        else:
+            raise AssertionError(f"unsupported syscall id {sid:#x} in trace")

@@ -198,3 +198,140 @@ def curve_sum_host(xs: np.ndarray, ys: np.ndarray, start_x=None, start_y=None):
     for i in range(xs.shape[0]):
         ax, ay = curve_add(ax, ay, xs[i], ys[i])
     return ax, ay
+
+
+# ---------------------------------------------------------------------------
+# Host-side (python int) sqrt and x-coordinate lifting, for the Global chip
+# trace generator (reference: septic_extension.rs:600-694, septic_curve.rs:130)
+# ---------------------------------------------------------------------------
+
+_FROB_INT = {}
+
+
+def _frob_int_matrix(k: int):
+    if k not in _FROB_INT:
+        zp = _pow_int([0, 1, 0, 0, 0, 0, 0], pow(f.P, k))
+        rows = [[1, 0, 0, 0, 0, 0, 0]]
+        for _ in range(6):
+            rows.append(_poly_mulmod_int(rows[-1], zp))
+        _FROB_INT[k] = rows
+    return _FROB_INT[k]
+
+
+def _frob_apply_int(a, k: int):
+    m = _frob_int_matrix(k)
+    out = [0] * 7
+    for i in range(7):
+        ai = a[i]
+        if ai:
+            row = m[i]
+            for j in range(7):
+                out[j] = (out[j] + ai * row[j]) % f.P
+    return out
+
+
+def sqrt_int(n):
+    """Square root in F_{p^7} (reference septic_extension.rs:626-675) or None."""
+    if all(c == 0 for c in n):
+        return list(n)
+    if n[0] == 1 and all(c == 0 for c in n[1:]):
+        return list(n)
+    # norm = n^{(p^7-1)/(p-1)} lies in F_p
+    base_ = _poly_mulmod_int(_frob_apply_int(n, 1), _frob_apply_int(n, 2))
+    base_p2 = _frob_apply_int(base_, 2)
+    base_p4 = _frob_apply_int(base_p2, 2)
+    pow_r_1 = _poly_mulmod_int(_poly_mulmod_int(base_, base_p2), base_p4)
+    pow_r = _poly_mulmod_int(pow_r_1, n)
+    numerator = pow_r[0]
+    if pow(numerator, (f.P - 1) // 2, f.P) != 1:
+        return None
+    # n_power = n^{(p+1)/2}
+    n_power = _pow_int(n, (f.P + 1) // 2)
+    nf = _frob_apply_int(n_power, 1)
+    denominator = nf
+    nf = _frob_apply_int(nf, 2)
+    denominator = _poly_mulmod_int(denominator, nf)
+    nf = _frob_apply_int(nf, 2)
+    denominator = _poly_mulmod_int(denominator, nf)
+    denominator = _poly_mulmod_int(denominator, n)
+    # Cipolla square root of 1/numerator in F_p
+    base_fp = pow(numerator, f.P - 2, f.P)
+    g = f.GENERATOR
+    a = 1
+    nonres = (1 - base_fp) % f.P
+    while pow(nonres, (f.P - 1) // 2, f.P) == 1:
+        a = a * g % f.P
+        nonres = (a * a - base_fp) % f.P
+    # x = (a + i)^{(p+1)/2} in F_p[i]/(i^2 - nonres)
+    e = (f.P + 1) // 2
+    xr, xi = a, 1
+    rr, ri = 1, 0
+    while e:
+        if e & 1:
+            rr, ri = (rr * xr + ri * xi % f.P * nonres) % f.P, (rr * xi + ri * xr) % f.P
+        xr, xi = (xr * xr + xi * xi % f.P * nonres) % f.P, (2 * xr * xi) % f.P
+        e >>= 1
+    return [c * rr % f.P for c in denominator]
+
+
+def lift_x_int(m):
+    """Lift 7 canonical ints to a curve point (reference septic_curve.rs:130).
+
+    Returns (x, y, offset) with y in the 'receive' range (y[6] <= (p-1)/2).
+    """
+    half = (f.P - 1) // 2
+    for offset in range(256):
+        x = [m[0], m[1], m[2], m[3], m[4], m[5], (m[6] * 256 + offset) % f.P]
+        y_sq = _curve_formula_int(x)
+        y = sqrt_int(y_sq)
+        if y is None:
+            continue
+        y6 = y[6]
+        if y6 == 0:
+            continue
+        if y6 > half:  # is_send range: take the conjugate
+            y = [(f.P - c) % f.P for c in y]
+        return x, y, offset
+    raise ValueError("no curve point found in 256 offsets")
+
+
+def _curve_formula_int(x):
+    x2 = _poly_mulmod_int(x, x)
+    x3 = _poly_mulmod_int(x2, x)
+    out = list(x3)
+    # + 3z*x
+    zx = [0] + [3 * c % f.P for c in x[:6]]
+    extra = _poly_mulmod_int([0, 3, 0, 0, 0, 0, 0], x)
+    for j in range(7):
+        out[j] = (out[j] + extra[j]) % f.P
+    out[0] = (out[0] - 3) % f.P
+    return out
+
+
+def curve_add_int(p1, p2):
+    """Incomplete addition on int 7-tuples ((x, y) pairs)."""
+    x1, y1 = p1
+    x2, y2 = p2
+    dx = [(a - b) % f.P for a, b in zip(x2, x1)]
+    dy = [(a - b) % f.P for a, b in zip(y2, y1)]
+    slope = _poly_mulmod_int(dy, _inv_int7(dx))
+    s2 = _poly_mulmod_int(slope, slope)
+    x3 = [(s2[j] - x1[j] - x2[j]) % f.P for j in range(7)]
+    y3 = _poly_mulmod_int(slope, [(x1[j] - x3[j]) % f.P for j in range(7)])
+    y3 = [(y3[j] - y1[j]) % f.P for j in range(7)]
+    return x3, y3
+
+
+def _inv_int7(a):
+    b = _frob_apply_int(a, 1)
+    for k in range(2, 7):
+        b = _poly_mulmod_int(b, _frob_apply_int(a, k))
+    norm = _poly_mulmod_int(a, b)[0]
+    ninv = pow(norm, f.P - 2, f.P)
+    return [c * ninv % f.P for c in b]
+
+
+ZERO_DIGEST_INT = (
+    [637514027, 1595065213, 1998064738, 72333738, 1211544370, 822986770, 1518535784],
+    [1604177449, 90440090, 259343427, 140470264, 1162099742, 941559812, 1064053343],
+)

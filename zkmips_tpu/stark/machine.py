@@ -132,6 +132,12 @@ class StarkMachine:
         for chip in chips:
             t = chip.air.generate_trace(record, None).astype(np.uint32)
             fixed = pk.prep_traces.get(chip.name)
+            pad_hook = getattr(chip.air, "pad_rows", None)
+            if pad_hook is not None:
+                target = max(16, 1 << max(t.shape[0] - 1, 1).bit_length())
+                if t.shape[0] and t.shape[0] & (t.shape[0] - 1) == 0 and t.shape[0] >= 16:
+                    target = t.shape[0]
+                t = pad_hook(t, target)
             t = pad_to_power_of_two(t, fixed_rows=None if fixed is None else fixed.shape[0])
             traces[chip.name] = f.to_monty(t)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])

@@ -109,7 +109,9 @@ def generate_permutation_trace(
 
 
 def _b(arr):
-    """base (H,) -> broadcastable against ext (H, 4)."""
+    """base (H,) or scalar -> broadcastable against ext (H, 4)."""
+    if getattr(arr, "ndim", 0) == 0:
+        return arr  # scalar broadcasts as-is
     return arr[:, None]
 
 
