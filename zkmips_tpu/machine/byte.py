@@ -15,7 +15,7 @@ from .lookups import ByteOpcode, byte_msg
 
 NUM_ROWS = 1 << 16
 
-_PRE = ["b8", "c8", "and", "or", "xor", "nor", "msb", "ltu", "u16"]
+_PRE = ["b8", "c8", "and", "or", "xor", "nor", "msb", "ltu", "u16", "pow2"]
 _OPS = [
     (ByteOpcode.AND, lambda n: ("and", "b8", "c8")),
     (ByteOpcode.OR, lambda n: ("or", "b8", "c8")),
@@ -25,6 +25,7 @@ _OPS = [
     (ByteOpcode.U8Pair, lambda n: (None, "b8", "c8")),
     (ByteOpcode.MSB, lambda n: ("msb", "b8", None)),
     (ByteOpcode.LTU, lambda n: ("ltu", "b8", "c8")),
+    (ByteOpcode.POW2, lambda n: ("pow2", "b8", None)),
 ]
 
 
@@ -60,6 +61,7 @@ class ByteAir(BaseAir):
             "msb": b8 >> 7,
             "ltu": (b8 < c8).astype(np.uint32),
             "u16": i,
+            "pow2": np.uint32(1) << (b8 & 7),
         }
         for k, v in vals.items():
             t[:, _PRE.index(k)] = v
@@ -72,7 +74,7 @@ class ByteAir(BaseAir):
         for op, a, bb, c in entries:
             if op == int(ByteOpcode.U16Range):
                 rows = a
-            elif op == int(ByteOpcode.MSB):
+            elif op in (int(ByteOpcode.MSB), int(ByteOpcode.POW2)):
                 rows = bb << 8
             else:
                 rows = (bb << 8) | c

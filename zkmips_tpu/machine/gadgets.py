@@ -157,6 +157,9 @@ class ByteSink:
     def ltu(self, lt, b, c):
         self._add(ByteOpcode.LTU, lt, b, c)
 
+    def pow2(self, m, s):
+        self._add(ByteOpcode.POW2, m, s, np.zeros_like(s))
+
 
 def pad_height(n: int, min_rows: int = 16) -> int:
     if n == 0:

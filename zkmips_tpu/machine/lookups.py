@@ -38,6 +38,7 @@ class ByteOpcode(IntEnum):
     MSB = 5
     LTU = 6
     NOR = 7
+    POW2 = 8
 
 
 INSTR_MSG_LEN = 22
