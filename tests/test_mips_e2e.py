@@ -85,3 +85,62 @@ def test_tampered_global_digest_rejected():
             ov.global_sum[0] ^= 1
     with pytest.raises(VerificationError):
         m.verify(pk.vk, proofs, p)
+
+
+ALL_OPS_BODY = None
+
+
+def _all_ops_body():
+    from zkmips_tpu.executor import Instruction
+
+    def I(*a, **k):
+        return Instruction(*a, **k)
+
+    return [
+        *asm.li(R.T0, 0x12345678), *asm.li(R.T1, 0xFFFF0000), *asm.li(R.S0, 0x2000),
+        asm.alu(O.ADD, R.T2, R.T0, R.T1), asm.alu(O.SUB, R.T3, R.T0, R.T1),
+        asm.alu(O.AND, R.T4, R.T0, R.T1), asm.alu(O.OR, R.T5, R.T0, R.T1),
+        asm.alu(O.XOR, R.T6, R.T0, R.T1), asm.alu(O.NOR, R.T7, R.T0, R.T1),
+        asm.alu(O.SLT, R.T2, R.T0, R.T1), asm.alu(O.SLTU, R.T2, R.T1, R.T0),
+        asm.alu(O.SLL, R.T3, R.T0, 7, imm_c=True), asm.alu(O.SRL, R.T3, R.T0, 9, imm_c=True),
+        asm.alu(O.SRA, R.T3, R.T1, 5, imm_c=True), asm.alu(O.ROR, R.T3, R.T0, 13, imm_c=True),
+        asm.alu(O.MUL, R.T5, R.T0, R.T1),
+        asm.alu(O.MULT, 32, R.T0, R.T1), asm.alu(O.MULTU, 32, R.T0, R.T1),
+        *asm.li(R.T4, 0xFFFFFFF9), *asm.li(R.T5, 7),
+        asm.alu(O.DIV, 32, R.T4, R.T5), asm.alu(O.DIVU, 32, R.T0, R.T5),
+        asm.alu(O.MOD, R.T6, R.T4, R.T5), asm.alu(O.MODU, R.T6, R.T0, R.T5),
+        asm.alu(O.CLZ, R.T7, R.T0, 0, imm_c=True), asm.alu(O.CLO, R.T7, R.T1, 0, imm_c=True),
+        asm.sw(R.T0, R.S0, 0), asm.lw(R.T2, R.S0, 0),
+        asm.mem_op(O.LB, R.T3, R.S0, 1), asm.mem_op(O.LBU, R.T3, R.S0, 3),
+        asm.mem_op(O.LH, R.T3, R.S0, 0), asm.mem_op(O.LHU, R.T3, R.S0, 2),
+        asm.mem_op(O.SB, R.T1, R.S0, 2), asm.mem_op(O.SH, R.T1, R.S0, 4),
+        asm.mem_op(O.LWL, R.T3, R.S0, 1), asm.mem_op(O.LWR, R.T3, R.S0, 2),
+        asm.mem_op(O.SWL, R.T0, R.S0, 5), asm.mem_op(O.SWR, R.T0, R.S0, 6),
+        asm.mem_op(O.LL, R.T3, R.S0, 0), asm.mem_op(O.SC, R.T3, R.S0, 0),
+        I(O.WSBH, R.T3, R.T0, 0, False, True),
+        I(O.SEXT, R.T3, R.T0, 0, False, True), I(O.SEXT, R.T3, R.T0, 1, False, True),
+        I(O.EXT, R.T3, R.T0, (7 << 5) | 4, False, True),
+        *asm.li(R.T4, 0xCD), I(O.INS, R.T3, R.T4, (15 << 5) | 8, False, True),
+        I(O.TEQ, R.T0, R.T1, 0, False, True),
+        I(O.MADDU, 32, R.T0, R.T5, False, False), I(O.MADD, 32, R.T0, R.T5, False, False),
+        I(O.MSUBU, 32, R.T0, R.T5, False, False), I(O.MSUB, 32, R.T0, R.T5, False, False),
+        *asm.li(R.T4, 0), I(O.MEQ, R.T3, R.T0, R.T4, False, False),
+        I(O.MNE, R.T3, R.T0, R.T5, False, False),
+        asm.branch(O.BEQ, R.T0, R.T0, 8), asm.nop(), asm.nop(),
+        asm.branch(O.BLTZ, R.T1, 0, 8), asm.nop(), asm.nop(),
+        I(O.JumpDirect, R.RA, 8, 0, True, True), asm.nop(), asm.nop(),
+    ]
+
+
+def test_full_machine_all_opcodes_debug_oracles():
+    p, records, ex = _run(_all_ops_body())
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+
+
+def test_full_machine_all_opcodes_prove_verify():
+    p, records, ex = _run(_all_ops_body())
+    m = mips_machine(StarkConfig.test())
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    assert m.verify(pk.vk, proofs, p)

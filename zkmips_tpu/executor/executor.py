@@ -410,6 +410,8 @@ class Executor:
         rt = self.register(rt_reg)
         addr = (rs_raw + offset) & MASK32
         aligned = addr & 0xFFFFFFFC
+        if aligned < 0x1000:
+            raise ExecutionError(f"guest memory below 0x1000 is reserved ({addr:#x})")
         mem = self.mr_cpu(aligned)
         if aligned + 3 > MAX_MEMORY:
             raise ExecutionError(f"memory out of bounds {addr:#x}")
@@ -478,7 +480,7 @@ class Executor:
             val = (mem & ~mask & MASK32) | ((rt << sh) & MASK32 & mask)
         else:
             raise AssertionError(op)
-        if aligned + 3 > MAX_MEMORY:
+        if aligned + 3 > MAX_MEMORY or aligned < 0x1000:
             raise ExecutionError(f"memory out of bounds {addr:#x}")
         self.mw_cpu(aligned, val)
         if op == Opcode.SC:

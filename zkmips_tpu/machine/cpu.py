@@ -149,7 +149,8 @@ class CpuAir(BaseAir):
             LookupKind.Instruction,
             instr_msg(
                 col("i_opcode"), shard, clk, pc, next_pc, nnpc,
-                a, bw, cw, pa, hiw, col("num_extra"),
+                a, bw, cw, pa, hiw,
+                (col("hacc_prev_lo"), col("hacc_prev_hi")), col("num_extra"),
                 col("is_write_hi"), ippa, is_halt, col("is_sequential"), imm_a,
             ),
             is_real,

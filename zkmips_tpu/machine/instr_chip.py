@@ -22,7 +22,7 @@ from .words import split_u32
 COMMON = [
     "shard", "clk", "pc", "next_pc", "next_next_pc",
     "a_lo", "a_hi", "b_lo", "b_hi", "c_lo", "c_hi",
-    "pa_lo", "pa_hi", "hiw_lo", "hiw_hi", "is_real",
+    "pa_lo", "pa_hi", "hiw_lo", "hiw_hi", "hp_lo", "hp_hi", "is_real",
 ]
 
 
@@ -71,6 +71,7 @@ class InstrAir(BaseAir):
             opcode,
             col("shard"), col("clk"), col("pc"), col("next_pc"), col("next_next_pc"),
             col.word("a"), col.word("b"), col.word("c"), col.word("pa"), col.word("hiw"),
+            col.word("hp"),
             self.num_extra_expr(col),
             flag(WRITES_HI), flag(PA_IS_PREV_A), is_halt, is_seq, flag(IMMUTABLE_A),
         )
@@ -113,16 +114,18 @@ class InstrAir(BaseAir):
                     "a": e.a, "b": e.b, "c": e.c,
                     "pa": e.hi_or_prev_a or 0,
                     "hiw": e.access.hi.value if e.access.hi is not None else 0,
+                    "hp": e.access.hi.prev_value if e.access.hi is not None else 0,
                 }
             else:  # NestedAluEvent
                 op = e.opcode
                 row = {
                     "shard": 0, "clk": 0, "pc": 0, "next_pc": 0, "next_next_pc": 0,
                     "a": e.a, "b": e.b, "c": e.c, "pa": e.pa, "hiw": e.hiw,
+                    "hp": getattr(e, "hp", 0),
                 }
             for k in ("shard", "clk", "pc", "next_pc", "next_next_pc"):
                 t[i, s.idx(k)] = row[k]
-            for k in ("a", "b", "c", "pa", "hiw"):
+            for k in ("a", "b", "c", "pa", "hiw", "hp"):
                 lo, hi = split_u32(int(row[k]))
                 t[i, s.idx(f"{k}_lo")] = lo
                 t[i, s.idx(f"{k}_hi")] = hi
@@ -133,3 +136,19 @@ class InstrAir(BaseAir):
 
     def fill_op(self, t, i, event, op, sink: ByteSink):
         raise NotImplementedError
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True, slots=True)
+class NestedAluEvent:
+    """Helper-ALU request emitted by another chip (zero control fields)."""
+
+    opcode: Opcode
+    a: int
+    b: int
+    c: int
+    pa: int = 0
+    hiw: int = 0
+    hp: int = 0

@@ -41,7 +41,7 @@ class ByteOpcode(IntEnum):
     POW2 = 8
 
 
-INSTR_MSG_LEN = 22
+INSTR_MSG_LEN = 24
 
 
 def instr_msg(
@@ -56,6 +56,7 @@ def instr_msg(
     c,
     pa,
     hi_w,
+    hp,
     num_extra,
     is_write_hi,
     is_pa_prev_a,
@@ -66,7 +67,7 @@ def instr_msg(
     """a/b/c/pa/hi_w are WordExpr (or (lo, hi) pairs)."""
     return [
         opcode, shard, clk, pc, next_pc, next_next_pc,
-        *_limbs(a), *_limbs(b), *_limbs(c), *_limbs(pa), *_limbs(hi_w),
+        *_limbs(a), *_limbs(b), *_limbs(c), *_limbs(pa), *_limbs(hi_w), *_limbs(hp),
         num_extra, is_write_hi, is_pa_prev_a, is_halt, is_sequential, op_a_immutable,
     ]
 
@@ -74,7 +75,7 @@ def instr_msg(
 def nested_alu_msg(opcode, a, b, c, pa=(0, 0), hi_w=(0, 0), is_write_hi=0):
     """Helper-ALU request: zero control fields, sequential=1 (see module doc)."""
     z = 0
-    return instr_msg(opcode, z, z, z, z, z, a, b, c, pa, hi_w, z, is_write_hi, z, z, 1, z)
+    return instr_msg(opcode, z, z, z, z, z, a, b, c, pa, hi_w, (z, z), z, is_write_hi, z, z, 1, z)
 
 
 def _limbs(w):
