@@ -3,20 +3,13 @@
 Matches the reference's permutation exactly (reference:
 crates/primitives/src/lib.rs:1107-1121 — 8 external + 13 internal rounds with
 the RC_16_30 constants; crates/recursion/core/include/poseidon2.hpp — external
-M4 "MDS-light" layer and the internal diagonal matrix
-POSEIDON2_INTERNAL_MATRIX_DIAG_16_KOALABEAR_MONTY, poseidon2_constants.hpp:1064;
-the s-box degree 3 is visible in poseidon2_wide.hpp:40-44).
+M4 "MDS-light" layer and the internal diagonal matrix; s-box degree 3).
 
-Round structure (Plonky3 Poseidon2):
-  state <- external_linear(state)                     # initial layer
-  4 x  [ state += rc_r; sbox each; external_linear ]  # first half
-  13 x [ s0 += rc; s0 = sbox(s0); internal_linear ]   # partial rounds
-  4 x  [ state += rc_r; sbox each; external_linear ]  # second half
-
-All functions operate on uint32 Montgomery-form arrays shaped (..., 16) and
-are numpy / jax.numpy agnostic — the same code is the host challenger and the
-TPU Merkle kernel.  On TPU the batch axis maps to VPU sublanes; the full
-permutation is ~490 modmuls of straight-line code that XLA fuses aggressively.
+Lane-vectorized implementation: the state rides a trailing 16-axis, the
+external linear layer runs in uint64 with a single mod-p reduction (the
+MDS-light coefficients are tiny), and under JAX the external/internal round
+loops are lax.scan'd so a full permutation compiles to a few hundred XLA ops
+(critical for the Merkle tree kernels, which instantiate many permutations).
 """
 
 from __future__ import annotations
@@ -32,15 +25,11 @@ OUT = 8
 ROUNDS_F = 8
 ROUNDS_P = 13
 
-# --- round constants (crates/primitives/src/lib.rs:1107-1121) ---------------
-# rows 0..4 -> first external half; rows 4..17 col 0 -> internal; rows 17..21
-# -> second external half.
 _RC = np.array([[f.to_monty_int(c) for c in row] for row in RC_16_30], dtype=np.uint32)
 RC_EXT_FIRST = _RC[0:4]  # (4, 16)
 RC_INTERNAL = _RC[4:17, 0].copy()  # (13,)
 RC_EXT_SECOND = _RC[17:21]  # (4, 16)
 
-# --- internal diagonal (poseidon2_constants.hpp:1083) -----------------------
 _p = f.P
 _DIAG_CANON = [
     _p - 2, 1, 2, (_p + 1) >> 1, 3, 4, (_p - 1) >> 1, _p - 3, _p - 4,
@@ -49,13 +38,74 @@ _DIAG_CANON = [
 ]
 DIAG = np.array([f.to_monty_int(c) for c in _DIAG_CANON], dtype=np.uint32)
 
+# M4 rows (from the reference's add-chain external layer):
+#   out = M4 @ s per 4-lane group, then out += per-position sums across groups
+_M4 = np.array(
+    [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]], dtype=np.uint64
+)
+_P64 = np.uint64(f.P)
+
 
 def _sbox(x):
     return f.mul(f.square(x), x)
 
 
-def _external_linear(cols: list):
-    """MDS-light layer on a list of 16 (...,)-arrays (poseidon2.hpp:21-50)."""
+def _external_linear(state, xp):
+    """MDS-light layer on (..., 16): the reference's add-chain, group-vectorized."""
+    sh = state.shape[:-1] + (4, 4)
+    s = state.reshape(sh)
+    s0, s1, s2, s3 = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    t01 = f.add(s0, s1)
+    t23 = f.add(s2, s3)
+    t0123 = f.add(t01, t23)
+    t01123 = f.add(t0123, s1)
+    t01233 = f.add(t0123, s3)
+    o3 = f.add(t01233, f.double(s0))
+    o1 = f.add(t01123, f.double(s2))
+    o0 = f.add(t01123, t01)
+    o2 = f.add(t01233, t23)
+    o = xp.stack([o0, o1, o2, o3], axis=-1)  # (..., group, lane-in-group)
+    u = f.add(o[..., 0, :], o[..., 1, :])
+    v = f.add(o[..., 2, :], o[..., 3, :])
+    sums = f.add(u, v)  # (..., 4) per-position sums across groups
+    out = f.add(o, sums[..., None, :])
+    return out.reshape(state.shape)
+
+
+def _sum_lanes(state, xp):
+    """mod-p sum over the trailing 16-lane axis (tree halving, u32)."""
+    x = state
+    while x.shape[-1] > 1:
+        h = x.shape[-1] // 2
+        x = f.add(x[..., :h], x[..., h:])
+    return x
+
+
+def permute(state):
+    """Poseidon2 permutation on (..., 16) uint32 Montgomery arrays."""
+    xp = f.xp_of(state)
+    if getattr(state, "ndim", 1) == 1:
+        out = _permute_np(state[None]) if xp is np else _permute_jax(state[None])
+        return out[0]
+    if xp is np:
+        return _permute_np(state)
+    return _permute_jax(state)
+
+
+def _ext_round(state, rc, xp):
+    return _external_linear(_sbox(f.add(state, rc)), xp)
+
+
+def _int_round(state, rc, xp):
+    concat = xp.concatenate
+    lane0 = _sbox(f.add(state[..., 0:1], rc))
+    state = concat([lane0, state[..., 1:]], axis=-1)
+    total = _sum_lanes(state, xp)
+    return f.add(f.mul(state, DIAG), total)
+
+
+def _external_linear_lanes(cols):
+    """Per-lane add-chain (fastest on numpy: contiguous column ops)."""
     out = list(cols)
     for i in range(0, 16, 4):
         s0, s1, s2, s3 = out[i], out[i + 1], out[i + 2], out[i + 3]
@@ -70,21 +120,19 @@ def _external_linear(cols: list):
         out[i + 2] = f.add(t01233, t23)
     sums = []
     for k in range(4):
-        s = out[k]
+        acc = out[k]
         for j in range(4, 16, 4):
-            s = f.add(s, out[j + k])
-        sums.append(s)
+            acc = f.add(acc, out[j + k])
+        sums.append(acc)
     return [f.add(out[j], sums[j % 4]) for j in range(16)]
 
 
-def permute(state):
-    """Poseidon2 permutation on (..., 16) uint32 Montgomery arrays."""
-    xp = f.xp_of(state)
-    cols = [state[..., i] for i in range(WIDTH)]
-    cols = _external_linear(cols)
+def _permute_np(state):
+    cols = [np.ascontiguousarray(state[..., i]) for i in range(WIDTH)]
+    cols = _external_linear_lanes(cols)
     for r in range(4):
         cols = [_sbox(f.add(c, np.uint32(RC_EXT_FIRST[r, i]))) for i, c in enumerate(cols)]
-        cols = _external_linear(cols)
+        cols = _external_linear_lanes(cols)
     for r in range(ROUNDS_P):
         s0 = _sbox(f.add(cols[0], np.uint32(RC_INTERNAL[r])))
         cols = [s0] + cols[1:]
@@ -94,14 +142,26 @@ def permute(state):
         cols = [f.add(f.mul(c, np.uint32(DIAG[i])), total) for i, c in enumerate(cols)]
     for r in range(4):
         cols = [_sbox(f.add(c, np.uint32(RC_EXT_SECOND[r, i]))) for i, c in enumerate(cols)]
-        cols = _external_linear(cols)
-    return xp.stack(cols, axis=-1)
+        cols = _external_linear_lanes(cols)
+    return np.stack(cols, axis=-1)
 
 
-def _jnp():
+def _permute_jax(state):
+    import jax
     import jax.numpy as jnp
 
-    return jnp
+    state = _external_linear(state, jnp)
+
+    def ext_body(s, rc):
+        return _ext_round(s, rc, jnp), None
+
+    def int_body(s, rc):
+        return _int_round(s, rc, jnp), None
+
+    state, _ = jax.lax.scan(ext_body, state, jnp.asarray(RC_EXT_FIRST))
+    state, _ = jax.lax.scan(int_body, state, jnp.asarray(RC_INTERNAL))
+    state, _ = jax.lax.scan(ext_body, state, jnp.asarray(RC_EXT_SECOND))
+    return state
 
 
 def compress(left, right):
@@ -117,30 +177,50 @@ def compress(left, right):
 def hash_matrix_rows(mat):
     """PaddingFreeSponge<Perm, 16, 8, 8> over each row of ``mat`` (n, w).
 
-    Absorbs w columns in chunks of 8 (overwrite semantics, permute per chunk —
-    the last partial chunk only overwrites its prefix), then returns the first
-    8 state elements.  Matches kb31_poseidon2.rs:21 InnerHash / p3
-    PaddingFreeSponge.  Returns (n, 8).
+    Absorbs w columns in rate-8 chunks (overwrite semantics, permute per
+    chunk; a trailing partial chunk overwrites only its prefix), then returns
+    the first 8 state lanes.  Matches kb31_poseidon2.rs:21 InnerHash.
     """
     xp = f.xp_of(mat)
     n, w = mat.shape
-    z = xp.zeros((n,), dtype=np.uint32)
-    cols = [z] * WIDTH
+    full = (w // RATE) * RATE
+    if xp is not np and full >= RATE:
+        return _hash_rows_jax(mat, full)
+    state = xp.zeros((n, WIDTH), dtype=np.uint32)
     for start in range(0, w, RATE):
         chunk = min(RATE, w - start)
-        for i in range(chunk):
-            cols[i] = mat[:, start + i]
-        state = xp.stack(cols, axis=-1)
+        block = mat[:, start : start + chunk]
+        if chunk < RATE:
+            pad = state[:, chunk:RATE]
+            block = xp.concatenate([block, pad], axis=1)
+        state = xp.concatenate([block, state[:, RATE:]], axis=1)
         state = permute(state)
-        cols = [state[..., i] for i in range(WIDTH)]
-    return xp.stack(cols[:OUT], axis=-1)
+    return state[:, :OUT]
+
+
+def _hash_rows_jax(mat, full):
+    import jax
+    import jax.numpy as jnp
+
+    n, w = mat.shape
+    chunks = mat[:, :full].reshape(n, full // RATE, RATE).transpose(1, 0, 2)
+
+    def body(state, block):
+        state = jnp.concatenate([block, state[:, RATE:]], axis=1)
+        return permute(state), None
+
+    # derive the zero state from the input so its sharding/varying axes match
+    # the scanned blocks (required under shard_map)
+    z = (mat[:, 0] * np.uint32(0))[:, None]
+    state = jnp.concatenate([z] * WIDTH, axis=1)
+    state, _ = jax.lax.scan(body, state, chunks)
+    if full < w:
+        chunk = w - full
+        block = jnp.concatenate([mat[:, full:], state[:, chunk:RATE]], axis=1)
+        state = permute(jnp.concatenate([block, state[:, RATE:]], axis=1))
+    return state[:, :OUT]
 
 
 def hash_flat(values):
-    """Sponge-hash a flat 1-D array of field elements -> (8,) digest.
-
-    Equivalent to the reference's poseidon2_hash(Vec<KoalaBear>)
-    (crates/primitives/src/lib.rs:1125).
-    """
-    xp = f.xp_of(values)
+    """Sponge-hash a flat 1-D array of field elements -> (8,) digest."""
     return hash_matrix_rows(values.reshape(1, -1))[0]
