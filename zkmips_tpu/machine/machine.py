@@ -90,12 +90,16 @@ class MipsMachine:
             pv[PV_DIGEST + 2 * i + 1] = (word >> 16) & 0xFFFF
         return pv
 
-    def prove_record(self, pk, record: ExecutionRecord):
+    def prove_record(self, pk, record: ExecutionRecord, xp=np):
         self.generate_dependencies(record)
         pv = self.shard_public_values(record)
-        return self.machine.prove_shard(pk, record, pv)
+        return self.machine.prove_shard(pk, record, pv, xp=xp)
 
-    def prove(self, pk, records: list) -> list:
+    def prove(self, pk, records: list, device: bool = False) -> list:
+        if device:
+            import jax.numpy as jnp
+
+            return [self.prove_record(pk, r, xp=jnp) for r in records]
         return [self.prove_record(pk, r) for r in records]
 
     # ----------------------------------------------------------------- verify

@@ -14,85 +14,96 @@ Layout rules (must match between prover and verifier):
     2-to-1 compression, if matrices exist whose height equals the new layer
     size, their row-hashes are folded in with one extra compression.
 
-TPU-first: every layer is a whole-array Poseidon2 call over all rows at once
-(the sponge is ~490 fused VPU modmuls per 16-lane state); host verification
-of a single path uses the same code on numpy.
+The layer build is backend-agnostic and jit-safe (static shapes); digest
+layers stay on-device until queried — ``open_many`` gathers all query rows
+and sibling paths in one batched indexing pass per level.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import poseidon2 as p2
+from . import field as f, poseidon2 as p2
 
 DIGEST_SIZE = 8
+
+
+def build_layers(matrices, xp=np):
+    """Digest layers bottom-up for the mixed-height batch (jit-safe)."""
+    heights = [m.shape[0] for m in matrices]
+    for h in heights:
+        assert h & (h - 1) == 0, "matrix heights must be powers of two"
+    max_height = max(heights)
+    by_height: dict[int, list] = {}
+    for m in matrices:
+        by_height.setdefault(m.shape[0], []).append(m)
+    layers = []
+    size = max_height
+    cur = _hash_layer(by_height[size], xp)
+    layers.append(cur)
+    while size > 1:
+        size //= 2
+        cur = p2.compress(cur[0::2], cur[1::2])
+        if size in by_height:
+            cur = p2.compress(cur, _hash_layer(by_height[size], xp))
+        layers.append(cur)
+    return layers
+
+
+def _hash_layer(mats, xp):
+    mat = mats[0] if len(mats) == 1 else xp.concatenate(mats, axis=1)
+    return p2.hash_matrix_rows(mat)
 
 
 class MerkleTree:
     """Prover-side tree: all digest layers retained for opening proofs."""
 
-    def __init__(self, matrices, xp=np):
+    def __init__(self, matrices, xp=np, layers=None):
         assert matrices, "cannot commit to zero matrices"
         self.matrices = list(matrices)
-        heights = [m.shape[0] for m in self.matrices]
-        for h in heights:
-            assert h & (h - 1) == 0, "matrix heights must be powers of two"
-        self.max_height = max(heights)
-
-        # group matrices by height, preserving order
-        by_height: dict[int, list] = {}
-        for m in self.matrices:
-            by_height.setdefault(m.shape[0], []).append(m)
-
-        digest_layers = []
-        size = self.max_height
-        cur = _hash_layer(by_height[size], xp)
-        digest_layers.append(cur)
-        while size > 1:
-            size //= 2
-            cur = p2.compress(cur[0::2], cur[1::2])
-            if size in by_height:
-                injected = _hash_layer(by_height[size], xp)
-                cur = p2.compress(cur, injected)
-            digest_layers.append(cur)
-        self.digest_layers = [np.asarray(layer) for layer in digest_layers]
+        self.max_height = max(m.shape[0] for m in self.matrices)
+        self.digest_layers = layers if layers is not None else build_layers(self.matrices, xp)
 
     @property
     def root(self) -> np.ndarray:
-        return self.digest_layers[-1][0]
+        return np.asarray(self.digest_layers[-1][0])
 
     def open(self, index: int):
-        """Open row ``index`` (of the tallest height): (opened_rows, siblings).
+        """Open row ``index``: (opened_rows per matrix, siblings (L, 8))."""
+        rows, sibs = self.open_many([index])
+        return [r[0] for r in rows], sibs[0]
 
-        opened_rows: one (w,) row per matrix (taller matrices indexed by the
-        high bits of ``index``).  siblings: (log_max_height, 8) digest path.
-        """
-        rows = []
+    def open_many(self, indices):
+        """Batched openings: ([per-matrix (Q, w)], (Q, L, 8)) as numpy."""
+        idx = np.asarray(indices, dtype=np.int64)
         log_max = self.max_height.bit_length() - 1
+        rows = []
         for m in self.matrices:
             log_h = m.shape[0].bit_length() - 1
-            rows.append(np.asarray(m[index >> (log_max - log_h)]))
-        siblings = np.stack(
-            [self.digest_layers[k][(index >> k) ^ 1] for k in range(log_max)]
-        ) if log_max else np.zeros((0, DIGEST_SIZE), dtype=np.uint32)
-        return rows, siblings
+            sel = idx >> (log_max - log_h)
+            rows.append(np.asarray(_take(m, sel)))
+        if log_max == 0:
+            return rows, np.zeros((len(idx), 0, DIGEST_SIZE), dtype=np.uint32)
+        sibs = [
+            np.asarray(_take(self.digest_layers[k], (idx >> k) ^ 1))
+            for k in range(log_max)
+        ]
+        return rows, np.stack(sibs, axis=1)
 
 
-def _hash_layer(mats, xp):
-    if len(mats) == 1:
-        mat = mats[0]
-    elif xp is np:
-        mat = np.concatenate(mats, axis=1)
-    else:
-        mat = xp.concatenate(mats, axis=1)
-    return p2.hash_matrix_rows(mat)
+def _take(arr, idx):
+    if isinstance(arr, np.ndarray):
+        return arr[idx]
+    import jax.numpy as jnp
+
+    return jnp.take(arr, jnp.asarray(idx), axis=0)
 
 
 def verify_opening(
     root: np.ndarray,
     index: int,
-    dims: list[tuple[int, int]],
-    opened_rows: list[np.ndarray],
+    dims: list,
+    opened_rows: list,
     siblings: np.ndarray,
 ) -> bool:
     """Verify a single-row opening against ``root``.

@@ -490,9 +490,15 @@ def fold_constraints(constraints, alpha: np.ndarray, ctx: EvalContext):
     apow = ext4.ONE.astype(np.uint32)
     for c in constraints:
         v = eval_expr(c, ctx)
-        if not v.is_ext:
-            v = Val(ext4.from_base(v.arr), True)
-        term = ext4.mul(v.arr, apow) if v.arr.ndim == 1 else ext4.mul(v.arr, apow[None, :])
+        if v.is_ext:
+            term = ext4.mul(v.arr, apow) if v.arr.ndim == 1 else ext4.mul(v.arr, apow[None, :])
+        else:
+            # base constraint x ext power: 4 base muls instead of 16
+            arr = v.arr
+            if getattr(arr, "ndim", 0) == 0:
+                term = f.mul(apow, arr)
+            else:
+                term = f.mul(apow[None, :], arr[:, None])
         acc = term if acc is None else ext4.add(acc, term)
         apow = ext4.mul(apow, alpha)
     return acc

@@ -139,7 +139,8 @@ class StarkMachine:
                     target = t.shape[0]
                 t = pad_hook(t, target)
             t = pad_to_power_of_two(t, fixed_rows=None if fixed is None else fixed.shape[0])
-            traces[chip.name] = f.to_monty(t)
+            tm = f.to_monty(t)
+            traces[chip.name] = tm if xp is np else xp.asarray(tm)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
         names = [c.name for c in chips]
         log_degrees = {n: traces[n].shape[0].bit_length() - 1 for n in names}
@@ -159,12 +160,26 @@ class StarkMachine:
         perm_flats, cum_sums = {}, {}
         for chip in chips:
             prep = pk.prep_traces.get(chip.name)
-            flat, cum = permutation.generate_permutation_trace(
-                chip, prep, traces[chip.name], perm_challenges[0], perm_challenges[1],
-                chip.batch_size, xp=xp,
-            )
+            if xp is np:
+                flat, cum = permutation.generate_permutation_trace(
+                    chip, prep, traces[chip.name], perm_challenges[0], perm_challenges[1],
+                    chip.batch_size, xp=xp,
+                )
+            else:
+                from .jit_util import cached_jit
+
+                h = traces[chip.name].shape[0]
+                fn = cached_jit(
+                    "perm_trace", (chip.name, h, chip.batch_size, prep is None),
+                    lambda chip=chip, prep=prep: (
+                        lambda main, a, b: permutation.generate_permutation_trace(
+                            chip, prep, main, a, b, chip.batch_size, xp=xp
+                        )
+                    ),
+                )
+                flat, cum = fn(traces[chip.name], perm_challenges[0], perm_challenges[1])
             perm_flats[chip.name] = flat
-            cum_sums[chip.name] = cum
+            cum_sums[chip.name] = np.asarray(cum)
         perm_names = [c.name for c in chips if c.perm_width_ext > 0]
         perm_data = None
         if perm_names:
@@ -188,18 +203,34 @@ class StarkMachine:
         q_doms, q_mats = [], []
         for chip in chips:
             gs = global_sums.get(chip.name)
-            doms, chunks = quotient_mod.quotient_chunks(
-                chip,
-                traces[chip.name],
-                pk.prep_traces.get(chip.name),
-                perm_flats[chip.name],
-                publics_monty,
-                perm_challenges,
-                cum_sums[chip.name],
-                f.to_monty(gs.astype(np.uint32)) if gs is not None else None,
-                alpha,
-                xp=xp,
+            gsm = f.to_monty(gs.astype(np.uint32)) if gs is not None else None
+            args = (
+                traces[chip.name], pk.prep_traces.get(chip.name), perm_flats[chip.name],
+                publics_monty, perm_challenges, cum_sums[chip.name], gsm, alpha,
             )
+            if xp is np:
+                doms, chunks = quotient_mod.quotient_chunks(chip, *args, xp=xp)
+            else:
+                from .jit_util import cached_jit
+
+                h = traces[chip.name].shape[0]
+                prep = pk.prep_traces.get(chip.name)
+                fn = cached_jit(
+                    "quotient", (chip.name, h, prep is None, gs is None),
+                    lambda chip=chip, prep=prep: (
+                        lambda main, perm, pubs, ch0, ch1, cum, g, al: quotient_mod.quotient_chunks(
+                            chip, main, prep, perm, pubs, [ch0, ch1], cum, g, al, xp=xp
+                        )[1]
+                    ),
+                )
+                chunks = fn(
+                    traces[chip.name], perm_flats[chip.name], publics_monty,
+                    perm_challenges[0], perm_challenges[1], cum_sums[chip.name],
+                    gsm if gsm is not None else np.zeros(14, dtype=np.uint32), alpha,
+                )
+                lqd = chip.log_quotient_degree
+                tdom = Domain(traces[chip.name].shape[0].bit_length() - 1, 1)
+                doms = tdom.create_disjoint_domain(tdom.size << lqd).split_domains(1 << lqd)
             for d, c in zip(doms, chunks):
                 q_doms.append(d)
                 q_mats.append(c.reshape(c.shape[0], 4))
@@ -274,7 +305,7 @@ class StarkMachine:
 
     def _chip_global_sum(self, chip, trace_monty) -> np.ndarray:
         """Read the claimed global septic digest from the last row (canonical)."""
-        last = f.from_monty(trace_monty[-1, -14:])
+        last = f.from_monty(np.asarray(trace_monty[-1, -14:]))
         return np.asarray(last, dtype=np.uint32)
 
     # ----------------------------------------------------------------- verify

@@ -80,34 +80,62 @@ class ProverData:
         return self.tree.root
 
 
+def _commit_body(config: FriConfig, shapes, xp):
+    """(coeffs, ldes, layers) for a static batch signature (jit-safe)."""
+
+    def fn(mats):
+        coeffs, ldes = [], []
+        for (log_n, shift, _w), evals in zip(shapes, mats):
+            c = ntt.ntt(evals, inverse=True)
+            rel_shift = f.GENERATOR * f.inv_int(shift) % f.P
+            scaled = f.mul(c, bits.powers_monty_np(rel_shift, 1 << log_n)[:, None])
+            big_n = (1 << log_n) << config.log_blowup
+            if xp is np:
+                padded = np.zeros((big_n, scaled.shape[1]), dtype=np.uint32)
+                padded[: 1 << log_n] = scaled
+            else:
+                padded = xp.zeros((big_n, scaled.shape[1]), dtype=np.uint32).at[: 1 << log_n].set(scaled)
+            lde = bits.bitrev_rows(ntt.ntt(padded))
+            coeffs.append(c)
+            ldes.append(lde)
+        return coeffs, ldes, merkle.build_layers(ldes, xp)
+
+    return fn
+
+
 def commit(config: FriConfig, domains_and_matrices, xp=np) -> ProverData:
     """Commit to [(Domain, evals (n, w) monty uint32 natural order)] pairs."""
-    domains, coeffs, ldes = [], [], []
+    domains = [d for d, _ in domains_and_matrices]
+    mats = [m for _, m in domains_and_matrices]
     for dom, evals in domains_and_matrices:
         assert evals.shape[0] == dom.size, "evals height must match domain size"
-        c = ntt.ntt(evals, inverse=True)
-        # relative shift g / s maps the coset s*<w> onto the standard g*<W>
-        rel_shift = f.GENERATOR * f.inv_int(dom.shift) % f.P
-        scaled = f.mul(c, bits.powers_monty_np(rel_shift, dom.size)[:, None])
-        big_n = dom.size << config.log_blowup
-        if xp is np:
-            padded = np.zeros((big_n, scaled.shape[1]), dtype=np.uint32)
-            padded[: dom.size] = scaled
-        else:
-            padded = xp.zeros((big_n, scaled.shape[1]), dtype=np.uint32).at[: dom.size].set(scaled)
-        lde = bits.bitrev_rows(ntt.ntt(padded))
-        domains.append(dom)
-        coeffs.append(c)
-        ldes.append(lde)
-    tree = merkle.MerkleTree(ldes, xp=xp)
+    shapes = tuple((d.log_n, d.shift, m.shape[1]) for d, m in domains_and_matrices)
+    if xp is np:
+        coeffs, ldes, layers = _commit_body(config, shapes, np)(mats)
+    else:
+        from .jit_util import cached_jit
+
+        fn = cached_jit("pcs_commit", (config.log_blowup, shapes), lambda: _commit_body(config, shapes, xp))
+        coeffs, ldes, layers = fn([xp.asarray(m) for m in mats])
+    tree = merkle.MerkleTree(ldes, xp=xp, layers=layers)
     return ProverData(domains, coeffs, ldes, tree)
 
 
 def eval_at_ext_point(coeffs, dom: Domain, z: np.ndarray, xp=np) -> np.ndarray:
-    """Evaluate every column poly at ext point z: returns (w, 4).
+    """Evaluate every column poly at ext point z: returns (w, 4)."""
+    if xp is not np:
+        from .jit_util import cached_jit
 
-    p(z) = sum_i c_i (z/s)^i where c are coefficients over the coset s*<w>.
-    """
+        fn = cached_jit(
+            "pcs_eval", (coeffs.shape, dom.log_n, dom.shift),
+            lambda: (lambda cf, zz: _eval_at_ext_point_body(cf, dom, zz, xp)),
+        )
+        return fn(coeffs, z)
+    return _eval_at_ext_point_body(coeffs, dom, z, np)
+
+
+def _eval_at_ext_point_body(coeffs, dom: Domain, z, xp):
+    """p(z) = sum_i c_i (z/s)^i where c are coefficients over the coset s*<w>."""
     n, w = coeffs.shape
     zs = ext4.mul_base(z, np.uint32(f.to_monty_int(f.inv_int(dom.shift))))
     zpows = _ext_powers(zs, n, xp)  # (n, 4)
@@ -187,18 +215,11 @@ def open_batches(
         for lde, dom, pts, vals in zip(pdata.ldes, pdata.domains, points_per_mat, mats_vals):
             log_h = dom.log_n + config.log_blowup
             h, w = lde.shape
-            x_vec = lde_points_bitrev_monty(log_h)  # (H,) monty
             for z, ys in zip(pts, vals):
                 k0 = alpha_pow_count.get(log_h, 0)
                 apows = _alpha_powers(alpha, k0, w)  # (w, 4)
                 alpha_pow_count[log_h] = k0 + w
-                # S = sum_j apow_j * y_j  (ext scalar)
-                s_val = _ext_dot_ext(apows, ys)
-                # t(x) = sum_j apow_j * p_j(x)  (ext vector over H)
-                t_vec = _ext_dot_base(apows, lde, xp)  # (H, 4)
-                num = ext4.sub(s_val[None, :], t_vec)
-                denom = ext4.sub(z[None, :], ext4.from_base(x_vec))
-                contrib = ext4.mul(num, ext4.inv(denom))
+                contrib = _reduce_contrib(lde, z, ys, apows, log_h, xp)
                 acc = reduced.get(log_h)
                 reduced[log_h] = contrib if acc is None else ext4.add(acc, contrib)
 
@@ -209,23 +230,17 @@ def open_batches(
     cur = reduced[log_max]
     commit_roots, betas, layer_trees = [], [], []
     for log_h in range(log_max, config.log_blowup, -1):
-        evens, odds = cur[0::2], cur[1::2]
-        concat = xp.concatenate
-        layer_mat = concat([evens, odds], axis=1).reshape(evens.shape[0], 8)
-        tree = merkle.MerkleTree([layer_mat], xp=xp)
+        layer_mat, layers = _fold_commit(cur, log_h, xp)
+        tree = merkle.MerkleTree([layer_mat], xp=xp, layers=layers)
         layer_trees.append(tree)
-        commit_roots.append(np.asarray(tree.root))
-        challenger.observe_digest(tree.root)
+        root = tree.root
+        commit_roots.append(root)
+        challenger.observe_digest(root)
         beta = challenger.sample_ext()
         betas.append(beta)
-        inv2x = fold_inv_2x_monty(log_h)  # (H/2,) monty, plain subgroup
-        half_sum = ext4.mul_base(ext4.add(evens, odds), np.uint32(f.HALF))
-        half_diff = ext4.mul_base(ext4.sub(evens, odds), inv2x)
-        cur = ext4.add(half_sum, ext4.mul(beta[None, :], half_diff))
         nxt = reduced.get(log_h - 1)
-        if nxt is not None and log_h - 1 > config.log_blowup:
-            beta2 = ext4.mul(beta, beta)
-            cur = ext4.add(cur, ext4.mul(beta2[None, :], nxt))
+        use_next = nxt is not None and log_h - 1 > config.log_blowup
+        cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
 
     final_poly = np.asarray(cur[0])
     challenger.observe_slice(ext4.to_canonical(final_poly))
@@ -234,25 +249,32 @@ def open_batches(
 
     indices = [challenger.sample_bits(log_max) for _ in range(config.num_queries)]
 
-    # 4. query proofs
+    # 4. query proofs (batched gathers: one pass per tree for all queries)
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    per_round = []
+    for pdata, _pts in rounds:
+        batch_log_max = max(d.log_n for d in pdata.domains) + config.log_blowup
+        rows, sibs = pdata.tree.open_many(idx_arr >> (log_max - batch_log_max))
+        per_round.append((rows, sibs))
+    per_layer = []
+    for k, tree in enumerate(layer_trees):
+        rows, sibs = tree.open_many((idx_arr >> k) >> 1)
+        per_layer.append((rows[0], sibs))
+
     query_proofs = []
-    for idx in indices:
-        input_openings = []
-        for pdata, _pts in rounds:
-            batch_log_max = max(d.log_n for d in pdata.domains) + config.log_blowup
-            rows, sibs = pdata.tree.open(idx >> (log_max - batch_log_max))
-            input_openings.append((rows, sibs))
+    for qi, idx in enumerate(indices):
+        input_openings = [
+            ([m[qi] for m in rows], sibs[qi]) for rows, sibs in per_round
+        ]
         commit_openings = []
-        for k, tree in enumerate(layer_trees):
-            pair_idx = (idx >> k) >> 1
-            rows, sibs = tree.open(pair_idx)
-            row = rows[0]  # (8,) = [even ext, odd ext]
+        for k, (rows, sibs) in enumerate(per_layer):
+            row = rows[qi]  # (8,) = [even ext, odd ext]
             bit = (idx >> k) & 1
             sibling = row[4:8] if bit == 0 else row[0:4]
-            commit_openings.append(CommitPhaseOpening(np.asarray(sibling), sibs))
+            commit_openings.append(CommitPhaseOpening(np.asarray(sibling), sibs[qi]))
         query_proofs.append(QueryProof(input_openings, commit_openings))
 
-    return opened_values, FriProof(commit_roots, final_poly, pow_witness, query_proofs)
+    return opened_values, FriProof(commit_roots, np.asarray(final_poly), pow_witness, query_proofs)
 
 
 def _alpha_powers(alpha: np.ndarray, start: int, count: int) -> np.ndarray:
@@ -270,10 +292,21 @@ def _key(alpha: np.ndarray):
 
 def _alpha_powers_table(key, n: int) -> np.ndarray:
     tbl = _ALPHA_CACHE.get(key)
-    if tbl is None or tbl.shape[0] < n:
+    if tbl is None:
         alpha = np.array(key, dtype=np.uint32)
-        size = max(n, 64)
-        tbl = ext4.powers_host(alpha, size)
+        tbl = ext4.powers_host(alpha, max(n, 64))
+        _ALPHA_CACHE[key] = tbl
+    elif tbl.shape[0] < n:
+        # grow geometrically, extending from the last entry (amortized O(n))
+        alpha = np.array(key, dtype=np.uint32)
+        size = max(n, 2 * tbl.shape[0])
+        ext = np.empty((size, 4), dtype=np.uint32)
+        ext[: tbl.shape[0]] = tbl
+        acc = tbl[-1]
+        for i in range(tbl.shape[0], size):
+            acc = ext4.mul(acc, alpha)
+            ext[i] = acc
+        tbl = ext
         _ALPHA_CACHE[key] = tbl
     return tbl
 
@@ -395,3 +428,75 @@ def _bitrev_int(i: int, nbits: int) -> int:
     for b in range(nbits):
         r |= ((i >> b) & 1) << (nbits - 1 - b)
     return r
+
+
+# ---------------------------------------------------------------------------
+# Device-stage helpers (jitted per static shape on the jnp path)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_contrib_body(log_h: int, xp):
+    x_vec = lde_points_bitrev_monty(log_h)  # closed-over constant
+
+    def fn(lde, z, ys, apows):
+        s_val = _ext_dot_ext(apows, ys)
+        t_vec = _ext_dot_base(apows, lde, xp)
+        num = ext4.sub(s_val[None, :], t_vec)
+        denom = ext4.sub(z[None, :], ext4.from_base(x_vec))
+        return ext4.mul(num, ext4.inv(denom))
+
+    return fn
+
+
+def _reduce_contrib(lde, z, ys, apows, log_h: int, xp):
+    if xp is np:
+        return _reduce_contrib_body(log_h, np)(lde, z, np.asarray(ys), apows)
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_reduce", (log_h, lde.shape[1]), lambda: _reduce_contrib_body(log_h, xp))
+    return fn(lde, z, ys, apows)
+
+
+def _fold_commit_body(xp):
+    def fn(cur):
+        evens, odds = cur[0::2], cur[1::2]
+        layer_mat = xp.concatenate([evens, odds], axis=1).reshape(evens.shape[0], 8)
+        return layer_mat, merkle.build_layers([layer_mat], xp)
+
+    return fn
+
+
+def _fold_commit(cur, log_h: int, xp):
+    if xp is np:
+        return _fold_commit_body(np)(cur)
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_fold_commit", (log_h,), lambda: _fold_commit_body(xp))
+    return fn(cur)
+
+
+def _fold_step_body(log_h: int, has_next: bool, xp):
+    inv2x = fold_inv_2x_monty(log_h)
+
+    def fn(cur, beta, nxt):
+        evens, odds = cur[0::2], cur[1::2]
+        half_sum = ext4.mul_base(ext4.add(evens, odds), np.uint32(f.HALF))
+        half_diff = ext4.mul_base(ext4.sub(evens, odds), inv2x)
+        folded = ext4.add(half_sum, ext4.mul(beta[None, :], half_diff))
+        if has_next:
+            beta2 = ext4.mul(beta, beta)
+            folded = ext4.add(folded, ext4.mul(beta2[None, :], nxt))
+        return folded
+
+    return fn
+
+
+def _fold_step(cur, beta, nxt, log_h: int, xp):
+    if xp is np:
+        return _fold_step_body(log_h, nxt is not None, np)(cur, beta, nxt)
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_fold", (log_h, nxt is not None), lambda: _fold_step_body(log_h, nxt is not None, xp))
+    if nxt is None:
+        return fn(cur, beta, xp.zeros((0, 4), dtype=np.uint32))
+    return fn(cur, beta, nxt)

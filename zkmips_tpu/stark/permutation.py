@@ -79,21 +79,40 @@ def generate_permutation_trace(
     chunks = _lookup_chunks(sends, receives, batch_size)
     width = len(chunks) + 1
 
-    beta_pows = ext4.powers_host(beta, 2 + max(len(l.values) for l in sends + receives))
+    n_pows = 2 + max(len(l.values) for l in sends + receives)
+    beta_pows = [ext4.ONE.astype(np.uint32), beta]
+    for _ in range(2, n_pows):
+        beta_pows.append(ext4.mul(beta_pows[-1], beta))
 
+    # compute every lookup's denominator, invert them all in ONE batched call
+    # (ext4.inv is ~1.6k array ops; batching keeps the jit graph small)
+    flat = [lk for chunk in chunks for lk in chunk]
+    denoms, mults = [], []
+    bc = xp.broadcast_to
+    for lookup, is_send in flat:
+        d = ext4.add(alpha, ext4.scalar(lookup.argument_index))
+        for i, v in enumerate(lookup.values):
+            val = eval_expr(v, ctx).arr  # (H,) base or scalar
+            d = ext4.add(d[None, :] if d.ndim == 1 else d, f.mul(beta_pows[i + 1][None, :], _b(val)))
+        if d.ndim == 1:
+            d = bc(d[None, :], (h, 4))
+        denoms.append(d)
+        mult = eval_expr(lookup.multiplicity, ctx).arr  # (H,)
+        if not is_send:
+            mult = f.neg(mult)
+        if getattr(mult, "ndim", 0) == 0:
+            mult = bc(mult[None] if hasattr(mult, "__getitem__") else xp.asarray(mult)[None], (h,))
+        mults.append(mult)
+    stack = xp.stack
+    inv_all = ext4.inv(stack(denoms, axis=0))  # (L, H, 4)
+    fracs = f.mul(inv_all, stack(mults, axis=0)[:, :, None])
     cols = []
+    li = 0
     for chunk in chunks:
         col = None
-        for lookup, is_send in chunk:
-            # D = alpha + kind + sum_i beta^{i+1} v_i
-            d = ext4.add(alpha, ext4.scalar(lookup.argument_index))
-            for i, v in enumerate(lookup.values):
-                val = eval_expr(v, ctx).arr  # (H,) base
-                d = ext4.add(d[None, :] if d.ndim == 1 else d, f.mul(beta_pows[i + 1][None, :], _b(val)))
-            mult = eval_expr(lookup.multiplicity, ctx).arr  # (H,)
-            if not is_send:
-                mult = f.neg(mult)
-            frac = f.mul(ext4.inv(d), _b(mult))
+        for _ in chunk:
+            frac = fracs[li]
+            li += 1
             col = frac if col is None else ext4.add(col, frac)
         cols.append(col)
 
@@ -101,7 +120,7 @@ def generate_permutation_trace(
     for c in cols[1:]:
         row_sum = ext4.add(row_sum, c)
     phi = _prefix_sum(row_sum, xp)
-    local_cumulative_sum = np.asarray(phi[-1])
+    local_cumulative_sum = phi[-1]
 
     concat = xp.concatenate
     flat = concat([c.reshape(h, 4) for c in cols] + [phi.reshape(h, 4)], axis=1)
