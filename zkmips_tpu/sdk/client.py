@@ -1,0 +1,133 @@
+"""ProverClient: execute / prove / verify MIPS guest programs.
+
+The analog of the reference SDK (crates/sdk/src/lib.rs:46-287 ProverClient,
+src/proof.rs ZKMProofWithPublicValues, src/io ZKMStdin): a builder-flavored
+API over the core machine.  Backends: "local" (this host; numpy or device),
+"mock" (execute only, empty proof).  The cuda/network backends of the
+reference map to future remote TPU-pool backends.
+"""
+
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..executor import Executor, Program
+from ..executor.program import Program as _Program
+from ..machine.machine import MipsMachine
+from ..stark.machine import StarkConfig
+
+
+class ZKMStdin:
+    """Guest input stream (analog of crates/sdk ZKMStdin / zkm-lib io)."""
+
+    def __init__(self):
+        self.buffers: list[bytes] = []
+
+    def write_bytes(self, data: bytes):
+        self.buffers.append(bytes(data))
+
+    def write_u32(self, value: int):
+        self.buffers.append(struct.pack("<I", value))
+
+    def write_u64(self, value: int):
+        self.buffers.append(struct.pack("<Q", value))
+
+
+@dataclass
+class ExecutionReport:
+    total_instruction_count: int
+    exit_code: int
+    stdout: bytes
+    public_values: bytes
+    cycle_tracker: dict
+
+
+@dataclass
+class ProofWithPublicValues:
+    proofs: list  # shard proofs (empty for mock)
+    public_values: bytes
+    committed_value_digest: list
+    mode: str = "core"
+
+    def save(self, path: str):
+        with open(path, "wb") as fh:
+            pickle.dump(self, fh)
+
+    @staticmethod
+    def load(path: str) -> "ProofWithPublicValues":
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+
+    def size_bytes(self) -> int:
+        buf = io.BytesIO()
+        pickle.dump(self, buf)
+        return buf.tell()
+
+
+class ProverClient:
+    """client = ProverClient.new(); client.prove(program, stdin)"""
+
+    def __init__(self, backend: str = "local", config: StarkConfig | None = None, device: bool = False):
+        self.backend = backend
+        self.machine = MipsMachine(config or StarkConfig.core())
+        self.device = device
+
+    @staticmethod
+    def new(**kw) -> "ProverClient":
+        return ProverClient(**kw)
+
+    @staticmethod
+    def mock() -> "ProverClient":
+        return ProverClient(backend="mock")
+
+    # ------------------------------------------------------------------ api
+
+    def setup(self, program: Program):
+        """-> (pk, vk) for the given guest program."""
+        pk = self.machine.setup(program)
+        return pk, pk.vk
+
+    def execute(self, program: Program, stdin: ZKMStdin | None = None, max_cycles: int | None = None) -> ExecutionReport:
+        ex = self._executor(program, stdin)
+        ex.run(max_cycles=max_cycles)
+        return ExecutionReport(
+            total_instruction_count=ex.global_clk,
+            exit_code=ex.exit_code,
+            stdout=bytes(ex.stdout),
+            public_values=bytes(ex.public_values_stream),
+            cycle_tracker=dict(ex.cycle_tracker),
+        )
+
+    def prove(self, pk, program: Program, stdin: ZKMStdin | None = None, shard_size: int = 1 << 20) -> ProofWithPublicValues:
+        ex = self._executor(program, stdin, shard_size)
+        records = ex.run()
+        if self.backend == "mock":
+            return ProofWithPublicValues([], bytes(ex.public_values_stream), list(ex.committed_value_digest), mode="mock")
+        proofs = self.machine.prove(pk, records, device=self.device)
+        return ProofWithPublicValues(
+            proofs, bytes(ex.public_values_stream), list(ex.committed_value_digest)
+        )
+
+    def verify(self, vk, proof: ProofWithPublicValues, program: Program) -> bool:
+        if proof.mode == "mock":
+            return True
+        return self.machine.verify(vk, proof.proofs, program)
+
+    # ------------------------------------------------------------- internals
+
+    def _executor(self, program: Program, stdin: ZKMStdin | None, shard_size: int = 1 << 20) -> Executor:
+        ex = Executor(program, shard_size=shard_size)
+        if stdin is not None:
+            for buf in stdin.buffers:
+                ex.write_stdin(buf)
+        return ex
+
+
+def load_elf(path: str) -> Program:
+    with open(path, "rb") as fh:
+        return _Program.from_elf(fh.read())
