@@ -144,3 +144,23 @@ def test_full_machine_all_opcodes_prove_verify():
     pk = m.setup(p)
     proofs = m.prove(pk, records)
     assert m.verify(pk.vk, proofs, p)
+
+
+def _sha_extend_body():
+    body = []
+    for i in range(16):
+        body += [*asm.li(R.T0, (i * 0x01010101 + 0xDEAD) & 0xFFFFFFFF),
+                 *asm.li(R.T1, 0x2000 + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x30010005), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0), asm.syscall()]
+    body += [*asm.li(R.T1, 0x2000 + 63 * 4), asm.lw(R.T2, R.T1)]
+    return body
+
+
+def test_sha_extend_precompile_oracles_and_prove():
+    p, records, ex = _run(_sha_extend_body())
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+    p2, records2, ex2 = _run(_sha_extend_body())
+    pk = m.setup(p2)
+    proofs = m.prove(pk, records2)
+    assert m.verify(pk.vk, proofs, p2)

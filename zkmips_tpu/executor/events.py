@@ -132,7 +132,23 @@ class ExecutionRecord:
     byte_lookups: dict = field(default_factory=dict)  # "arrays" -> [(op, a, b, c) arrays]
     global_lookup_events: list = field(default_factory=list)
     nested_alu_events: list = field(default_factory=list)
+    precompile_events: dict = field(default_factory=dict)  # name -> [events]
     public_values: PublicValues = field(default_factory=PublicValues)
 
     def add_alu_event(self, e: AluEvent):
         self.alu_events.append(e)
+
+
+@dataclass(frozen=True, slots=True)
+class ShaExtendEvent:
+    """48 message-schedule iterations (reference sha256/extend.rs)."""
+
+    shard: int
+    clk: int  # clk of the syscall row; iteration i uses clk + (i - 16)
+    w_ptr: int
+    arg2: int
+    reads_15: tuple  # 48 x MemoryReadRecord
+    reads_2: tuple
+    reads_16: tuple
+    reads_7: tuple
+    writes: tuple  # 48 x MemoryWriteRecord

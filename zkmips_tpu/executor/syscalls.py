@@ -45,6 +45,9 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
             raise _err(f"commit word index {b} out of range")
         ex.committed_value_digest[b] = c
         return None, next_pc, extra, exit_code
+    if code == SyscallCode.SHA_EXTEND:
+        _sha_extend(ex, b, c)
+        return None, next_pc, extra, exit_code
     impl = PRECOMPILES.get(code)
     if impl is not None:
         res = impl(ex, code, b, c)
@@ -106,3 +109,38 @@ def _hint_read(ex, ptr: int, length: int):
         if addr in ex.uninitialized_memory:
             raise _err("hint read address already initialized")
         ex.uninitialized_memory[addr] = word
+
+
+def _ror(x, r):
+    return ((x >> r) | (x << (32 - r))) & 0xFFFFFFFF
+
+
+def _sha_extend(ex, w_ptr: int, arg2: int):
+    """SHA-256 message schedule extension (reference sha256/extend.rs)."""
+    if arg2 != 0:
+        raise _err("sha_extend arg2 must be 0")
+    from .events import ShaExtendEvent
+
+    clk0 = ex.clk
+    r15, r2, r16, r7, wr = [], [], [], [], []
+    for i in range(16, 64):
+        ts = clk0 + (i - 16)
+        rec = ex._mr(w_ptr + (i - 15) * 4, ts)
+        r15.append(rec)
+        w15 = rec.value
+        s0 = _ror(w15, 7) ^ _ror(w15, 18) ^ (w15 >> 3)
+        rec = ex._mr(w_ptr + (i - 2) * 4, ts)
+        r2.append(rec)
+        w2 = rec.value
+        s1 = _ror(w2, 17) ^ _ror(w2, 19) ^ (w2 >> 10)
+        rec = ex._mr(w_ptr + (i - 16) * 4, ts)
+        r16.append(rec)
+        w16 = rec.value
+        rec = ex._mr(w_ptr + (i - 7) * 4, ts)
+        r7.append(rec)
+        w7 = rec.value
+        w_i = (s1 + w16 + s0 + w7) & 0xFFFFFFFF
+        wr.append(ex._mw(w_ptr + i * 4, w_i, ts))
+    ex.record.precompile_events.setdefault("sha_extend", []).append(
+        ShaExtendEvent(ex.shard, clk0, w_ptr, arg2, tuple(r15), tuple(r2), tuple(r16), tuple(r7), tuple(wr))
+    )

@@ -97,8 +97,9 @@ def byte_msg(op, a, b, c):
     return [op, a, b, c]
 
 
-def syscall_msg(shard, clk, syscall_id, arg1, arg2):
-    return [shard, clk, syscall_id, arg1, arg2]
+def syscall_msg(shard, clk, id_lo, id_hi, arg1, arg2):
+    """arg1/arg2 are WordExpr or (lo, hi) pairs."""
+    return [shard, clk, id_lo, id_hi, *_limbs(arg1), *_limbs(arg2)]
 
 
 def global_msg(m, is_send, is_receive, kind):

@@ -36,6 +36,7 @@ def core_chip_airs() -> list:
     from .cloclz import CloClzAir
     from .memory_instr import MemoryInstrAir
     from .misc import MiscInstrAir, MovCondAir
+    from .sha_extend import ShaExtendAir
 
     return [
         CpuAir(),
@@ -53,6 +54,7 @@ def core_chip_airs() -> list:
         MiscInstrAir(),
         MovCondAir(),
         SyscallInstrAir(),
+        ShaExtendAir(),
         MemoryLocalAir(),
         MemoryGlobalInitAir(),
         MemoryGlobalFinalizeAir(),

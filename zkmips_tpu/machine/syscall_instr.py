@@ -10,19 +10,21 @@ from __future__ import annotations
 import numpy as np
 
 from ..executor.opcodes import Opcode, SyscallCode
-from ..stark.air import AirBuilder
+from ..stark.air import AirBuilder, LookupKind
 from .gadgets import ColView
 from .instr_chip import InstrAir
 from .pv import PV_DIGEST
 
-# round-1 syscalls, keyed by low-16-bit id (all have num_extra = 0)
 SYS_FLAGS = [
     ("is_halt_sc", SyscallCode.HALT),
     ("is_write_sc", SyscallCode.WRITE),
     ("is_commit_sc", SyscallCode.COMMIT),
     ("is_hintlen_sc", SyscallCode.SYSHINTLEN),
     ("is_hintread_sc", SyscallCode.SYSHINTREAD),
+    ("is_shaext_sc", SyscallCode.SHA_EXTEND),
 ]
+# syscalls whose events are consumed by a precompile chip (should_send bit)
+PRECOMPILE_FLAGS = {"is_shaext_sc"}
 
 
 class SyscallInstrAir(InstrAir):
@@ -34,6 +36,13 @@ class SyscallInstrAir(InstrAir):
         is_halt = col("is_halt_sc")
         return is_halt, is_real - is_halt
 
+    def num_extra_expr(self, col):
+        e = 0
+        for n, code in SYS_FLAGS:
+            if code.num_extra_cycles:
+                e = e + col(n) * code.num_extra_cycles
+        return e
+
     def eval_op(self, b: AirBuilder, col: ColView, sels):
         is_real = col("is_real")
         pa = col.word("pa")  # previous $v0 = syscall id
@@ -44,8 +53,8 @@ class SyscallInstrAir(InstrAir):
         b.when(is_real).assert_eq(total, 1)
         for f_, (_n, code) in zip(flags, SYS_FLAGS):
             b.assert_bool(f_)
-            b.when(f_).assert_eq(pa.lo, code.syscall_id)
-            b.when(f_).assert_zero(pa.hi)
+            b.when(f_).assert_eq(pa.lo, int(code) & 0xFFFF)
+            b.when(f_).assert_eq(pa.hi, int(code) >> 16)
         # result register: keep the syscall id, except hint-len (host data)
         a = col.word("a")
         keep = is_real - col("is_hintlen_sc")
@@ -70,6 +79,18 @@ class SyscallInstrAir(InstrAir):
         for i, f_ in enumerate(idx_flags):
             b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i), cw.lo)
             b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i + 1), cw.hi)
+        # hand precompile syscalls to their chips
+        from .lookups import syscall_msg
+
+        pre_mult = 0
+        for n, _code in SYS_FLAGS:
+            if n in PRECOMPILE_FLAGS:
+                pre_mult = pre_mult + col(n)
+        b.send(
+            LookupKind.Syscall,
+            syscall_msg(col("shard"), col("clk"), pa.lo, pa.hi, bw, cw),
+            pre_mult,
+        )
 
     def fill_op(self, t, i, e, op, sink):
         s = self.schema
