@@ -164,3 +164,31 @@ def test_sha_extend_precompile_oracles_and_prove():
     pk = m.setup(p2)
     proofs = m.prove(pk, records2)
     assert m.verify(pk.vk, proofs, p2)
+
+
+def test_sha256_full_hash_oracles_and_prove():
+    import hashlib
+    import struct
+
+    msg = b"abc"
+    padded = msg + b"\x80" + b"\x00" * (55 - len(msg)) + struct.pack(">Q", len(msg) * 8)
+    w_words = [int.from_bytes(padded[i:i + 4], "big") for i in range(0, 64, 4)]
+    H0 = [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A, 0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19]
+    body = []
+    for i, w in enumerate(w_words):
+        body += [*asm.li(R.T0, w), *asm.li(R.T1, 0x2000 + 4 * i), asm.sw(R.T0, R.T1)]
+    for i, h in enumerate(H0):
+        body += [*asm.li(R.T0, h), *asm.li(R.T1, 0x3000 + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x30010005), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0), asm.syscall()]
+    body += [*asm.li(R.V0, 0x01010006), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0x3000), asm.syscall()]
+
+    p, records, ex = _run(body)
+    digest = b"".join(struct.pack(">I", ex.word(0x3000 + 4 * i)) for i in range(8))
+    assert digest == hashlib.sha256(msg).digest()
+
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+    p2, records2, ex2 = _run(body)
+    pk = m.setup(p2)
+    proofs = m.prove(pk, records2)
+    assert m.verify(pk.vk, proofs, p2)

@@ -152,3 +152,17 @@ class ShaExtendEvent:
     reads_16: tuple
     reads_7: tuple
     writes: tuple  # 48 x MemoryWriteRecord
+
+
+@dataclass(frozen=True, slots=True)
+class ShaCompressEvent:
+    """SHA-256 compression (reference sha256/compress.rs): 8 h reads + 64 w
+    reads at clk, 8 h writes at clk + 1."""
+
+    shard: int
+    clk: int
+    w_ptr: int
+    h_ptr: int
+    h_reads: tuple
+    w_reads: tuple
+    h_writes: tuple

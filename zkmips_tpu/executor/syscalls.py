@@ -48,6 +48,9 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
     if code == SyscallCode.SHA_EXTEND:
         _sha_extend(ex, b, c)
         return None, next_pc, extra, exit_code
+    if code == SyscallCode.SHA_COMPRESS:
+        _sha_compress(ex, b, c)
+        return None, next_pc, extra, exit_code
     impl = PRECOMPILES.get(code)
     if impl is not None:
         res = impl(ex, code, b, c)
@@ -143,4 +146,48 @@ def _sha_extend(ex, w_ptr: int, arg2: int):
         wr.append(ex._mw(w_ptr + i * 4, w_i, ts))
     ex.record.precompile_events.setdefault("sha_extend", []).append(
         ShaExtendEvent(ex.shard, clk0, w_ptr, arg2, tuple(r15), tuple(r2), tuple(r16), tuple(r7), tuple(wr))
+    )
+
+
+SHA_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1, 0x923F82A4, 0xAB1C5ED5,
+    0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3, 0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174,
+    0xE49B69C1, 0xEFBE4786, 0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147, 0x06CA6351, 0x14292967,
+    0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13, 0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85,
+    0xA2BFE8A1, 0xA81A664B, 0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A, 0x5B9CCA4F, 0x682E6FF3,
+    0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208, 0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
+
+
+def _sha_compress(ex, w_ptr: int, h_ptr: int):
+    """SHA-256 compression (reference sha256/compress.rs)."""
+    if w_ptr == h_ptr:
+        raise _err("sha_compress: w_ptr must differ from h_ptr")
+    from .events import ShaCompressEvent
+
+    clk0 = ex.clk
+    h_reads, w_reads, h_writes = [], [], []
+    hx = []
+    for i in range(8):
+        rec = ex._mr(h_ptr + i * 4, clk0)
+        h_reads.append(rec)
+        hx.append(rec.value)
+    a, b, c, d, e, f, g, h = hx
+    for i in range(64):
+        s1 = _ror(e, 6) ^ _ror(e, 11) ^ _ror(e, 25)
+        ch = ((e & f) ^ ((~e) & g)) & 0xFFFFFFFF
+        rec = ex._mr(w_ptr + i * 4, clk0)
+        w_reads.append(rec)
+        temp1 = (h + s1 + ch + SHA_K[i] + rec.value) & 0xFFFFFFFF
+        s0 = _ror(a, 2) ^ _ror(a, 13) ^ _ror(a, 22)
+        maj = ((a & b) ^ (a & c) ^ (b & c)) & 0xFFFFFFFF
+        temp2 = (s0 + maj) & 0xFFFFFFFF
+        h, g, f, e, d, c, b, a = g, f, e, (d + temp1) & 0xFFFFFFFF, c, b, a, (temp1 + temp2) & 0xFFFFFFFF
+    v = [a, b, c, d, e, f, g, h]
+    for i in range(8):
+        h_writes.append(ex._mw(h_ptr + i * 4, (hx[i] + v[i]) & 0xFFFFFFFF, clk0 + 1))
+    ex.record.precompile_events.setdefault("sha_compress", []).append(
+        ShaCompressEvent(ex.shard, clk0, w_ptr, h_ptr, tuple(h_reads), tuple(w_reads), tuple(h_writes))
     )

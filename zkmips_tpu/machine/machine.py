@@ -37,6 +37,7 @@ def core_chip_airs() -> list:
     from .memory_instr import MemoryInstrAir
     from .misc import MiscInstrAir, MovCondAir
     from .sha_extend import ShaExtendAir
+    from .sha_compress import ShaCompressAir
 
     return [
         CpuAir(),
@@ -55,6 +56,7 @@ def core_chip_airs() -> list:
         MovCondAir(),
         SyscallInstrAir(),
         ShaExtendAir(),
+        ShaCompressAir(),
         MemoryLocalAir(),
         MemoryGlobalInitAir(),
         MemoryGlobalFinalizeAir(),

@@ -22,9 +22,10 @@ SYS_FLAGS = [
     ("is_hintlen_sc", SyscallCode.SYSHINTLEN),
     ("is_hintread_sc", SyscallCode.SYSHINTREAD),
     ("is_shaext_sc", SyscallCode.SHA_EXTEND),
+    ("is_shacmp_sc", SyscallCode.SHA_COMPRESS),
 ]
 # syscalls whose events are consumed by a precompile chip (should_send bit)
-PRECOMPILE_FLAGS = {"is_shaext_sc"}
+PRECOMPILE_FLAGS = {"is_shaext_sc", "is_shacmp_sc"}
 
 
 class SyscallInstrAir(InstrAir):
