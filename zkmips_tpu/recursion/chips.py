@@ -1,0 +1,378 @@
+"""Recursion machine chips.
+
+Analog of crates/recursion/core/src/chips/: program structure (addresses,
+selectors, read multiplicities) is *preprocessed* per recursion program;
+main traces carry only runtime values.  The memory argument is SSA-flavored:
+every write sends [addr, v0..v3] once with multiplicity = number of reads;
+every read receives it once (LogUp balances the counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import field as ff
+from ..ops.poseidon2 import DIAG, RC_EXT_FIRST, RC_EXT_SECOND, RC_INTERNAL, ROUNDS_P
+from ..stark.air import AirBuilder, LookupKind
+from ..stark.chip import BaseAir
+from ..machine.gadgets import ColView, Schema
+from . import program as pr
+
+MEM = LookupKind.Memory
+
+
+def mem_msg(addr, v):
+    return [addr, v[0], v[1], v[2], v[3]]
+
+
+class RecMemConstAir(BaseAir):
+    """Program constants: fully preprocessed writes (chips/mem/constant)."""
+
+    name = "RecMemConst"
+    preprocessed_width = 6  # addr, v0..3, mult
+    main_width = 1  # unused filler (framework wants >= 1 main column)
+
+    def eval(self, b: AirBuilder):
+        addr = b.preprocessed(0)
+        v = [b.preprocessed(1 + i) for i in range(4)]
+        b.send(MEM, mem_msg(addr, v), b.preprocessed(5))
+
+    def generate_preprocessed(self, program):
+        rows = [
+            (ins.addr, *ins.value, ins.mult)
+            for ins in program.instructions
+            if isinstance(ins, pr.MemConst)
+        ]
+        t = np.zeros((max(len(rows), 1), 6), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        n = sum(1 for ins in record.program.instructions if isinstance(ins, pr.MemConst))
+        return np.zeros((max(n, 1), 1), dtype=np.uint32)
+
+
+class RecMemVarAir(BaseAir):
+    """Hint writes: addresses/mults preprocessed, values from the witness."""
+
+    name = "RecMemVar"
+    preprocessed_width = 3  # addr, mult, is_real
+    main_width = 4  # v0..3
+
+    def eval(self, b: AirBuilder):
+        v = [b.main(i) for i in range(4)]
+        b.send(MEM, mem_msg(b.preprocessed(0), v), b.preprocessed(1))
+
+    def generate_preprocessed(self, program):
+        rows = [(ins.addr, ins.mult, 1) for ins in program.instructions if isinstance(ins, pr.Hint)]
+        t = np.zeros((max(len(rows), 1), 3), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        events = record.hint_events
+        t = np.zeros((max(len(events), 1), 4), dtype=np.uint32)
+        for i, (_addr, val) in enumerate(events):
+            t[i] = val
+        return t
+
+
+class _AluAir(BaseAir):
+    """Shared base/ext ALU structure (chips/alu_base, alu_ext)."""
+
+    preprocessed_width = 8  # is_add, is_sub, is_mul, is_div, out, in1, in2, mult
+    main_width = 12  # a(4), b(4), o(4)
+    EXT = False
+
+    def eval(self, b: AirBuilder):
+        sels = [b.preprocessed(i) for i in range(4)]
+        out_a, in1_a, in2_a = b.preprocessed(4), b.preprocessed(5), b.preprocessed(6)
+        is_real = sels[0] + sels[1] + sels[2] + sels[3]
+        a = [b.main(i) for i in range(4)]
+        bb = [b.main(4 + i) for i in range(4)]
+        o = [b.main(8 + i) for i in range(4)]
+        b.receive(MEM, mem_msg(in1_a, a), is_real)
+        b.receive(MEM, mem_msg(in2_a, bb), is_real)
+        b.send(MEM, mem_msg(out_a, o), b.preprocessed(7))
+        is_add, is_sub, is_mul, is_div = sels
+        if not self.EXT:
+            b.when(is_add).assert_eq(o[0], a[0] + bb[0])
+            b.when(is_sub).assert_eq(o[0] + bb[0], a[0])
+            b.when(is_mul).assert_eq(o[0], a[0] * bb[0])
+            b.when(is_div).assert_eq(o[0] * bb[0], a[0])
+            for i in range(1, 4):
+                b.when(is_real).assert_zero(o[i])
+        else:
+            for i in range(4):
+                b.when(is_add).assert_eq(o[i], a[i] + bb[i])
+                b.when(is_sub).assert_eq(o[i] + bb[i], a[i])
+            mul_ab = _ext_mul_expr(a, bb)
+            mul_ob = _ext_mul_expr(o, bb)
+            for i in range(4):
+                b.when(is_mul).assert_eq(o[i], mul_ab[i])
+                b.when(is_div).assert_eq(mul_ob[i], a[i])
+
+    def _events(self, record):
+        return record.ext_alu_events if self.EXT else record.base_alu_events
+
+    def generate_preprocessed(self, program):
+        cls = pr.ExtAlu if self.EXT else pr.BaseAlu
+        rows = []
+        for ins in program.instructions:
+            if isinstance(ins, cls):
+                sel = [0, 0, 0, 0]
+                sel[int(ins.op)] = 1
+                rows.append((*sel, ins.out, ins.in1, ins.in2, ins.mult))
+        t = np.zeros((max(len(rows), 1), 8), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        events = self._events(record)
+        t = np.zeros((max(len(events), 1), 12), dtype=np.uint32)
+        for i, (_op, _out, _i1, _i2, a, bb, o, _m) in enumerate(events):
+            t[i, 0:4] = a
+            t[i, 4:8] = bb
+            t[i, 8:12] = o
+        return t
+
+
+def _ext_mul_expr(a, b):
+    """Schoolbook X^4 = 3 multiplication over Exprs."""
+    c = [0] * 7
+    for i in range(4):
+        for j in range(4):
+            t = a[i] * b[j]
+            c[i + j] = t if isinstance(c[i + j], int) else c[i + j] + t
+    out = []
+    for k in range(4):
+        e = c[k]
+        if k + 4 <= 6 and not isinstance(c[k + 4], int):
+            e = e + c[k + 4] * 3
+        out.append(e)
+    return out
+
+
+class RecBaseAluAir(_AluAir):
+    name = "RecBaseAlu"
+    EXT = False
+
+
+class RecExtAluAir(_AluAir):
+    name = "RecExtAlu"
+    EXT = True
+
+
+class RecPoseidon2Air(BaseAir):
+    """One row per permutation; external-round outputs + internal lane-0
+    s-boxes witnessed, linear layers as expressions (chips/poseidon2_wide)."""
+
+    name = "RecPoseidon2"
+
+    def __init__(self):
+        self.preprocessed_width = 49  # 16 in addrs + 16 out addrs + 16 mults + is_real
+        names = [f"in{i}" for i in range(16)]
+        for r in range(8):
+            names += [f"x{r}_{i}" for i in range(16)]
+        names += [f"t{r}" for r in range(ROUNDS_P)]
+        self.schema = Schema(names)
+        self.main_width = self.schema.width
+
+    def eval(self, b: AirBuilder):
+        col = ColView(b, self.schema)
+        is_real = b.preprocessed(48)
+        inp = [col(f"in{i}") for i in range(16)]
+        for i in range(16):
+            b.receive(MEM, mem_msg(b.preprocessed(i), _block(inp[i])), is_real)
+
+        state = _ext_linear_expr(inp)
+        widx = 0
+        for r in range(4):
+            sb = [col(f"x{widx}_{i}") for i in range(16)]
+            for i in range(16):
+                e = state[i] + int(_canon(RC_EXT_FIRST[r, i]))
+                b.when(is_real).assert_eq(sb[i], e * e * e)
+            state = _ext_linear_expr(sb)
+            widx += 1
+        for r in range(ROUNDS_P):
+            t = col(f"t{r}")
+            e = state[0] + int(_canon(RC_INTERNAL[r]))
+            b.when(is_real).assert_eq(t, e * e * e)
+            state = [t] + state[1:]
+            total = state[0]
+            for s_ in state[1:]:
+                total = total + s_
+            state = [state[i] * int(_canon(DIAG[i])) + total for i in range(16)]
+        for r in range(4):
+            sb = [col(f"x{widx}_{i}") for i in range(16)]
+            for i in range(16):
+                e = state[i] + int(_canon(RC_EXT_SECOND[r, i]))
+                b.when(is_real).assert_eq(sb[i], e * e * e)
+            state = _ext_linear_expr(sb)
+            widx += 1
+        for i in range(16):
+            b.send(MEM, mem_msg(b.preprocessed(16 + i), _block(state[i])), b.preprocessed(32 + i))
+
+    def generate_preprocessed(self, program):
+        rows = []
+        for ins in program.instructions:
+            if isinstance(ins, pr.Poseidon2):
+                rows.append((*ins.inp, *ins.out, *ins.mults, 1))
+        t = np.zeros((max(len(rows), 1), 49), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        events = record.poseidon2_events
+        s = self.schema
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        for i, (_ia, in_vals, _oa, _out_vals, _m) in enumerate(events):
+            state = [ff.to_monty_int(v) for v in in_vals]
+            state = _ext_linear_int(state)
+            for j in range(16):
+                t[i, s.idx(f"in{j}")] = in_vals[j]
+            widx = 0
+            for r in range(4):
+                state = [_sbox_int(x, int(RC_EXT_FIRST[r, j])) for j, x in enumerate(state)]
+                for j in range(16):
+                    t[i, s.idx(f"x{widx}_{j}")] = ff.from_monty_int(state[j])
+                state = _ext_linear_int(state)
+                widx += 1
+            for r in range(ROUNDS_P):
+                s0 = _sbox_int(state[0], int(RC_INTERNAL[r]))
+                t[i, s.idx(f"t{r}")] = ff.from_monty_int(s0)
+                state = [s0] + state[1:]
+                total = sum(ff.from_monty_int(x) for x in state) % ff.P
+                state = [
+                    (ff.from_monty_int(x) * ff.from_monty_int(int(DIAG[j])) + total) % ff.P
+                    for j, x in enumerate(state)
+                ]
+                state = [ff.to_monty_int(x) for x in state]
+            for r in range(4):
+                state = [_sbox_int(x, int(RC_EXT_SECOND[r, j])) for j, x in enumerate(state)]
+                for j in range(16):
+                    t[i, s.idx(f"x{widx}_{j}")] = ff.from_monty_int(state[j])
+                state = _ext_linear_int(state)
+                widx += 1
+        return t
+
+
+def _canon(monty_u32) -> int:
+    return ff.from_monty_int(int(monty_u32))
+
+
+def _block(e):
+    return [e, 0, 0, 0]
+
+
+def _ext_linear_expr(cols):
+    out = list(cols)
+    for i in range(0, 16, 4):
+        s0, s1, s2, s3 = out[i], out[i + 1], out[i + 2], out[i + 3]
+        t01 = s0 + s1
+        t23 = s2 + s3
+        t0123 = t01 + t23
+        t01123 = t0123 + s1
+        t01233 = t0123 + s3
+        out[i + 3] = t01233 + 2 * s0
+        out[i + 1] = t01123 + 2 * s2
+        out[i] = t01123 + t01
+        out[i + 2] = t01233 + t23
+    sums = []
+    for k in range(4):
+        acc = out[k]
+        for j in range(4, 16, 4):
+            acc = acc + out[j + k]
+        sums.append(acc)
+    return [out[j] + sums[j % 4] for j in range(16)]
+
+
+def _ext_linear_int(state_monty):
+    import numpy as np
+
+    from ..ops import poseidon2 as p2
+
+    arr = np.array(state_monty, dtype=np.uint32)
+    return [int(x) for x in p2._external_linear(arr[None, :], np)[0]]
+
+
+def _sbox_int(x_monty: int, rc_monty: int) -> int:
+    v = (ff.from_monty_int(x_monty) + ff.from_monty_int(rc_monty)) % ff.P
+    return ff.to_monty_int(pow(v, 3, ff.P))
+
+
+class RecSelectAir(BaseAir):
+    """Conditional swap (chips/select)."""
+
+    name = "RecSelect"
+    preprocessed_width = 8  # bit, out1, out2, in1, in2, mult1, mult2, is_real
+    main_width = 3  # bit_v, a, b  (base values only)
+
+    def eval(self, b: AirBuilder):
+        is_real = b.preprocessed(7)
+        bit, a, bb = b.main(0), b.main(1), b.main(2)
+        b.when(is_real).assert_bool(bit)
+        b.receive(MEM, mem_msg(b.preprocessed(0), _block(bit)), is_real)
+        b.receive(MEM, mem_msg(b.preprocessed(3), _block(a)), is_real)
+        b.receive(MEM, mem_msg(b.preprocessed(4), _block(bb)), is_real)
+        o1 = a + bit * (bb - a)
+        o2 = bb + bit * (a - bb)
+        b.send(MEM, mem_msg(b.preprocessed(1), _block(o1)), b.preprocessed(5))
+        b.send(MEM, mem_msg(b.preprocessed(2), _block(o2)), b.preprocessed(6))
+
+    def generate_preprocessed(self, program):
+        rows = []
+        for ins in program.instructions:
+            if isinstance(ins, pr.Select):
+                rows.append((ins.bit, ins.out1, ins.out2, ins.in1, ins.in2, ins.mult1, ins.mult2, 1))
+        t = np.zeros((max(len(rows), 1), 8), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        events = record.select_events
+        t = np.zeros((max(len(events), 1), 3), dtype=np.uint32)
+        for i, (_ins, bit, a, bb, _o1, _o2) in enumerate(events):
+            t[i] = (bit, a[0], bb[0])
+        return t
+
+
+class RecPublicValuesAir(BaseAir):
+    """Bind committed felts to the machine public values (chips/public_values)."""
+
+    name = "RecPublicValues"
+    preprocessed_width = 10  # addr, index-one-hot flags (1..8), is_real
+    main_width = 1  # value
+
+    def eval(self, b: AirBuilder):
+        is_real = b.preprocessed(9)
+        v = b.main(0)
+        b.receive(MEM, mem_msg(b.preprocessed(0), _block(v)), is_real)
+        # one row per public value; one-hot index flags in prep columns 1..8
+        flags = [b.preprocessed(1 + i) for i in range(8)]
+        for i, fl in enumerate(flags):
+            b.when(fl).assert_eq(v, b.public_value(i))
+
+    def generate_preprocessed(self, program):
+        commit = None
+        for ins in program.instructions:
+            if isinstance(ins, pr.CommitPublicValues):
+                commit = ins
+        t = np.zeros((8, 10), dtype=np.uint32)
+        if commit is not None:
+            for i in range(8):
+                t[i, 0] = commit.addrs[i]
+                t[i, 1 + i] = 1
+                t[i, 9] = 1
+        return t
+
+    def generate_trace(self, record, output):
+        t = np.zeros((8, 1), dtype=np.uint32)
+        for i in range(8):
+            t[i, 0] = record.public_values[i]
+        return t

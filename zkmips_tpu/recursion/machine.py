@@ -1,0 +1,49 @@
+"""Recursion STARK machine: prove/verify recursion VM executions.
+
+Analog of RecursionAir machines (crates/recursion/core/src/machine.rs:39-153)
+assembled over the generic stark layer; each recursion program gets its own
+preprocessed commitment (pk/vk), like the reference's per-shape program
+caches (crates/prover/src/lib.rs:366-438).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..stark.chip import Chip
+from ..stark.machine import StarkConfig, StarkMachine
+from .chips import (
+    RecBaseAluAir,
+    RecExtAluAir,
+    RecMemConstAir,
+    RecMemVarAir,
+    RecPoseidon2Air,
+    RecPublicValuesAir,
+    RecSelectAir,
+)
+from .runtime import RecursionRuntime
+
+NUM_PV = 8
+
+
+class RecursionMachine:
+    def __init__(self, config: StarkConfig | None = None):
+        self.airs = [
+            RecMemConstAir(), RecMemVarAir(), RecBaseAluAir(), RecExtAluAir(),
+            RecPoseidon2Air(), RecSelectAir(), RecPublicValuesAir(),
+        ]
+        chips = [Chip(a, num_public_values=NUM_PV) for a in self.airs]
+        self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=NUM_PV)
+
+    def setup(self, program):
+        return self.machine.setup(program)
+
+    def execute(self, program, witness=()):
+        return RecursionRuntime(program, witness).run()
+
+    def prove(self, pk, record, xp=np):
+        pv = np.array(record.public_values, dtype=np.uint32)
+        return self.machine.prove_shard(pk, record, pv, xp=xp)
+
+    def verify(self, vk, proof) -> bool:
+        return self.machine.verify_shard(vk, proof)

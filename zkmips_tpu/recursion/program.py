@@ -1,0 +1,102 @@
+"""Recursion VM instruction set + program container.
+
+Analog of crates/recursion/core/src/runtime/instruction.rs:9-23: a
+straight-line program over a flat field-element memory; every variable has a
+static address assigned by the compiler, every value is written exactly once
+(SSA), and each write carries the number of future reads (the LogUp
+multiplicity of its memory send).
+
+Extension values occupy a block of 4 consecutive cells addressed by their
+first cell.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import IntEnum
+
+
+class BaseOp(IntEnum):
+    ADD = 0
+    SUB = 1
+    MUL = 2
+    DIV = 3
+
+
+@dataclass(frozen=True, slots=True)
+class MemConst:
+    """Write an immediate (4-tuple block, base values padded) to memory."""
+
+    addr: int
+    value: tuple  # 4 canonical ints
+    mult: int
+
+
+@dataclass(frozen=True, slots=True)
+class BaseAlu:
+    op: BaseOp
+    out: int
+    in1: int
+    in2: int
+    mult: int
+
+
+@dataclass(frozen=True, slots=True)
+class ExtAlu:
+    op: BaseOp
+    out: int
+    in1: int
+    in2: int
+    mult: int
+
+
+@dataclass(frozen=True, slots=True)
+class Poseidon2:
+    """Permute 16 felts: out[i] <- perm(in[i])."""
+
+    out: tuple  # 16 addrs
+    inp: tuple  # 16 addrs
+    mults: tuple  # 16 read-mults for the outputs
+
+
+@dataclass(frozen=True, slots=True)
+class Select:
+    """out1 = bit ? in2 : in1 ; out2 = bit ? in1 : in2 (runtime/instruction.rs Select)."""
+
+    bit: int
+    out1: int
+    out2: int
+    in1: int
+    in2: int
+    mult1: int
+    mult2: int
+
+
+@dataclass(frozen=True, slots=True)
+class ExpReverseBitsLen:
+    """out = base^(reverse_bits(exp_bits)) — the FRI x-recovery primitive."""
+
+    out: int
+    base: int
+    bit_addrs: tuple
+    mult: int
+
+
+@dataclass(frozen=True, slots=True)
+class Hint:
+    """Pop one block from the witness stream into memory."""
+
+    addr: int
+    mult: int
+
+
+@dataclass(frozen=True, slots=True)
+class CommitPublicValues:
+    addrs: tuple  # 8 felt addrs
+
+
+@dataclass
+class RecursionProgram:
+    instructions: list
+    memory_size: int
+    num_public_values: int = 8

@@ -1,0 +1,122 @@
+"""Recursion VM runtime: execute a RecursionProgram, collect chip events.
+
+Analog of crates/recursion/core/src/runtime/mod.rs:76,260 — straight-line
+execution over a flat block memory with a witness stream for hints.  Values
+are 4-tuples of canonical ints (base values use coordinate 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..ops import field as ff, ext4
+from . import program as pr
+
+import numpy as np
+
+
+@dataclass
+class RecursionRecord:
+    program: object = None
+    mem_const_events: list = field(default_factory=list)  # (addr, value4, mult)
+    base_alu_events: list = field(default_factory=list)  # (op, out_addr, a4, b4, o4, mult)
+    ext_alu_events: list = field(default_factory=list)
+    poseidon2_events: list = field(default_factory=list)  # (in_addrs, in_vals, out_addrs, out_vals, mults)
+    select_events: list = field(default_factory=list)
+    exp_bits_events: list = field(default_factory=list)
+    hint_events: list = field(default_factory=list)
+    public_values: list = field(default_factory=lambda: [0] * 8)
+
+
+class RecursionRuntime:
+    def __init__(self, program: pr.RecursionProgram, witness_stream=()):
+        self.program = program
+        self.memory: dict[int, tuple] = {}
+        self.witness = list(witness_stream)
+        self.witness_ptr = 0
+        self.record = RecursionRecord(program=program)
+
+    def _w(self, addr: int, value: tuple):
+        assert addr not in self.memory, f"address {addr} written twice"
+        self.memory[addr] = tuple(v % ff.P for v in value)
+
+    def _r(self, addr: int) -> tuple:
+        return self.memory[addr]
+
+    def run(self) -> RecursionRecord:
+        rec = self.record
+        for ins in self.program.instructions:
+            if isinstance(ins, pr.MemConst):
+                self._w(ins.addr, ins.value)
+                rec.mem_const_events.append((ins.addr, ins.value, ins.mult))
+            elif isinstance(ins, pr.Hint):
+                val = tuple(self.witness[self.witness_ptr])
+                self.witness_ptr += 1
+                self._w(ins.addr, val)
+                rec.mem_const_events.append((ins.addr, val, ins.mult))
+                rec.hint_events.append((ins.addr, val))
+            elif isinstance(ins, pr.BaseAlu):
+                a, b = self._r(ins.in1), self._r(ins.in2)
+                o = (_base_op(ins.op, a[0], b[0]), 0, 0, 0)
+                self._w(ins.out, o)
+                rec.base_alu_events.append((ins.op, ins.out, ins.in1, ins.in2, a, b, o, ins.mult))
+            elif isinstance(ins, pr.ExtAlu):
+                a, b = self._r(ins.in1), self._r(ins.in2)
+                o = _ext_op(ins.op, a, b)
+                self._w(ins.out, o)
+                rec.ext_alu_events.append((ins.op, ins.out, ins.in1, ins.in2, a, b, o, ins.mult))
+            elif isinstance(ins, pr.Poseidon2):
+                from ..ops import poseidon2 as p2
+
+                vals = [self._r(a) for a in ins.inp]
+                state = np.array([ff.to_monty_int(v[0]) for v in vals], dtype=np.uint32)
+                out = ff.from_monty(p2.permute(state))
+                outs = [int(x) for x in out]
+                for a, v in zip(ins.out, outs):
+                    self._w(a, (v, 0, 0, 0))
+                rec.poseidon2_events.append((ins.inp, [v[0] for v in vals], ins.out, outs, ins.mults))
+            elif isinstance(ins, pr.Select):
+                bit = self._r(ins.bit)[0]
+                a, b = self._r(ins.in1), self._r(ins.in2)
+                o1, o2 = (b, a) if bit else (a, b)
+                self._w(ins.out1, o1)
+                self._w(ins.out2, o2)
+                rec.select_events.append((ins, bit, a, b, o1, o2))
+            elif isinstance(ins, pr.ExpReverseBitsLen):
+                base = self._r(ins.base)[0]
+                bits = [self._r(a)[0] for a in ins.bit_addrs]
+                exp = 0
+                for bit in bits:  # reversed bit order
+                    exp = exp * 2 + bit
+                val = pow(base, exp, ff.P)
+                self._w(ins.out, (val, 0, 0, 0))
+                rec.exp_bits_events.append((ins, base, bits, val))
+            elif isinstance(ins, pr.CommitPublicValues):
+                rec.public_values = [self._r(a)[0] for a in ins.addrs]
+            else:
+                raise TypeError(ins)
+        return rec
+
+
+def _base_op(op: pr.BaseOp, a: int, b: int) -> int:
+    if op == pr.BaseOp.ADD:
+        return (a + b) % ff.P
+    if op == pr.BaseOp.SUB:
+        return (a - b) % ff.P
+    if op == pr.BaseOp.MUL:
+        return a * b % ff.P
+    return a * pow(b, ff.P - 2, ff.P) % ff.P
+
+
+def _ext_op(op: pr.BaseOp, a: tuple, b: tuple) -> tuple:
+    am = np.array([ff.to_monty_int(v) for v in a], dtype=np.uint32)
+    bm = np.array([ff.to_monty_int(v) for v in b], dtype=np.uint32)
+    if op == pr.BaseOp.ADD:
+        o = ext4.add(am, bm)
+    elif op == pr.BaseOp.SUB:
+        o = ext4.sub(am, bm)
+    elif op == pr.BaseOp.MUL:
+        o = ext4.mul(am, bm)
+    else:
+        o = ext4.mul(am, ext4.inv(bm))
+    return tuple(int(x) for x in ff.from_monty(o))
