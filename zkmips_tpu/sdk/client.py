@@ -93,6 +93,20 @@ class ProverClient:
         return pk, pk.vk
 
     def execute(self, program: Program, stdin: ZKMStdin | None = None, max_cycles: int | None = None) -> ExecutionReport:
+        bufs = stdin.buffers if stdin is not None else []
+        try:
+            from ..executor.native import NativeUnsupported, run_native
+
+            out = run_native(program, stdin=bufs, max_cycles=max_cycles or (1 << 40))
+            return ExecutionReport(
+                total_instruction_count=out["global_clk"],
+                exit_code=out["exit_code"],
+                stdout=b"",  # stdout capture stays on the python path
+                public_values=out["public_values"],
+                cycle_tracker={},
+            )
+        except Exception:
+            pass  # fall back to the reference interpreter
         ex = self._executor(program, stdin)
         ex.run(max_cycles=max_cycles)
         return ExecutionReport(
