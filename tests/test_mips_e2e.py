@@ -192,3 +192,13 @@ def test_sha256_full_hash_oracles_and_prove():
     pk = m.setup(p2)
     proofs = m.prove(pk, records2)
     assert m.verify(pk.vk, proofs, p2)
+
+
+def test_multi_shard_pipelined_prove():
+    body = [asm.addi(R.T0, R.T0, 1) for _ in range(40)]
+    p, records, ex = _run(body, shard_size=16)
+    assert len(records) >= 3
+    m = mips_machine(StarkConfig.test(), minimal=True)
+    pk = m.setup(p)
+    proofs = m.prove(pk, records, workers=2)
+    assert m.verify(pk.vk, proofs, p)

@@ -99,12 +99,27 @@ class MipsMachine:
         pv = self.shard_public_values(record)
         return self.machine.prove_shard(pk, record, pv, xp=xp)
 
-    def prove(self, pk, records: list, device: bool = False) -> list:
+    def prove(self, pk, records: list, device: bool = False, workers: int | None = None) -> list:
+        """Prove all shards; ``workers`` > 1 pipelines shards across threads
+        (the analog of the reference's trace-gen/prove worker pool,
+        crates/core/machine/src/utils/prove.rs:157-520 — numpy/XLA release
+        the GIL, so host trace generation overlaps device proving)."""
+        xp = np
         if device:
             import jax.numpy as jnp
 
-            return [self.prove_record(pk, r, xp=jnp) for r in records]
-        return [self.prove_record(pk, r) for r in records]
+            xp = jnp
+        if workers is None:
+            from ..utils.opts import ZKMCoreOpts
+
+            workers = ZKMCoreOpts.default().trace_gen_workers if len(records) > 1 else 1
+        if workers <= 1 or len(records) <= 1:
+            return [self.prove_record(pk, r, xp=xp) for r in records]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = [pool.submit(self.prove_record, pk, r, xp) for r in records]
+            return [f.result() for f in futs]
 
     # ----------------------------------------------------------------- verify
 

@@ -1,0 +1,37 @@
+"""Lightweight tracing spans (analog of the reference's tracing setup,
+crates/core/machine/src/utils/logger.rs): nested wall-clock spans gated by
+the RUST_LOGGER / ZKMIPS_LOG env vars, aggregated for report printing."""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+_ENABLED = bool(os.environ.get("ZKMIPS_LOG") or os.environ.get("RUST_LOGGER"))
+_TOTALS: dict[str, float] = defaultdict(float)
+_COUNTS: dict[str, int] = defaultdict(int)
+_STACK: list[str] = []
+
+
+@contextmanager
+def span(name: str):
+    if not _ENABLED:
+        yield
+        return
+    _STACK.append(name)
+    path = "/".join(_STACK)
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        dt = time.time() - t0
+        _TOTALS[path] += dt
+        _COUNTS[path] += 1
+        _STACK.pop()
+        print(f"[span] {path}: {dt:.3f}s", flush=True)
+
+
+def spans_report() -> dict:
+    return {k: (_TOTALS[k], _COUNTS[k]) for k in sorted(_TOTALS)}
