@@ -202,3 +202,16 @@ def test_multi_shard_pipelined_prove():
     pk = m.setup(p)
     proofs = m.prove(pk, records, workers=2)
     assert m.verify(pk.vk, proofs, p)
+
+
+def test_fixed_shapes_prove_verify():
+    from zkmips_tpu.machine.machine import MipsMachine
+
+    p, records, ex = _run([asm.addi(R.T0, 0, 5), asm.alu(O.SUB, R.T1, R.T0, R.T0)])
+    m = MipsMachine(StarkConfig.test(), use_shapes=True)
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    # shaped padding: the Cpu trace is 2^10 even though only a few cycles ran
+    names = dict(zip(proofs[0].chip_names, proofs[0].opened))
+    assert names["Cpu"].log_degree == 10
+    assert m.verify(pk.vk, proofs, p)

@@ -42,22 +42,20 @@ class AddSubAir(InstrAir):
         send_u16_check(b, a.lo, col("is_real"))
         send_u16_check(b, a.hi, col("is_real"))
 
-    def fill_op(self, t, i, e, op, sink: ByteSink):
+    def fill_vec(self, t, events, ops, sink: ByteSink) -> bool:
         s = self.schema
-        a, bb, c = (int(e.a), int(e.b), int(e.c)) if hasattr(e, "instruction") else (e.a, e.b, e.c)
-        if op == O.ADD:
-            x, y = a, bb
-        else:
-            x, y = bb, a
-        x_lo, _ = split_u32(x)
-        y_lo, _ = split_u32(y)
-        c_lo, _ = split_u32(c)
-        carry0 = 1 if (y_lo + c_lo) >= 65536 else 0
-        carry1 = 1 if ((y >> 16) + (c >> 16) + carry0) >= 65536 else 0
-        t[i, s.idx("carry0")] = carry0
-        t[i, s.idx("carry1")] = carry1
-        sink.u16(np.array([a & 0xFFFF], dtype=np.uint32))
-        sink.u16(np.array([a >> 16], dtype=np.uint32))
+        a = (t[:, s.idx("a_lo")].astype(np.uint64) | (t[:, s.idx("a_hi")].astype(np.uint64) << 16))
+        bb = (t[:, s.idx("b_lo")].astype(np.uint64) | (t[:, s.idx("b_hi")].astype(np.uint64) << 16))
+        c = (t[:, s.idx("c_lo")].astype(np.uint64) | (t[:, s.idx("c_hi")].astype(np.uint64) << 16))
+        is_add = t[:, s.idx("is_add")] == 1
+        y = np.where(is_add, bb, a)
+        carry0 = ((y & 0xFFFF) + (c & 0xFFFF)) >> 16
+        carry1 = ((y >> 16) + (c >> 16) + carry0) >> 16
+        t[:, s.idx("carry0")] = carry0
+        t[:, s.idx("carry1")] = carry1
+        sink.u16(t[:, s.idx("a_lo")])
+        sink.u16(t[:, s.idx("a_hi")])
+        return True
 
 
 _BW_BYTEOP = {O.AND: ByteOpcode.AND, O.OR: ByteOpcode.OR, O.XOR: ByteOpcode.XOR, O.NOR: ByteOpcode.NOR}

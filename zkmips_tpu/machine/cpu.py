@@ -182,7 +182,7 @@ class CpuAir(BaseAir):
         t[:, s.idx("pc")] = np.array([e.pc for e in events], dtype=np.uint32)
         t[:, s.idx("next_pc")] = np.array([e.next_pc for e in events], dtype=np.uint32)
         t[:, s.idx("next_next_pc")] = np.array([e.next_next_pc for e in events], dtype=np.uint32)
-        opcodes = np.array([int(e.instruction.opcode) for e in events], dtype=np.uint32)
+        opcodes = np.array([int(e.instruction.opcode) for e in events], dtype=np.int64)
         t[:, s.idx("i_opcode")] = opcodes
         op_a = np.array([e.instruction.op_a for e in events], dtype=np.uint32)
         t[:, s.idx("i_op_a")] = op_a
@@ -210,19 +210,24 @@ class CpuAir(BaseAir):
         aw = np.where(az == 1, 0, a_vals).astype(np.uint32)
         setw("aw", aw)
 
-        flags = np.zeros((n, 6), dtype=np.uint32)  # extra, whi, ppa, halt, seq, imm_a
-        for i, e in enumerate(events):
-            op = e.instruction.opcode
-            is_syscall = op == Opcode.SYSCALL
-            is_halt = is_syscall and e.syscall_code == 0
-            flags[i, 0] = _num_extra(e) if is_syscall else 0
-            flags[i, 1] = int(op in WRITES_HI)
-            flags[i, 2] = int(op in PA_IS_PREV_A)
-            flags[i, 3] = int(is_halt)
-            flags[i, 4] = int(op not in NON_SEQUENTIAL and not is_halt)
-            flags[i, 5] = int(op in IMMUTABLE_A)
-        for j, name in enumerate(["num_extra", "is_write_hi", "is_pa_prev_a", "is_halt", "is_sequential", "op_a_immutable"]):
-            t[:, s.idx(name)] = flags[:, j]
+        # per-opcode flag tables (vectorized via a 256-entry LUT)
+        lut = _flag_lut()
+        fl = lut[opcodes]
+        is_syscall = opcodes == int(Opcode.SYSCALL)
+        is_halt = np.zeros(n, dtype=np.uint32)
+        num_extra = np.zeros(n, dtype=np.uint32)
+        if is_syscall.any():
+            for i in np.nonzero(is_syscall)[0]:
+                e = events[i]
+                is_halt[i] = 1 if e.syscall_code == 0 else 0
+                num_extra[i] = _num_extra(e)
+        t[:, s.idx("num_extra")] = num_extra
+        t[:, s.idx("is_write_hi")] = fl[:, 0]
+        t[:, s.idx("is_pa_prev_a")] = fl[:, 1]
+        t[:, s.idx("is_halt")] = is_halt
+        t[:, s.idx("is_sequential")] = fl[:, 2] & (1 - is_halt)
+        t[:, s.idx("op_a_immutable")] = fl[:, 3]
+        flags = np.stack([num_extra, fl[:, 0], fl[:, 1], is_halt, fl[:, 2] & (1 - is_halt), fl[:, 3]], axis=1)
         t[:, s.idx("is_real")] = 1
 
         sink.u16(clk & 0xFFFF)
@@ -248,6 +253,22 @@ class CpuAir(BaseAir):
         prev_clk = np.array([r.prev_timestamp for r in recs], dtype=np.uint32)
         prev_val = np.array([getattr(r, "prev_value", 0) if hasattr(r, "prev_value") else r.value for r in recs], dtype=np.uint32)
         populate_access(t, s, rows, prefix, prev_shard, prev_clk, prev_val, shard, ts[rows], sink)
+
+
+_FLAG_LUT = None
+
+
+def _flag_lut():
+    global _FLAG_LUT
+    if _FLAG_LUT is None:
+        lut = np.zeros((256, 4), dtype=np.uint32)
+        for op in Opcode:
+            lut[int(op), 0] = int(op in WRITES_HI)
+            lut[int(op), 1] = int(op in PA_IS_PREV_A)
+            lut[int(op), 2] = int(op not in NON_SEQUENTIAL)
+            lut[int(op), 3] = int(op in IMMUTABLE_A)
+        _FLAG_LUT = lut
+    return _FLAG_LUT
 
 
 def _num_extra(e) -> int:

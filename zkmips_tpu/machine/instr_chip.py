@@ -105,34 +105,43 @@ class InstrAir(BaseAir):
             return t
         sink = ByteSink(record)
         shard = record.shard
-        for i, e in enumerate(events):
-            if hasattr(e, "instruction"):  # CpuEvent
-                op = e.instruction.opcode
-                row = {
-                    "shard": shard, "clk": e.clk, "pc": e.pc,
-                    "next_pc": e.next_pc, "next_next_pc": e.next_next_pc,
-                    "a": e.a, "b": e.b, "c": e.c,
-                    "pa": e.hi_or_prev_a or 0,
-                    "hiw": e.access.hi.value if e.access.hi is not None else 0,
-                    "hp": e.access.hi.prev_value if e.access.hi is not None else 0,
-                }
-            else:  # NestedAluEvent
-                op = e.opcode
-                row = {
-                    "shard": 0, "clk": 0, "pc": 0, "next_pc": 0, "next_next_pc": 0,
-                    "a": e.a, "b": e.b, "c": e.c, "pa": e.pa, "hiw": e.hiw,
-                    "hp": getattr(e, "hp", 0),
-                }
-            for k in ("shard", "clk", "pc", "next_pc", "next_next_pc"):
-                t[i, s.idx(k)] = row[k]
-            for k in ("a", "b", "c", "pa", "hiw", "hp"):
-                lo, hi = split_u32(int(row[k]))
-                t[i, s.idx(f"{k}_lo")] = lo
-                t[i, s.idx(f"{k}_hi")] = hi
+
+        def field(fn_cpu, fn_nested):
+            return np.fromiter(
+                (fn_cpu(e) if hasattr(e, "instruction") else fn_nested(e) for e in events),
+                dtype=np.uint64, count=n,
+            )
+
+        t[:, s.idx("shard")] = field(lambda e: shard, lambda e: 0)
+        t[:, s.idx("clk")] = field(lambda e: e.clk, lambda e: 0)
+        t[:, s.idx("pc")] = field(lambda e: e.pc, lambda e: 0)
+        t[:, s.idx("next_pc")] = field(lambda e: e.next_pc, lambda e: 0)
+        t[:, s.idx("next_next_pc")] = field(lambda e: e.next_next_pc, lambda e: 0)
+        vals = {
+            "a": field(lambda e: e.a, lambda e: e.a),
+            "b": field(lambda e: e.b, lambda e: e.b),
+            "c": field(lambda e: e.c, lambda e: e.c),
+            "pa": field(lambda e: e.hi_or_prev_a or 0, lambda e: e.pa),
+            "hiw": field(lambda e: e.access.hi.value if e.access.hi is not None else 0, lambda e: e.hiw),
+            "hp": field(lambda e: e.access.hi.prev_value if e.access.hi is not None else 0, lambda e: e.hp),
+        }
+        for k, v in vals.items():
+            v = v.astype(np.uint32)
+            t[:, s.idx(f"{k}_lo")] = v & 0xFFFF
+            t[:, s.idx(f"{k}_hi")] = v >> 16
+        t[:, s.idx("is_real")] = 1
+        ops = [e.instruction.opcode if hasattr(e, "instruction") else e.opcode for e in events]
+        for i, op in enumerate(ops):
             t[i, s.idx(f"is_{op.name.lower()}")] = 1
-            t[i, s.idx("is_real")] = 1
-            self.fill_op(t, i, e, op, sink)
+        if self.fill_vec(t, events, ops, sink):
+            return t
+        for i, e in enumerate(events):
+            self.fill_op(t, i, e, ops[i], sink)
         return t
+
+    def fill_vec(self, t, events, ops, sink) -> bool:
+        """Subclasses may implement a vectorized fill; return True if done."""
+        return False
 
     def fill_op(self, t, i, event, op, sink: ByteSink):
         raise NotImplementedError

@@ -67,11 +67,18 @@ def core_chip_airs() -> list:
 
 
 class MipsMachine:
-    def __init__(self, config: StarkConfig | None = None, chip_airs=None):
+    def __init__(self, config: StarkConfig | None = None, chip_airs=None, use_shapes: bool = False):
         airs = chip_airs if chip_airs is not None else core_chip_airs()
         self.airs = airs
         chips = [Chip(a, num_public_values=NUM_PV) for a in airs]
-        self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=NUM_PV)
+        shape_config = None
+        if use_shapes:
+            from .shapes import ShapeConfig
+
+            shape_config = ShapeConfig()
+        self.machine = StarkMachine(
+            config or StarkConfig.core(), chips, num_public_values=NUM_PV, shape_config=shape_config
+        )
 
     def setup(self, program):
         return self.machine.setup(program)

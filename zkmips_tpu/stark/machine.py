@@ -92,11 +92,12 @@ class VerificationError(Exception):
 
 
 class StarkMachine:
-    def __init__(self, config: StarkConfig, chips: list[Chip], num_public_values: int = 0):
+    def __init__(self, config: StarkConfig, chips: list[Chip], num_public_values: int = 0, shape_config=None):
         self.config = config
         self.chips = chips
         self.num_public_values = num_public_values
         self.chip_map = {c.name: c for c in chips}
+        self.shape_config = shape_config  # optional fixed-shape menu
 
     # ------------------------------------------------------------------ setup
 
@@ -127,18 +128,26 @@ class StarkMachine:
         for name in pk.prep_traces:
             assert self.chip_map[name] in chips, f"preprocessed chip {name} must be included"
 
-        # 1. generate + pad main traces
+        # 1. generate + pad main traces (optionally to a fixed shape)
+        raw = {c.name: c.air.generate_trace(record, None).astype(np.uint32) for c in chips}
+        shape = None
+        if self.shape_config is not None:
+            shape = self.shape_config.fix_shape({n: t.shape[0] for n, t in raw.items()})
         traces = {}
         for chip in chips:
-            t = chip.air.generate_trace(record, None).astype(np.uint32)
+            t = raw[chip.name]
             fixed = pk.prep_traces.get(chip.name)
+            target = None
+            if fixed is not None:
+                target = fixed.shape[0]
+            elif shape is not None and shape.log_h(chip.name) is not None:
+                target = 1 << shape.log_h(chip.name)
+            else:
+                target = max(16, 1 << max(t.shape[0] - 1, 1).bit_length())
             pad_hook = getattr(chip.air, "pad_rows", None)
             if pad_hook is not None:
-                target = max(16, 1 << max(t.shape[0] - 1, 1).bit_length())
-                if t.shape[0] and t.shape[0] & (t.shape[0] - 1) == 0 and t.shape[0] >= 16:
-                    target = t.shape[0]
                 t = pad_hook(t, target)
-            t = pad_to_power_of_two(t, fixed_rows=None if fixed is None else fixed.shape[0])
+            t = pad_to_power_of_two(t, fixed_rows=target)
             tm = f.to_monty(t)
             traces[chip.name] = tm if xp is np else xp.asarray(tm)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
