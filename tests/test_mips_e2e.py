@@ -215,3 +215,28 @@ def test_fixed_shapes_prove_verify():
     names = dict(zip(proofs[0].chip_names, proofs[0].opened))
     assert names["Cpu"].log_degree == 10
     assert m.verify(pk.vk, proofs, p)
+
+
+def test_poseidon2_precompile_oracles_and_prove():
+    from zkmips_tpu.ops import field as ff
+
+    vals = [(i * 37 + 5) % ff.P for i in range(16)]
+    body = []
+    for i, v in enumerate(vals):
+        body += [*asm.li(R.T0, v), *asm.li(R.T1, 0x2000 + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x00010030), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0), asm.syscall()]
+    p, records, ex = _run(body)
+    import numpy as np
+
+    from zkmips_tpu.ops import poseidon2 as p2
+
+    got = [ex.word(0x2000 + 4 * i) for i in range(16)]
+    want = [int(x) for x in ff.from_monty(p2.permute(np.array([ff.to_monty_int(v) for v in vals], dtype=np.uint32)))]
+    assert got == want
+
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+    p2_, records2, ex2 = _run(body)
+    pk = m.setup(p2_)
+    proofs = m.prove(pk, records2)
+    assert m.verify(pk.vk, proofs, p2_)

@@ -51,6 +51,9 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
     if code == SyscallCode.SHA_COMPRESS:
         _sha_compress(ex, b, c)
         return None, next_pc, extra, exit_code
+    if code == SyscallCode.POSEIDON2_PERMUTE:
+        _poseidon2_permute(ex, b, c)
+        return None, next_pc, extra, exit_code
     impl = PRECOMPILES.get(code)
     if impl is not None:
         res = impl(ex, code, b, c)
@@ -190,4 +193,25 @@ def _sha_compress(ex, w_ptr: int, h_ptr: int):
         h_writes.append(ex._mw(h_ptr + i * 4, (hx[i] + v[i]) & 0xFFFFFFFF, clk0 + 1))
     ex.record.precompile_events.setdefault("sha_compress", []).append(
         ShaCompressEvent(ex.shard, clk0, w_ptr, h_ptr, tuple(h_reads), tuple(w_reads), tuple(h_writes))
+    )
+
+
+def _poseidon2_permute(ex, state_ptr: int, arg2: int):
+    """Permute 16 KoalaBear words in place (reference poseidon2/permute.rs)."""
+    import numpy as np
+
+    from ..ops import field as ffield, poseidon2 as p2
+
+    if arg2 != 0 or state_ptr % 4 != 0:
+        raise _err("poseidon2_permute: bad args")
+    clk0 = ex.clk
+    pre = [ex.word(state_ptr + 4 * i) for i in range(16)]
+    if any(v >= ffield.P for v in pre):
+        raise _err("poseidon2_permute: state word out of field range")
+    state = np.array([ffield.to_monty_int(v) for v in pre], dtype=np.uint32)
+    post = [int(x) for x in ffield.from_monty(p2.permute(state))]
+    records = [ex._mw(state_ptr + 4 * i, post[i], clk0) for i in range(16)]
+    ex.record.precompile_events.setdefault("poseidon2", []).append(
+        {"shard": ex.shard, "clk": clk0, "ptr": state_ptr, "pre_state": pre,
+         "post_state": post, "records": records}
     )

@@ -38,6 +38,7 @@ def core_chip_airs() -> list:
     from .misc import MiscInstrAir, MovCondAir
     from .sha_extend import ShaExtendAir
     from .sha_compress import ShaCompressAir
+    from .poseidon2_chip import Poseidon2ChipAir
 
     return [
         CpuAir(),
@@ -57,6 +58,7 @@ def core_chip_airs() -> list:
         SyscallInstrAir(),
         ShaExtendAir(),
         ShaCompressAir(),
+        Poseidon2ChipAir(),
         MemoryLocalAir(),
         MemoryGlobalInitAir(),
         MemoryGlobalFinalizeAir(),
