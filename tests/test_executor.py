@@ -436,3 +436,34 @@ def test_fibonacci_program():
     for _ in range(n):
         fibs.append(fibs[-1] + fibs[-2])
     assert reg(ex, R.T1) == fibs[n + 1]
+
+
+def test_checkpoint_resume():
+    body = [asm.addi(R.T0, R.T0, 1) for _ in range(10)]
+    p = asm.prog(body + halt_sequence())
+    ex = Executor(p)
+    for _ in range(5):
+        ex.execute_cycle()
+    snap = ex.checkpoint()
+    t0_at_snap = ex.register(R.T0)
+    ex.run()
+    final = ex.register(R.T0)
+    ex2 = Executor(p)
+    ex2.restore(snap)
+    assert ex2.register(R.T0) == t0_at_snap
+    ex2.run()
+    assert ex2.register(R.T0) == final
+
+
+def test_unconstrained_rollback():
+    p = asm.prog([asm.addi(R.T0, 0, 1)] + halt_sequence())
+    ex = Executor(p)
+    ex.execute_cycle()
+    before = ex.register(R.T0)
+    ex.enter_unconstrained()
+    ex.rw_cpu(R.T0, 999, 3)
+    ex.mw_cpu(0x2000, 123)
+    assert ex.register(R.T0) == 999
+    ex.exit_unconstrained()
+    assert ex.register(R.T0) == before
+    assert ex.word(0x2000) == 0

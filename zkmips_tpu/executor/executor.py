@@ -88,6 +88,10 @@ class Executor:
         self.stdout = bytearray()
         self.committed_value_digest = [0] * 8
 
+        # unconstrained (hint-generation) mode: fork/rollback state
+        self.unconstrained = False
+        self._fork = None
+
         # records
         self.record = ExecutionRecord(shard=1, program=program)
         self.records: list[ExecutionRecord] = []
@@ -193,6 +197,53 @@ class Executor:
         if self.access is not None:
             self.access.memory = rec
             self.access.memory_addr = addr
+
+    # ----------------------------------------------- unconstrained + forking
+
+    def enter_unconstrained(self):
+        """Fork the architectural state (reference ENTER_UNCONSTRAINED,
+        syscalls/unconstrained.rs + ForkState): memory/registers diffs are
+        rolled back on exit; no events are recorded meanwhile."""
+        assert not self.unconstrained, "already unconstrained"
+        self._fork = self.checkpoint()
+        self.unconstrained = True
+
+    def exit_unconstrained(self):
+        assert self.unconstrained, "not in unconstrained mode"
+        self.restore(self._fork)
+        self._fork = None
+        self.unconstrained = False
+
+    def checkpoint(self) -> dict:
+        """Minimal resumable snapshot (reference ExecutionState serialization,
+        executor.rs:2330 execute_state): architectural state only — records
+        are regenerated by re-execution from the snapshot."""
+        return {
+            "pc": self.pc, "next_pc": self.next_pc, "clk": self.clk,
+            "global_clk": self.global_clk, "shard": self.shard,
+            "next_is_delayslot": self.next_is_delayslot,
+            "memory": dict(self.memory),
+            "uninitialized_memory": dict(self.uninitialized_memory),
+            "touched_order": list(self.touched_order),
+            "input_stream_ptr": self.input_stream_ptr,
+            "exit_code": self.exit_code, "exited": self.exited,
+            "committed_value_digest": list(self.committed_value_digest),
+        }
+
+    def restore(self, snap: dict):
+        self.pc = snap["pc"]
+        self.next_pc = snap["next_pc"]
+        self.clk = snap["clk"]
+        self.global_clk = snap["global_clk"]
+        self.shard = snap["shard"]
+        self.next_is_delayslot = snap["next_is_delayslot"]
+        self.memory = dict(snap["memory"])
+        self.uninitialized_memory = dict(snap["uninitialized_memory"])
+        self.touched_order = list(snap["touched_order"])
+        self.input_stream_ptr = snap["input_stream_ptr"]
+        self.exit_code = snap["exit_code"]
+        self.exited = snap["exited"]
+        self.committed_value_digest = list(snap["committed_value_digest"])
 
     # ------------------------------------------------------------ running
 

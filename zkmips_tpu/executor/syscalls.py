@@ -54,6 +54,12 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
     if code == SyscallCode.POSEIDON2_PERMUTE:
         _poseidon2_permute(ex, b, c)
         return None, next_pc, extra, exit_code
+    if code == SyscallCode.ENTER_UNCONSTRAINED:
+        ex.enter_unconstrained()
+        return 1, next_pc, extra, exit_code
+    if code == SyscallCode.EXIT_UNCONSTRAINED:
+        ex.exit_unconstrained()
+        return 0, next_pc, extra, exit_code
     impl = PRECOMPILES.get(code)
     if impl is not None:
         res = impl(ex, code, b, c)
