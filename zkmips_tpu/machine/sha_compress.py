@@ -50,8 +50,10 @@ class ShaCompressAir(BaseAir):
 
     def __init__(self):
         names = [
-            "shard", "clk", "wp_lo", "wp_hi", "hp_lo", "hp_hi", "is_real",
+            "shard", "clk", "wp_lo", "wp_hi", "hp_lo", "hp_hi", "is_real", "is_start",
+            "is_lastcmp", "kw_lo", "kw_hi",
             "car_e", "car_a", "car_e2", "car_a2",
+            "s1w_lo", "s1w_hi", "chw_lo", "chw_hi", "s0w_lo", "s0w_hi", "majw_lo", "majw_hi",
         ]
         names += [f"oct{i}" for i in range(8)]
         names += [f"on{i}" for i in range(10)]
@@ -79,7 +81,8 @@ class ShaCompressAir(BaseAir):
             b.assert_bool(fl)
         b.when(is_real).assert_eq(sum(oct_), 1)
         b.when(is_real).assert_eq(sum(on), 1)
-        is_start = is_real * on[0] * oct_[0]
+        is_start = col("is_start")
+        b.assert_eq(is_start, is_real * on[0] * oct_[0])
         is_init = on[0]
         is_compress = sum(on[1:9])
         is_final = on[9]
@@ -89,7 +92,7 @@ class ShaCompressAir(BaseAir):
         nreal = col("is_real", 1)
         noct = [col(f"oct{i}", 1) for i in range(8)]
         non = [col(f"on{i}", 1) for i in range(10)]
-        nstart = nreal * non[0] * noct[0]
+        nstart = col("is_start", 1)
         cont = nreal * (1 - nstart)
         t = b.when_transition()
         t.when(cont).assert_one(is_real)
@@ -158,9 +161,13 @@ class ShaCompressAir(BaseAir):
         fc.assert_eq(h_.lo, hinit_lo[7])
         fc.assert_eq(h_.hi, hinit_hi[7])
 
-        # round constant via (octet_num, octet) selectors
-        k_lo = sum(on[1 + n] * oct_[o] * (K[8 * n + o] & 0xFFFF) for n in range(8) for o in range(8))
-        k_hi = sum(on[1 + n] * oct_[o] * (K[8 * n + o] >> 16) for n in range(8) for o in range(8))
+        # round constant via (octet_num, octet) selectors, witnessed to keep
+        # the step constraints low degree
+        k_lo_e = sum(on[1 + n] * oct_[o] * (K[8 * n + o] & 0xFFFF) for n in range(8) for o in range(8))
+        k_hi_e = sum(on[1 + n] * oct_[o] * (K[8 * n + o] >> 16) for n in range(8) for o in range(8))
+        k_lo, k_hi = col("kw_lo"), col("kw_hi")
+        b.when(is_real).assert_eq(k_lo, k_lo_e)
+        b.when(is_real).assert_eq(k_hi, k_hi_e)
 
         # compression round (w_i = memory read value = m_prev)
         e_b, f_b, g_b, a_b, b_b, c_b = (bits[v] for v in ("e", "f", "g", "a", "b", "c"))
@@ -178,11 +185,18 @@ class ShaCompressAir(BaseAir):
         def acc_hi(bs):
             return sum(bs[j] * (1 << (j - 16)) for j in range(16, 32))
 
+        # witness the sigma/ch/maj sums (keeps the round-step constraints at
+        # low degree and the quotient graphs small)
+        wcmp = b.when(is_real * is_compress)
+        for nm, bs in (("s1w", s1_bits), ("chw", ch_bits), ("s0w", s0_bits), ("majw", maj_bits)):
+            wcmp.assert_eq(col(f"{nm}_lo"), acc_lo(bs))
+            wcmp.assert_eq(col(f"{nm}_hi"), acc_hi(bs))
+
         # temp1 = h + s1 + ch + K + w ; temp2 = s0 + maj
-        t1_lo = h_.lo + acc_lo(s1_bits) + acc_lo(ch_bits) + k_lo + mprev.lo
-        t1_hi = h_.hi + acc_hi(s1_bits) + acc_hi(ch_bits) + k_hi + mprev.hi
-        t2_lo = acc_lo(s0_bits) + acc_lo(maj_bits)
-        t2_hi = acc_hi(s0_bits) + acc_hi(maj_bits)
+        t1_lo = h_.lo + col("s1w_lo") + col("chw_lo") + k_lo + mprev.lo
+        t1_hi = h_.hi + col("s1w_hi") + col("chw_hi") + k_hi + mprev.hi
+        t2_lo = col("s0w_lo") + col("majw_lo")
+        t2_hi = col("s0w_hi") + col("majw_hi")
 
         # next-state (only constrained when the NEXT row is still compress)
         nbits = {v: [col(f"{v}{j}", 1) for j in range(32)] for v in BITS}
@@ -194,7 +208,13 @@ class ShaCompressAir(BaseAir):
             return sum(nbits[v][j] * (1 << (j - 16)) for j in range(16, 32))
 
         ncmp = sum(non[1:9])
-        step = b.when_transition().when(is_real * is_compress * ncmp)
+        nfin_ = non[9]
+        is_lastcmp = col("is_lastcmp")
+        b.assert_eq(is_lastcmp, on[8] * oct_[7])
+        # the round-update rule applies whenever the next row is the next
+        # round OR the finalize phase begins (the 64th round's update)
+        step_guard = is_real * (is_compress * ncmp + is_lastcmp * nfin_)
+        step = b.when_transition().when(step_guard)
         # shifts
         for src, dst in (("a", "b"), ("b", "c"), ("e", "f"), ("f", "g")):
             for j in range(32):
@@ -221,8 +241,8 @@ class ShaCompressAir(BaseAir):
         # phase 9: write h_init[o] + v[o]; v = state after the last round.
         # The state is carried into the finalize rows by the same shift-free
         # rule: when the next row is finalize, state stays put.
-        nfin = non[9]
-        hold_cond = is_real * (is_compress - on[8] * oct_[7] + is_final) * nfin
+        nfin = nfin_
+        hold_cond = is_real * (is_compress - is_lastcmp + is_final) * nfin
         hold = b.when_transition().when(hold_cond)
         for v in BITS:
             for j in range(32):
@@ -231,23 +251,6 @@ class ShaCompressAir(BaseAir):
         hold.assert_eq(col("d_hi", 1), d.hi)
         hold.assert_eq(col("h_lo", 1), h_.lo)
         hold.assert_eq(col("h_hi", 1), h_.hi)
-        # BUT the final round still applies its update when moving from the
-        # last compress row (n=8,o=7) into finalize — so instead of holding,
-        # that boundary applies the step rule into dedicated final-state:
-        # we reuse the step rule by also applying it on the boundary.
-        boundary = b.when_transition().when(is_real * on[8] * oct_[7] * nfin)
-        for src, dst in (("a", "b"), ("b", "c"), ("e", "f"), ("f", "g")):
-            for j in range(32):
-                boundary.assert_eq(nbits[dst][j], bits[src][j])
-        boundary.assert_eq(col("d_lo", 1), val_lo("c"))
-        boundary.assert_eq(col("d_hi", 1), val_hi("c"))
-        boundary.assert_eq(col("h_lo", 1), val_lo("g"))
-        boundary.assert_eq(col("h_hi", 1), val_hi("g"))
-        boundary.assert_eq(d.lo + t1_lo, nval_lo("e") + car_e * 65536)
-        boundary.assert_eq(d.hi + t1_hi + car_e - nval_hi("e"), col("car_e2") * 65536)
-        boundary.assert_eq(t1_lo + t2_lo, nval_lo("a") + car_a * 65536)
-        boundary.assert_eq(t1_hi + t2_hi + car_a - nval_hi("a"), col("car_a2") * 65536)
-
         # finalize write value: m = h_init[o] + v[o] (mod 2^32)
         vcur_lo = [val_lo("a"), val_lo("b"), val_lo("c"), d.lo, val_lo("e"), val_lo("f"), val_lo("g"), h_.lo]
         vcur_hi = [val_hi("a"), val_hi("b"), val_hi("c"), d.hi, val_hi("e"), val_hi("f"), val_hi("g"), h_.hi]
@@ -308,6 +311,13 @@ class ShaCompressAir(BaseAir):
                     t[r, s.idx("is_real")] = 1
                     t[r, s.idx(f"oct{o}")] = 1
                     t[r, s.idx(f"on{n}")] = 1
+                    if n == 0 and o == 0:
+                        t[r, s.idx("is_start")] = 1
+                    if n == 8 and o == 7:
+                        t[r, s.idx("is_lastcmp")] = 1
+                    if 1 <= n <= 8:
+                        kv = K[8 * (n - 1) + o]
+                        t[r, s.idx("kw_lo")], t[r, s.idx("kw_hi")] = kv & 0xFFFF, kv >> 16
                     for i in range(8):
                         t[r, s.idx(f"hi{i}_lo")] = hx[i] & 0xFFFF
                         t[r, s.idx(f"hi{i}_hi")] = hx[i] >> 16
@@ -346,7 +356,7 @@ class ShaCompressAir(BaseAir):
                         np.array([rec.prev_value]),
                         np.array([ev.shard]), np.array([ts_v]), sink,
                     )
-                    # carries for the step into the NEXT row
+                    # witnessed sums + carries for the step into the NEXT row
                     if 1 <= n <= 8:
                         i = 8 * (n - 1) + o
                         nxt = states[i + 1] if i + 1 < 64 else final_state
@@ -360,6 +370,10 @@ class ShaCompressAir(BaseAir):
                         maj = ((a0 & b0) ^ (a0 & c0) ^ (b0 & c0)) & 0xFFFFFFFF
                         t2 = s0v + maj
                         ne, na = nxt[4], nxt[0]
+                        t[r, s.idx("s1w_lo")], t[r, s.idx("s1w_hi")] = s1 & 0xFFFF, s1 >> 16
+                        t[r, s.idx("chw_lo")], t[r, s.idx("chw_hi")] = ch & 0xFFFF, ch >> 16
+                        t[r, s.idx("s0w_lo")], t[r, s.idx("s0w_hi")] = s0v & 0xFFFF, s0v >> 16
+                        t[r, s.idx("majw_lo")], t[r, s.idx("majw_hi")] = maj & 0xFFFF, maj >> 16
                         t1_lo = (h0 & 0xFFFF) + (s1 & 0xFFFF) + (ch & 0xFFFF) + (K[i] & 0xFFFF) + (w_i & 0xFFFF)
                         t1_hi = (h0 >> 16) + (s1 >> 16) + (ch >> 16) + (K[i] >> 16) + (w_i >> 16)
                         t2_lo = (s0v & 0xFFFF) + (maj & 0xFFFF)
