@@ -179,6 +179,57 @@ static int do_syscall(Machine *m) {
       m->clk += 1;
       return EXIT_OK;
     }
+    case 0x01010009: { /* KECCAK_SPONGE */
+      static const uint64_t RC[24] = {
+        0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL, 0x8000000080008000ULL,
+        0x000000000000808BULL, 0x0000000080000001ULL, 0x8000000080008081ULL, 0x8000000000008009ULL,
+        0x000000000000008AULL, 0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+        0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL, 0x8000000000008003ULL,
+        0x8000000000008002ULL, 0x8000000000000080ULL, 0x000000000000800AULL, 0x800000008000000AULL,
+        0x8000000080008081ULL, 0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+      };
+      static const int ROT[5][5] = {
+        {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+        {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14},
+      };
+      uint32_t input_len = mem_rd(m, a1 + 16u * 4u);
+      if (input_len % 36u != 0) return EXIT_TRAP;
+      uint64_t st[25] = {0};
+      for (uint32_t off = 0; off < input_len; off += 36u) {
+        for (int i = 0; i < 18; i++) {
+          uint64_t lo = mem_rd(m, a0 + 4u * (off + 2u * (uint32_t)i));
+          uint64_t hi = mem_rd(m, a0 + 4u * (off + 2u * (uint32_t)i + 1u));
+          st[i] ^= lo | (hi << 32);
+        }
+        for (int r = 0; r < 24; r++) {
+          uint64_t c[5], d[5], bm[25];
+          for (int x = 0; x < 5; x++)
+            c[x] = st[x] ^ st[x + 5] ^ st[x + 10] ^ st[x + 15] ^ st[x + 20];
+          for (int x = 0; x < 5; x++) {
+            uint64_t t = c[(x + 1) % 5];
+            d[x] = c[(x + 4) % 5] ^ ((t << 1) | (t >> 63));
+          }
+          for (int i = 0; i < 25; i++) st[i] ^= d[i % 5];
+          for (int x = 0; x < 5; x++)
+            for (int y = 0; y < 5; y++) {
+              int rr = ROT[x][y];
+              uint64_t v = st[x + 5 * y];
+              bm[y + 5 * ((2 * x + 3 * y) % 5)] = rr ? ((v << rr) | (v >> (64 - rr))) : v;
+            }
+          for (int i = 0; i < 25; i++) {
+            int row = 5 * (i / 5);
+            st[i] = bm[i] ^ (~bm[(i % 5 + 1) % 5 + row] & bm[(i % 5 + 2) % 5 + row]);
+          }
+          st[0] ^= RC[r];
+        }
+      }
+      for (int i = 0; i < 8; i++) {
+        mem_wr(m, a1 + 8u * (uint32_t)i, (uint32_t)(st[i] & 0xFFFFFFFFULL));
+        mem_wr(m, a1 + 8u * (uint32_t)i + 4u, (uint32_t)(st[i] >> 32));
+      }
+      m->clk += 1;
+      return EXIT_OK;
+    }
     default:
       return EXIT_UNSUPPORTED_SYSCALL;
   }

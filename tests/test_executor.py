@@ -467,3 +467,28 @@ def test_unconstrained_rollback():
     ex.exit_unconstrained()
     assert ex.register(R.T0) == before
     assert ex.word(0x2000) == 0
+
+
+def test_keccak_sponge_precompile():
+    """keccak256("abc") via the KECCAK_SPONGE syscall (reference
+    crates/zkvm/lib/src/keccak256.rs padding: rate block + 2 zero u32s)."""
+    data = b"abc"
+    padded = bytearray(data) + bytearray(136 - len(data))
+    padded[len(data)] = 0x01
+    padded[135] |= 0x80
+    words = [int.from_bytes(padded[i:i + 4], "little") for i in range(0, 136, 4)]
+    words += [0, 0]  # capacity filler -> 36-u32 general block
+    body = []
+    for i, w in enumerate(words):
+        body += [*asm.li(R.T0, w), *asm.li(R.T1, 0x2000 + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.T0, len(words)), *asm.li(R.T1, 0x3000 + 64), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x01010009), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0x3000),
+             asm.syscall()]
+    p = asm.prog(body + asm.halt_sequence())
+    ex = Executor(p)
+    records = ex.run()
+    out = b"".join(ex.word(0x3000 + 4 * i).to_bytes(4, "little")
+                   for i in range(8))
+    assert out.hex() == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    evs = [e for r in records for e in r.precompile_events.get("keccak_sponge", [])]
+    assert len(evs) == 1 and evs[0]["input_len"] == 36

@@ -66,3 +66,26 @@ def test_native_speed():
     dt = time.time() - t0
     assert out["global_clk"] > n * 6
     assert out["global_clk"] / dt > 2_000_000, f"native too slow: {out['global_clk']/dt:,.0f} instr/s"
+
+
+def test_keccak_sponge_differential():
+    data = b"zkmips-tpu keccak differential test vector!"
+    padded = bytearray(data) + bytearray(136 - len(data) % 136)
+    padded[len(data)] = 0x01
+    padded[-1] |= 0x80
+    words = []
+    for blk in range(0, len(padded), 136):
+        words += [int.from_bytes(padded[blk + i:blk + i + 4], "little") for i in range(0, 136, 4)]
+        words += [0, 0]
+    body = []
+    for i, w in enumerate(words):
+        body += [*asm.li(R.T0, w), *asm.li(R.T1, 0x2000 + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.T0, len(words)), *asm.li(R.T1, 0x3000 + 64), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x01010009), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0x3000),
+             asm.syscall()]
+    body += [*asm.li(R.T5, 0x3000), *[ins for i in range(8)
+             for ins in [asm.lw(16 + i, R.T5), asm.addi(R.T5, R.T5, 4)]]]
+    ex, native = _both(body)
+    for r in range(36):
+        assert ex.register(r) == int(native["regs"][r]), f"reg {r}"
+    assert ex.global_clk == native["global_clk"]

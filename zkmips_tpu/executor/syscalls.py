@@ -54,6 +54,9 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
     if code == SyscallCode.POSEIDON2_PERMUTE:
         _poseidon2_permute(ex, b, c)
         return None, next_pc, extra, exit_code
+    if code == SyscallCode.KECCAK_SPONGE:
+        _keccak_sponge(ex, b, c)
+        return None, next_pc, extra, exit_code
     if code == SyscallCode.ENTER_UNCONSTRAINED:
         ex.enter_unconstrained()
         return 1, next_pc, extra, exit_code
@@ -220,4 +223,72 @@ def _poseidon2_permute(ex, state_ptr: int, arg2: int):
     ex.record.precompile_events.setdefault("poseidon2", []).append(
         {"shard": ex.shard, "clk": clk0, "ptr": state_ptr, "pre_state": pre,
          "post_state": post, "records": records}
+    )
+
+
+_KECCAK_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
+    0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
+    0x000000000000008A, 0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089, 0x8000000000008003,
+    0x8000000000008002, 0x8000000000000080, 0x000000000000800A, 0x800000008000000A,
+    0x8000000080008081, 0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_KECCAK_ROT = [
+    [0, 36, 3, 41, 18], [1, 44, 10, 45, 2], [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56], [27, 20, 39, 8, 14],
+]
+
+
+def keccak_f(state):
+    """keccak-f[1600] on a 25-element u64 list (x + 5y indexing)."""
+    M = (1 << 64) - 1
+
+    def rol(v, r):
+        r %= 64
+        return ((v << r) | (v >> (64 - r))) & M if r else v
+
+    for rc in _KECCAK_RC:
+        c = [state[x] ^ state[x + 5] ^ state[x + 10] ^ state[x + 15] ^ state[x + 20] for x in range(5)]
+        d = [c[(x - 1) % 5] ^ rol(c[(x + 1) % 5], 1) for x in range(5)]
+        state = [state[i] ^ d[i % 5] for i in range(25)]
+        bmat = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                bmat[y + 5 * ((2 * x + 3 * y) % 5)] = rol(state[x + 5 * y], _KECCAK_ROT[x][y])
+        state = [
+            bmat[i] ^ ((~bmat[(i % 5 + 1) % 5 + 5 * (i // 5)]) & M & bmat[(i % 5 + 2) % 5 + 5 * (i // 5)])
+            for i in range(25)
+        ]
+        state[0] ^= rc
+    return state
+
+
+def _keccak_sponge(ex, input_ptr: int, result_ptr: int):
+    """Keccak sponge with 18-u64 general blocks (reference keccak/sponge.rs)."""
+    clk0 = ex.clk
+    rec_len = ex._mr(result_ptr + 16 * 4, clk0)
+    input_len = rec_len.value
+    if input_len % 36 != 0:
+        raise _err("keccak_sponge: input length must be a multiple of 36 u32s")
+    reads = [ex._mr(input_ptr + 4 * i, clk0) for i in range(input_len)]
+    words = [r.value for r in reads]
+    u64s = [words[2 * i] | (words[2 * i + 1] << 32) for i in range(input_len // 2)]
+    state = [0] * 25
+    xored_states = []
+    for blk in range(0, len(u64s), 18):
+        for i in range(18):
+            state[i] ^= u64s[blk + i]
+        xored_states.append(list(state))
+        state = keccak_f(state)
+    out_words = []
+    for i in range(8):
+        out_words.append(state[i] & 0xFFFFFFFF)
+        out_words.append((state[i] >> 32) & 0xFFFFFFFF)
+    writes = [ex._mw(result_ptr + 4 * i, out_words[i], clk0 + 1) for i in range(16)]
+    ex.record.precompile_events.setdefault("keccak_sponge", []).append(
+        {"shard": ex.shard, "clk": clk0, "input_ptr": input_ptr, "result_ptr": result_ptr,
+         "input_len": input_len, "reads": reads, "len_record": rec_len,
+         "writes": writes, "xored_states": xored_states,
+         "output": out_words}
     )

@@ -313,7 +313,7 @@ def _alpha_powers_table(key, n: int) -> np.ndarray:
 
 def _ext_dot_ext(apows: np.ndarray, ys) -> np.ndarray:
     """sum_j apows[j] * ys[j], both (w, 4) ext arrays -> (4,)."""
-    prod = ext4.mul(apows, np.asarray(ys))
+    prod = ext4.mul(apows, ys)
     return bits.sum_mod(prod, axis=0)
 
 
@@ -451,6 +451,7 @@ def _reduce_contrib_body(log_h: int, xp):
 def _reduce_contrib(lde, z, ys, apows, log_h: int, xp):
     if xp is np:
         return _reduce_contrib_body(log_h, np)(lde, z, np.asarray(ys), apows)
+    ys = xp.asarray(ys)
     from .jit_util import cached_jit
 
     fn = cached_jit("pcs_reduce", (log_h, lde.shape[1]), lambda: _reduce_contrib_body(log_h, xp))
