@@ -351,6 +351,9 @@ class Executor:
                 if returned_exit_code != 0:
                     raise ExecutionError(f"halt with nonzero exit code {returned_exit_code}")
                 self.exited = True
+            elif code == SyscallCode.SYS_EXT_GROUP:
+                self.exited = True
+                self.exit_code = returned_exit_code
             self.rw_cpu(Register.V0, a, POS_A)
             next_pc = s_next_pc
             next_next_pc = (s_next_pc + 4) & MASK32

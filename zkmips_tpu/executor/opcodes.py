@@ -167,6 +167,30 @@ class SyscallCode(IntEnum):
     SECP256R1_DECOMPRESS = 0x00_01_00_2E
     U256XU2048_MUL = 0x01_01_00_2F
     POSEIDON2_PERMUTE = 0x00_01_00_30
+    # Linux o32-ABI syscalls emulated for Go guests (reference
+    # syscalls/code.rs:144-183 + precompiles/sys_linux/)
+    SYS_LINUX = 4000
+    SYS_READ = 4003
+    SYS_WRITE = 4004
+    SYS_OPEN = 4005
+    SYS_CLOSE = 4006
+    SYS_BRK = 4045
+    SYS_FCNTL = 4055
+    SYS_MMAP2 = 4090
+    SYS_MUNMAP = 4091
+    SYS_CLONE = 4120
+    SYS_RT_SIGACTION = 4194
+    SYS_RT_SIGPROCMASK = 4195
+    SYS_SIGALTSTACK = 4206
+    SYS_MMAP = 4210
+    SYS_FSTAT64 = 4215
+    SYS_MADVISE = 4218
+    SYS_GETTID = 4222
+    SYS_SCHED_GETAFFINITY = 4240
+    SYS_EXT_GROUP = 4246
+    SYS_CLOCK_GETTIME = 4263
+    SYS_OPENAT = 4288
+    SYS_PRLIMIT64 = 4338
     SYSHINTLEN = 0x00_00_00_F0
     SYSHINTREAD = 0x00_00_00_F1
     SYSVERIFY = 0x00_00_00_F2

@@ -63,6 +63,12 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
     if code == SyscallCode.EXIT_UNCONSTRAINED:
         ex.exit_unconstrained()
         return 0, next_pc, extra, exit_code
+    if code == SyscallCode.SYS_EXT_GROUP:
+        _linux_event(ex, code, b, c, 0, a3=0)
+        return 0, 0, extra, b
+    if code in LINUX_SYSCALLS:
+        v0 = LINUX_SYSCALLS[code](ex, code, b, c)
+        return v0, next_pc, extra, exit_code
     impl = PRECOMPILES.get(code)
     if impl is not None:
         res = impl(ex, code, b, c)
@@ -292,3 +298,320 @@ def _keccak_sponge(ex, input_ptr: int, result_ptr: int):
          "writes": writes, "xored_states": xored_states,
          "output": out_words}
     )
+
+
+# --- EC / bigint precompiles (reference events/precompiles/ec.rs,
+#     syscalls/precompiles/{weierstrass,edwards,fptower,uint256.rs,
+#     u256x2048_mul.rs}) --------------------------------------------------
+
+from . import curves as _cv  # noqa: E402  (late import: keep module header light)
+
+
+def _mr_slice(ex, ptr: int, n: int, clk: int):
+    recs = [ex._mr(ptr + 4 * i, clk) for i in range(n)]
+    return recs, [r.value for r in recs]
+
+
+def _mw_slice(ex, ptr: int, vals, clk: int):
+    return [ex._mw(ptr + 4 * i, int(v) & 0xFFFFFFFF, clk) for i, v in enumerate(vals)]
+
+
+def _slice_unsafe(ex, ptr: int, n: int):
+    return [ex.word(ptr + 4 * i) for i in range(n)]
+
+
+def _push_ec_event(ex, key: str, **fields):
+    fields.setdefault("shard", ex.shard)
+    ex.record.precompile_events.setdefault(key, []).append(fields)
+
+
+def _ec_add(curve, key):
+    def impl(ex, code, p_ptr, q_ptr):
+        clk0 = ex.clk
+        n = 2 * curve.nwords
+        p_words = _slice_unsafe(ex, p_ptr, n)
+        q_recs, q_words = _mr_slice(ex, q_ptr, n, clk0)
+        px, py = _cv.words_to_int(p_words[: curve.nwords]), _cv.words_to_int(p_words[curve.nwords:])
+        qx, qy = _cv.words_to_int(q_words[: curve.nwords]), _cv.words_to_int(q_words[curve.nwords:])
+        try:
+            rx, ry = curve.add((px, py), (qx, qy))
+        except ValueError as e:
+            raise _err(str(e)) from e
+        out = _cv.int_to_words(rx, curve.nwords) + _cv.int_to_words(ry, curve.nwords)
+        p_recs = _mw_slice(ex, p_ptr, out, clk0 + 1)
+        _push_ec_event(ex, key, clk=clk0, p_ptr=p_ptr, q_ptr=q_ptr, p=p_words, q=q_words,
+                       p_records=p_recs, q_records=q_recs)
+        return None
+
+    return impl
+
+
+def _ec_double(curve, key):
+    def impl(ex, code, p_ptr, _unused):
+        clk0 = ex.clk
+        n = 2 * curve.nwords
+        p_words = _slice_unsafe(ex, p_ptr, n)
+        px, py = _cv.words_to_int(p_words[: curve.nwords]), _cv.words_to_int(p_words[curve.nwords:])
+        try:
+            rx, ry = curve.double((px, py))
+        except ValueError as e:
+            raise _err(str(e)) from e
+        out = _cv.int_to_words(rx, curve.nwords) + _cv.int_to_words(ry, curve.nwords)
+        p_recs = _mw_slice(ex, p_ptr, out, clk0)
+        _push_ec_event(ex, key, clk=clk0, p_ptr=p_ptr, p=p_words, p_records=p_recs)
+        return None
+
+    return impl
+
+
+def _ec_decompress(curve, key):
+    def impl(ex, code, slice_ptr, sign):
+        if sign > 1:
+            raise _err(f"{key}: sign bit must be 0 or 1")
+        clk0 = ex.clk
+        nw = curve.nwords
+        x_recs, x_words = _mr_slice(ex, slice_ptr + 4 * nw, nw, clk0)
+        try:
+            x, y = curve.decompress(_cv.words_to_int(x_words), sign)
+        except ValueError as e:
+            raise _err(str(e)) from e
+        y_recs = _mw_slice(ex, slice_ptr, _cv.int_to_words(y, nw), clk0)
+        _push_ec_event(ex, key, clk=clk0, ptr=slice_ptr, sign=sign, x=x_words,
+                       x_records=x_recs, y_records=y_recs)
+        return None
+
+    return impl
+
+
+def _ed_add(ex, code, p_ptr, q_ptr):
+    clk0 = ex.clk
+    p_words = _slice_unsafe(ex, p_ptr, 16)
+    q_recs, q_words = _mr_slice(ex, q_ptr, 16, clk0)
+    p1 = (_cv.words_to_int(p_words[:8]), _cv.words_to_int(p_words[8:]))
+    p2 = (_cv.words_to_int(q_words[:8]), _cv.words_to_int(q_words[8:]))
+    rx, ry = _cv.ed_add(p1, p2)
+    out = _cv.int_to_words(rx, 8) + _cv.int_to_words(ry, 8)
+    p_recs = _mw_slice(ex, p_ptr, out, clk0 + 1)
+    _push_ec_event(ex, "ed_add", clk=clk0, p_ptr=p_ptr, q_ptr=q_ptr, p=p_words, q=q_words,
+                   p_records=p_recs, q_records=q_recs)
+    return None
+
+
+def _ed_decompress(ex, code, slice_ptr, sign):
+    if sign > 1:
+        raise _err("ed_decompress: sign bit must be 0 or 1")
+    clk0 = ex.clk
+    y_recs, y_words = _mr_slice(ex, slice_ptr + 32, 8, clk0)
+    try:
+        x, y = _cv.ed_decompress(_cv.words_to_int(y_words), sign)
+    except ValueError as e:
+        raise _err(str(e)) from e
+    x_recs = _mw_slice(ex, slice_ptr, _cv.int_to_words(x, 8), clk0)
+    _push_ec_event(ex, "ed_decompress", clk=clk0, ptr=slice_ptr, sign=sign, y=y_words,
+                   x_records=x_recs, y_records=y_recs)
+    return None
+
+
+def _fp_op(field: str, op: str):
+    mod, nw = _cv.FP_MOD[field]
+
+    def impl(ex, code, x_ptr, y_ptr):
+        clk0 = ex.clk
+        x_words = _slice_unsafe(ex, x_ptr, nw)
+        y_recs, y_words = _mr_slice(ex, y_ptr, nw, clk0)
+        a = _cv.words_to_int(x_words) % mod
+        b = _cv.words_to_int(y_words) % mod
+        r = (a + b) % mod if op == "add" else (a - b) % mod if op == "sub" else a * b % mod
+        x_recs = _mw_slice(ex, x_ptr, _cv.int_to_words(r, nw), clk0 + 1)
+        _push_ec_event(ex, f"{field}_fp_{op}", clk=clk0, x_ptr=x_ptr, y_ptr=y_ptr,
+                       x=x_words, y=y_words, x_records=x_recs, y_records=y_recs)
+        return None
+
+    return impl
+
+
+def _fp2_op(field: str, op: str):
+    mod, nw = _cv.FP_MOD[field]
+
+    def impl(ex, code, x_ptr, y_ptr):
+        clk0 = ex.clk
+        x_words = _slice_unsafe(ex, x_ptr, 2 * nw)
+        y_recs, y_words = _mr_slice(ex, y_ptr, 2 * nw, clk0)
+        a0, a1 = _cv.words_to_int(x_words[:nw]), _cv.words_to_int(x_words[nw:])
+        b0, b1 = _cv.words_to_int(y_words[:nw]), _cv.words_to_int(y_words[nw:])
+        if op == "add":
+            c0, c1 = (a0 + b0) % mod, (a1 + b1) % mod
+        elif op == "sub":
+            c0, c1 = (a0 - b0) % mod, (a1 - b1) % mod
+        else:  # (a0 + a1*u)(b0 + b1*u) with u^2 = -1
+            c0 = (a0 * b0 - a1 * b1) % mod
+            c1 = (a0 * b1 + a1 * b0) % mod
+        x_recs = _mw_slice(ex, x_ptr, _cv.int_to_words(c0, nw) + _cv.int_to_words(c1, nw), clk0 + 1)
+        _push_ec_event(ex, f"{field}_fp2_{op}", clk=clk0, x_ptr=x_ptr, y_ptr=y_ptr,
+                       x=x_words, y=y_words, x_records=x_recs, y_records=y_recs)
+        return None
+
+    return impl
+
+
+def _uint256_mul(ex, code, x_ptr, y_ptr):
+    clk0 = ex.clk
+    x_words = _slice_unsafe(ex, x_ptr, 8)
+    y_recs, y_words = _mr_slice(ex, y_ptr, 8, clk0)
+    m_recs, m_words = _mr_slice(ex, y_ptr + 32, 8, clk0)
+    m = _cv.words_to_int(m_words) or (1 << 256)
+    r = _cv.words_to_int(x_words) * _cv.words_to_int(y_words) % m
+    x_recs = _mw_slice(ex, x_ptr, _cv.int_to_words(r, 8), clk0 + 1)
+    _push_ec_event(ex, "uint256_mul", clk=clk0, x_ptr=x_ptr, y_ptr=y_ptr, x=x_words,
+                   y=y_words, modulus=m_words, x_records=x_recs, y_records=y_recs,
+                   modulus_records=m_recs)
+    return None
+
+
+def _u256x2048_mul(ex, code, a_ptr, b_ptr):
+    clk0 = ex.clk
+    lo_rec = ex._mr(Register.A2, clk0)
+    hi_rec = ex._mr(Register.A3, clk0)
+    lo_ptr, hi_ptr = lo_rec.value, hi_rec.value
+    a_recs, a_words = _mr_slice(ex, a_ptr, 8, clk0)
+    b_recs, b_words = _mr_slice(ex, b_ptr, 64, clk0)
+    r = _cv.words_to_int(a_words) * _cv.words_to_int(b_words)
+    lo, hi = r % (1 << 2048), r >> 2048
+    lo_recs = _mw_slice(ex, lo_ptr, _cv.int_to_words(lo, 64), clk0 + 1)
+    hi_recs = _mw_slice(ex, hi_ptr, _cv.int_to_words(hi, 8), clk0 + 1)
+    _push_ec_event(ex, "u256x2048_mul", clk=clk0, a_ptr=a_ptr, b_ptr=b_ptr, a=a_words,
+                   b=b_words, lo_ptr=lo_ptr, hi_ptr=hi_ptr, lo_ptr_record=lo_rec,
+                   hi_ptr_record=hi_rec, a_records=a_recs, b_records=b_recs,
+                   lo_records=lo_recs, hi_records=hi_recs)
+    return None
+
+
+C = SyscallCode
+PRECOMPILES.update({
+    C.SECP256K1_ADD: _ec_add(_cv.SECP256K1, "secp256k1_add"),
+    C.SECP256K1_DOUBLE: _ec_double(_cv.SECP256K1, "secp256k1_double"),
+    C.SECP256K1_DECOMPRESS: _ec_decompress(_cv.SECP256K1, "secp256k1_decompress"),
+    C.SECP256R1_ADD: _ec_add(_cv.SECP256R1, "secp256r1_add"),
+    C.SECP256R1_DOUBLE: _ec_double(_cv.SECP256R1, "secp256r1_double"),
+    C.SECP256R1_DECOMPRESS: _ec_decompress(_cv.SECP256R1, "secp256r1_decompress"),
+    C.BN254_ADD: _ec_add(_cv.BN254, "bn254_add"),
+    C.BN254_DOUBLE: _ec_double(_cv.BN254, "bn254_double"),
+    C.BLS12381_ADD: _ec_add(_cv.BLS12381, "bls12381_add"),
+    C.BLS12381_DOUBLE: _ec_double(_cv.BLS12381, "bls12381_double"),
+    C.BLS12381_DECOMPRESS: _ec_decompress(_cv.BLS12381, "bls12381_decompress"),
+    C.ED_ADD: _ed_add,
+    C.ED_DECOMPRESS: _ed_decompress,
+    C.BLS12381_FP_ADD: _fp_op("bls12381", "add"),
+    C.BLS12381_FP_SUB: _fp_op("bls12381", "sub"),
+    C.BLS12381_FP_MUL: _fp_op("bls12381", "mul"),
+    C.BLS12381_FP2_ADD: _fp2_op("bls12381", "add"),
+    C.BLS12381_FP2_SUB: _fp2_op("bls12381", "sub"),
+    C.BLS12381_FP2_MUL: _fp2_op("bls12381", "mul"),
+    C.BN254_FP_ADD: _fp_op("bn254", "add"),
+    C.BN254_FP_SUB: _fp_op("bn254", "sub"),
+    C.BN254_FP_MUL: _fp_op("bn254", "mul"),
+    C.BN254_FP2_ADD: _fp2_op("bn254", "add"),
+    C.BN254_FP2_SUB: _fp2_op("bn254", "sub"),
+    C.BN254_FP2_MUL: _fp2_op("bn254", "mul"),
+    C.UINT256_MUL: _uint256_mul,
+    C.U256XU2048_MUL: _u256x2048_mul,
+})
+
+
+
+# --- Linux o32 syscall emulation (reference syscalls/precompiles/sys_linux/:
+#     brk/mmap/clone/fcntl/read/write return v0 and clear $a3; unknown-but-
+#     harmless calls are no-ops; exit_group halts) ------------------------
+
+MIPS_EBADF = 9
+FD_STDIN = 0
+
+
+def _linux_event(ex, code, a0, a1, v0, a3):
+    ex._mw(int(Register.A3), a3, ex.clk)
+    ex.record.precompile_events.setdefault("sys_linux", []).append(
+        {"shard": ex.shard, "clk": ex.clk, "code": int(code), "a0": a0, "a1": a1, "v0": v0}
+    )
+
+
+def _sys_brk(ex, code, a0, a1):
+    brk = ex.register(Register.BRK)
+    v0 = a0 if a0 > brk else brk
+    _linux_event(ex, code, a0, a1, v0, a3=0)
+    return v0
+
+
+_SYS_PAGE = 1 << 12
+
+
+def _sys_mmap(ex, code, a0, a1):
+    size = a1
+    if size & (_SYS_PAGE - 1):
+        size = (size + _SYS_PAGE - (size & (_SYS_PAGE - 1))) & 0xFFFFFFFF
+    if a0 == 0:
+        v0 = ex.register(Register.HEAP)
+        ex._mw(int(Register.HEAP), (v0 + size) & 0xFFFFFFFF, ex.clk)
+    else:
+        v0 = a0
+    _linux_event(ex, code, a0, a1, v0, a3=0)
+    return v0
+
+
+def _sys_clone(ex, code, a0, a1):
+    _linux_event(ex, code, a0, a1, 1, a3=0)
+    return 1
+
+
+def _sys_read(ex, code, a0, a1):
+    if a0 != FD_STDIN:
+        _linux_event(ex, code, a0, a1, 0xFFFFFFFF, a3=MIPS_EBADF)
+        return 0xFFFFFFFF
+    _linux_event(ex, code, a0, a1, 0, a3=0)
+    return 0
+
+
+def _sys_write(ex, code, a0, a1):
+    v0 = ex.register(Register.A2)
+    _write(ex, a0, a1)
+    _linux_event(ex, code, a0, a1, v0, a3=0)
+    return v0
+
+
+def _sys_fcntl(ex, code, a0, a1):
+    if a1 == 3:  # F_GETFL
+        if a0 == FD_STDIN:
+            v0, a3 = 0, 0  # O_RDONLY
+        elif a0 in (FD_STDOUT, FD_STDERR):
+            v0, a3 = 1, 0  # O_WRONLY
+        else:
+            v0, a3 = 0xFFFFFFFF, MIPS_EBADF
+    elif a1 == 1:  # F_GETFD
+        if a0 in (FD_STDIN, FD_STDOUT, FD_STDERR):
+            v0, a3 = a0, 0
+        else:
+            v0, a3 = 0xFFFFFFFF, MIPS_EBADF
+    else:
+        v0, a3 = 0xFFFFFFFF, MIPS_EBADF
+    _linux_event(ex, code, a0, a1, v0, a3=a3)
+    return v0
+
+
+def _sys_nop(ex, code, a0, a1):
+    _linux_event(ex, code, a0, a1, 0, a3=0)
+    return 0
+
+
+LINUX_SYSCALLS = {
+    C.SYS_BRK: _sys_brk,
+    C.SYS_MMAP: _sys_mmap,
+    C.SYS_MMAP2: _sys_mmap,
+    C.SYS_CLONE: _sys_clone,
+    C.SYS_READ: _sys_read,
+    C.SYS_WRITE: _sys_write,
+    C.SYS_FCNTL: _sys_fcntl,
+}
+for _c in (C.SYS_OPEN, C.SYS_CLOSE, C.SYS_MUNMAP, C.SYS_RT_SIGACTION,
+           C.SYS_RT_SIGPROCMASK, C.SYS_SIGALTSTACK, C.SYS_FSTAT64, C.SYS_MADVISE,
+           C.SYS_GETTID, C.SYS_SCHED_GETAFFINITY, C.SYS_CLOCK_GETTIME,
+           C.SYS_OPENAT, C.SYS_PRLIMIT64):
+    LINUX_SYSCALLS[_c] = _sys_nop

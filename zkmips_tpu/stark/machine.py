@@ -124,12 +124,15 @@ class StarkMachine:
 
     def prove_shard(self, pk: ProvingKey, record, public_values: np.ndarray, xp=np) -> ShardProof:
         """Prove one shard. ``record`` is passed opaquely to the chips."""
+        from ..utils.logger import span
+
         chips = [c for c in self.chips if c.air.included(record)]
         for name in pk.prep_traces:
             assert self.chip_map[name] in chips, f"preprocessed chip {name} must be included"
 
         # 1. generate + pad main traces (optionally to a fixed shape)
-        raw = {c.name: c.air.generate_trace(record, None).astype(np.uint32) for c in chips}
+        with span("prove.trace_gen"):
+            raw = {c.name: c.air.generate_trace(record, None).astype(np.uint32) for c in chips}
         shape = None
         if self.shape_config is not None:
             shape = self.shape_config.fix_shape({n: t.shape[0] for n, t in raw.items()})
@@ -159,14 +162,16 @@ class StarkMachine:
         ch.observe_slice(public_values)
 
         # 2. commit main
-        main_data = pcs.commit(
-            self.config.fri, [(Domain(log_degrees[n], 1), traces[n]) for n in names], xp=xp
-        )
+        with span("prove.main_commit"):
+            main_data = pcs.commit(
+                self.config.fri, [(Domain(log_degrees[n], 1), traces[n]) for n in names], xp=xp
+            )
         ch.observe_digest(main_data.root)
         perm_challenges = [ch.sample_ext(), ch.sample_ext()]
 
         # 3. permutation traces
         perm_flats, cum_sums = {}, {}
+        _perm_span = span("prove.perm_traces"); _perm_span.__enter__()
         for chip in chips:
             prep = pk.prep_traces.get(chip.name)
             if xp is np:
@@ -189,9 +194,11 @@ class StarkMachine:
                 flat, cum = fn(traces[chip.name], perm_challenges[0], perm_challenges[1])
             perm_flats[chip.name] = flat
             cum_sums[chip.name] = np.asarray(cum)
+        _perm_span.__exit__(None, None, None)
         perm_names = [c.name for c in chips if c.perm_width_ext > 0]
         perm_data = None
         if perm_names:
+          with span("prove.perm_commit"):
             perm_data = pcs.commit(
                 self.config.fri,
                 [(Domain(log_degrees[n], 1), perm_flats[n]) for n in perm_names],
@@ -210,6 +217,7 @@ class StarkMachine:
         # 4. quotient
         publics_monty = f.to_monty(public_values.astype(np.uint32))
         q_doms, q_mats = [], []
+        _q_span = span("prove.quotient"); _q_span.__enter__()
         for chip in chips:
             gs = global_sums.get(chip.name)
             gsm = f.to_monty(gs.astype(np.uint32)) if gs is not None else None
@@ -243,7 +251,9 @@ class StarkMachine:
             for d, c in zip(doms, chunks):
                 q_doms.append(d)
                 q_mats.append(c.reshape(c.shape[0], 4))
-        quotient_data = pcs.commit(self.config.fri, list(zip(q_doms, q_mats)), xp=xp)
+        _q_span.__exit__(None, None, None)
+        with span("prove.quotient_commit"):
+            quotient_data = pcs.commit(self.config.fri, list(zip(q_doms, q_mats)), xp=xp)
         ch.observe_digest(quotient_data.root)
         zeta = ch.sample_ext()
 

@@ -198,17 +198,21 @@ def open_batches(
 
     opened_values[round][matrix][point] = (w, 4) claimed evaluations.
     """
+    from ..utils.logger import span
+
     alpha = challenger.sample_ext()
 
     # 1. claimed evaluations
     opened_values = []
-    for pdata, points_per_mat in rounds:
-        mats_vals = []
-        for coeffs, dom, pts in zip(pdata.coeffs, pdata.domains, points_per_mat):
-            mats_vals.append([eval_at_ext_point(coeffs, dom, z, xp) for z in pts])
-        opened_values.append(mats_vals)
+    with span("open.eval"):
+        for pdata, points_per_mat in rounds:
+            mats_vals = []
+            for coeffs, dom, pts in zip(pdata.coeffs, pdata.domains, points_per_mat):
+                mats_vals.append([eval_at_ext_point(coeffs, dom, z, xp) for z in pts])
+            opened_values.append(mats_vals)
 
     # 2. per-height reduced vectors (bitrev layout, ext (H, 4))
+    _sp = span("open.reduce"); _sp.__enter__()
     reduced: dict[int, np.ndarray] = {}
     alpha_pow_count: dict[int, int] = {}
     for (pdata, points_per_mat), mats_vals in zip(rounds, opened_values):
@@ -223,10 +227,12 @@ def open_batches(
                 acc = reduced.get(log_h)
                 reduced[log_h] = contrib if acc is None else ext4.add(acc, contrib)
 
+    _sp.__exit__(None, None, None)
     log_max = max(reduced)
     assert min(reduced) > config.log_blowup, "matrices at the minimum height are unsupported"
 
     # 3. FRI commit phase
+    _sp = span("open.fold"); _sp.__enter__()
     cur = reduced[log_max]
     commit_roots, betas, layer_trees = [], [], []
     for log_h in range(log_max, config.log_blowup, -1):
@@ -242,14 +248,17 @@ def open_batches(
         use_next = nxt is not None and log_h - 1 > config.log_blowup
         cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
 
+    _sp.__exit__(None, None, None)
     final_poly = np.asarray(cur[0])
     challenger.observe_slice(ext4.to_canonical(final_poly))
-    pow_witness = challenger.grind(config.proof_of_work_bits)
+    with span("open.grind"):
+        pow_witness = challenger.grind(config.proof_of_work_bits)
     assert challenger.check_witness(config.proof_of_work_bits, pow_witness)
 
     indices = [challenger.sample_bits(log_max) for _ in range(config.num_queries)]
 
     # 4. query proofs (batched gathers: one pass per tree for all queries)
+    _sp = span("open.queries"); _sp.__enter__()
     idx_arr = np.asarray(indices, dtype=np.int64)
     per_round = []
     for pdata, _pts in rounds:
@@ -274,6 +283,7 @@ def open_batches(
             commit_openings.append(CommitPhaseOpening(np.asarray(sibling), sibs[qi]))
         query_proofs.append(QueryProof(input_openings, commit_openings))
 
+    _sp.__exit__(None, None, None)
     return opened_values, FriProof(commit_roots, np.asarray(final_poly), pow_witness, query_proofs)
 
 
