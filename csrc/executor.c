@@ -107,7 +107,9 @@ static int do_syscall(Machine *m) {
       m->exit_code = a0;
       m->next_pc = 0;
       return EXIT_OK;
-    case 0x00000002: { /* WRITE: only fd 3 (public values) is kept */
+    case 0x00000002: { /* WRITE: fd 3 (public values) kept; hook/hint fds (>=4)
+                          need host callbacks -> punt to the reference path */
+      if (a0 >= 4) return EXIT_UNSUPPORTED_SYSCALL;
       if (a0 == 3) {
         if (m->pv_len + a2 > m->pv_cap) {
           while (m->pv_len + a2 > m->pv_cap) m->pv_cap *= 2;

@@ -211,3 +211,65 @@ def test_sys_exit_group_halts():
     ex = Executor(p)
     records = ex.run()
     assert ex.exit_code == 7
+
+
+def test_ecrecover_hook_roundtrip():
+    """Guest writes a 65-byte ecrecover request to fd 5 and hint-reads the
+    response (write.rs hook routing + hook.rs:118)."""
+    r = K1_GX
+    p = cv.SECP256K1.p
+    alpha = (r * r * r + 7) % p
+    req = bytes([1 | 0x80]) + r.to_bytes(32, "big") + alpha.to_bytes(32, "big")
+    req_padded = req + bytes(3)  # word-align the store loop
+    body = []
+    for i in range(0, len(req_padded), 4):
+        w = int.from_bytes(req_padded[i:i + 4], "little")
+        body += [*asm.li(R.T0, w), *asm.li(R.T1, 0x2000 + i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 2), *asm.li(R.A0, 5), *asm.li(R.A1, 0x2000),
+             *asm.li(R.A2, 65), asm.syscall()]
+    # read back: hint 1 (status), hint 2 (y), hint 3 (r_inv)
+    body += [*asm.li(R.V0, 0xF0), asm.syscall(), asm.addi(R.S0, R.V0, 0)]
+    body += [*asm.li(R.V0, 0xF1), *asm.li(R.A0, 0x3000), *asm.li(R.A1, 1), asm.syscall()]
+    body += [*asm.li(R.V0, 0xF1), *asm.li(R.A0, 0x3100), *asm.li(R.A1, 32), asm.syscall()]
+    body += [*asm.li(R.V0, 0xF1), *asm.li(R.A0, 0x3200), *asm.li(R.A1, 32), asm.syscall()]
+    p_prog = asm.prog(body + asm.halt_sequence())
+    ex = Executor(p_prog)
+    ex.run()
+    assert ex.register(R.S0) == 1  # status hint is 1 byte
+    assert ex.word(0x3000) & 0xFF == 1
+    y = int.from_bytes(
+        b"".join(ex.word(0x3100 + 4 * i).to_bytes(4, "little") for i in range(8)), "big")
+    assert y * y % p == alpha and (y & 1) == 1
+    n = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+    r_inv = int.from_bytes(
+        b"".join(ex.word(0x3200 + 4 * i).to_bytes(4, "little") for i in range(8)), "big")
+    assert r_inv * r % n == 1
+
+
+def test_fp_sqrt_and_inverse_hooks():
+    from zkmips_tpu.executor.hooks import hook_fp_inverse, hook_fp_sqrt
+    p = cv.BN254.p
+    x = 0x1234567890ABCDEF
+    buf = (32).to_bytes(4, "big") + (x * x % p).to_bytes(32, "big") + p.to_bytes(32, "big") \
+        + (5).to_bytes(32, "big")
+    status, root = hook_fp_sqrt(None, buf)
+    assert status == b"\x01"
+    rt = int.from_bytes(root, "big")
+    assert rt * rt % p == x * x % p
+    buf = (32).to_bytes(4, "big") + x.to_bytes(32, "big") + p.to_bytes(32, "big")
+    (inv,) = hook_fp_inverse(None, buf)
+    assert int.from_bytes(inv, "big") * x % p == 1
+
+
+def test_bls_hooks():
+    from zkmips_tpu.executor.hooks import hook_bls12_381_inverse, hook_bls12_381_sqrt
+    p = cv.BLS12381.p
+    x = 0xABCDEF0123456789
+    status, root = hook_bls12_381_sqrt(None, (x * x % p).to_bytes(48, "big"))
+    assert status == b"\x01" and pow(int.from_bytes(root, "big"), 2, p) == x * x % p
+    # a non-residue: status 0, root of 2*fe
+    nr = 2 * x * x % p  # 2*(square) is a non-residue since 2 is one
+    status, root = hook_bls12_381_sqrt(None, nr.to_bytes(48, "big"))
+    assert status == b"\x00" and pow(int.from_bytes(root, "big"), 2, p) == 2 * nr % p
+    (inv,) = hook_bls12_381_inverse(None, x.to_bytes(48, "big"))
+    assert int.from_bytes(inv, "big") * x % p == 1

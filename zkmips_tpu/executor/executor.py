@@ -97,7 +97,11 @@ class Executor:
         self.records: list[ExecutionRecord] = []
         self.access: MemoryAccessRecord | None = None
         self.report_opcode_counts: dict = {}
+        self.report_syscall_counts: dict = {}
         self.cycle_tracker: dict[str, int] = {}
+        from .hooks import default_registry
+
+        self.hook_registry = default_registry()
         self._io_buf: dict[int, str] = {}
 
     # ------------------------------------------------------------- io API
@@ -263,6 +267,9 @@ class Executor:
         in_delay_slot = self.next_is_delayslot
         self.execute_operation(instruction, in_delay_slot)
         self.global_clk += 1
+        if not self.unconstrained:
+            op = instruction.opcode
+            self.report_opcode_counts[op] = self.report_opcode_counts.get(op, 0) + 1
         if len(self.record.cpu_events) >= self.shard_size and not self.next_is_delayslot:
             self._bump_record()
 
@@ -337,6 +344,10 @@ class Executor:
             hi_or_prev_a, a, b, c = self._execute_misc(instruction)
         elif op == Opcode.SYSCALL:
             syscall_id = self.register(Register.V0)
+            if not self.unconstrained:
+                self.report_syscall_counts[syscall_id] = (
+                    self.report_syscall_counts.get(syscall_id, 0) + 1
+                )
             c = self.rr_cpu(Register.A1, POS_C)
             b = self.rr_cpu(Register.A0, POS_B)
             prev_a = syscall_id

@@ -98,7 +98,17 @@ def _write(ex, fd: int, buf: int):
         ex.public_values_stream.extend(data)
     elif fd == FD_HINT:
         ex.input_stream.append(data)
-    # unknown fds are ignored (hooks registry comes with precompile work)
+    elif fd in ex.hook_registry:
+        from .hooks import HookError
+
+        try:
+            res = ex.hook_registry[fd](ex, bytes(data))
+        except HookError as e:
+            raise _err(str(e)) from e
+        # splice results at the current read position (write.rs:61-65)
+        ptr = ex.input_stream_ptr
+        ex.input_stream[ptr:ptr] = res
+    # other unknown fds are ignored with a warning, as in the reference
 
 
 def _handle_cycle_tracker(ex, s: str) -> bool:

@@ -40,11 +40,25 @@ class ZKMStdin:
 
 @dataclass
 class ExecutionReport:
+    """Analog of crates/core/executor/src/report.rs:13-36."""
+
     total_instruction_count: int
     exit_code: int
     stdout: bytes
     public_values: bytes
     cycle_tracker: dict
+    opcode_counts: dict = field(default_factory=dict)
+    syscall_counts: dict = field(default_factory=dict)
+    touched_memory_addresses: int = 0
+
+    def total_syscall_count(self) -> int:
+        return sum(self.syscall_counts.values())
+
+    def __str__(self):
+        lines = [f"cycles: {self.total_instruction_count}"]
+        for op, n in sorted(self.opcode_counts.items(), key=lambda kv: -kv[1]):
+            lines.append(f"  {getattr(op, 'name', op)}: {n}")
+        return "\n".join(lines)
 
 
 @dataclass
@@ -110,6 +124,9 @@ class ProverClient:
         ex = self._executor(program, stdin)
         ex.run(max_cycles=max_cycles)
         return ExecutionReport(
+            opcode_counts=dict(ex.report_opcode_counts),
+            syscall_counts=dict(ex.report_syscall_counts),
+            touched_memory_addresses=len(ex.touched_order),
             total_instruction_count=ex.global_clk,
             exit_code=ex.exit_code,
             stdout=bytes(ex.stdout),
