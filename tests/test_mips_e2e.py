@@ -240,3 +240,34 @@ def test_poseidon2_precompile_oracles_and_prove():
     pk = m.setup(p2_)
     proofs = m.prove(pk, records2)
     assert m.verify(pk.vk, proofs, p2_)
+
+
+def _keccak_body(data: bytes):
+    padded = bytearray(data) + bytearray(136 - len(data) % 136)
+    padded[len(data)] = 0x01
+    padded[-1] |= 0x80
+    words = []
+    for blk in range(0, len(padded), 136):
+        words += [int.from_bytes(padded[blk + i:blk + i + 4], "little")
+                  for i in range(0, 136, 4)] + [0, 0]
+    body = []
+    for i, w in enumerate(words):
+        body += [*asm.li(R.T0, w), *asm.li(R.T1, 0x2000 + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.T0, len(words)), *asm.li(R.T1, 0x3000 + 64), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x01010009), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0x3000),
+             asm.syscall()]
+    return body
+
+
+def test_keccak_sponge_two_block_oracles():
+    p, records, ex = _run(_keccak_body(bytes(range(200))))  # 2 blocks: chaining + ptr advance
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+
+
+def test_keccak_sponge_prove_verify():
+    p, records, ex = _run(_keccak_body(b"prove me"))
+    m = mips_machine(StarkConfig.test())
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    assert m.verify(pk.vk, proofs, p)

@@ -39,6 +39,7 @@ def core_chip_airs() -> list:
     from .sha_extend import ShaExtendAir
     from .sha_compress import ShaCompressAir
     from .poseidon2_chip import Poseidon2ChipAir
+    from .keccak_chip import KeccakSpongeAir
 
     return [
         CpuAir(),
@@ -59,6 +60,7 @@ def core_chip_airs() -> list:
         ShaExtendAir(),
         ShaCompressAir(),
         Poseidon2ChipAir(),
+        KeccakSpongeAir(),
         MemoryLocalAir(),
         MemoryGlobalInitAir(),
         MemoryGlobalFinalizeAir(),
@@ -88,8 +90,13 @@ class MipsMachine:
     # ------------------------------------------------------------------ prove
 
     def generate_dependencies(self, record: ExecutionRecord):
+        """Append derived events (nested ALU, global lookups) exactly once:
+        repeated proves of the same record must not inflate trace heights."""
+        if getattr(record, "_deps_done", False):
+            return
         for a in self.airs:
             a.generate_dependencies(record, None)
+        record._deps_done = True
 
     def shard_public_values(self, record: ExecutionRecord, executor: Executor | None = None) -> np.ndarray:
         pv = np.zeros(NUM_PV, dtype=np.uint32)
@@ -105,6 +112,9 @@ class MipsMachine:
 
     def prove_record(self, pk, record: ExecutionRecord, xp=np):
         self.generate_dependencies(record)
+        # trace generation repopulates the byte-lookup arrays; reset so a
+        # re-prove of the same record sees identical multiplicities
+        record.byte_lookups.pop("arrays", None)
         pv = self.shard_public_values(record)
         return self.machine.prove_shard(pk, record, pv, xp=xp)
 

@@ -24,9 +24,10 @@ SYS_FLAGS = [
     ("is_shaext_sc", SyscallCode.SHA_EXTEND),
     ("is_shacmp_sc", SyscallCode.SHA_COMPRESS),
     ("is_p2perm_sc", SyscallCode.POSEIDON2_PERMUTE),
+    ("is_keccak_sc", SyscallCode.KECCAK_SPONGE),
 ]
 # syscalls whose events are consumed by a precompile chip (should_send bit)
-PRECOMPILE_FLAGS = {"is_shaext_sc", "is_shacmp_sc", "is_p2perm_sc"}
+PRECOMPILE_FLAGS = {"is_shaext_sc", "is_shacmp_sc", "is_p2perm_sc", "is_keccak_sc"}
 
 
 class SyscallInstrAir(InstrAir):

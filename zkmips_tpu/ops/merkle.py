@@ -74,21 +74,57 @@ class MerkleTree:
         return [r[0] for r in rows], sibs[0]
 
     def open_many(self, indices):
-        """Batched openings: ([per-matrix (Q, w)], (Q, L, 8)) as numpy."""
+        """Batched openings: ([per-matrix (Q, w)], (Q, L, 8)) as numpy.
+
+        On the device path every gather runs in one jitted call and the
+        results travel in a single flat transfer — per-op dispatch latency
+        over the chip tunnel dominates otherwise."""
         idx = np.asarray(indices, dtype=np.int64)
+        q = len(idx)
         log_max = self.max_height.bit_length() - 1
+        if not isinstance(self.matrices[0], np.ndarray):
+            flat = np.asarray(self._open_flat(idx, log_max))
+            rows, off = [], 0
+            for m in self.matrices:
+                w = m.shape[1]
+                rows.append(flat[off:off + q * w].reshape(q, w))
+                off += q * w
+            sibs = flat[off:].reshape(log_max, q, DIGEST_SIZE).transpose(1, 0, 2) \
+                if log_max else np.zeros((q, 0, DIGEST_SIZE), dtype=np.uint32)
+            return rows, sibs
         rows = []
         for m in self.matrices:
             log_h = m.shape[0].bit_length() - 1
-            sel = idx >> (log_max - log_h)
-            rows.append(np.asarray(_take(m, sel)))
+            rows.append(m[idx >> (log_max - log_h)])
         if log_max == 0:
-            return rows, np.zeros((len(idx), 0, DIGEST_SIZE), dtype=np.uint32)
-        sibs = [
-            np.asarray(_take(self.digest_layers[k], (idx >> k) ^ 1))
-            for k in range(log_max)
-        ]
+            return rows, np.zeros((q, 0, DIGEST_SIZE), dtype=np.uint32)
+        sibs = [self.digest_layers[k][(idx >> k) ^ 1] for k in range(log_max)]
         return rows, np.stack(sibs, axis=1)
+
+    def _open_flat(self, idx: np.ndarray, log_max: int):
+        from ..stark.jit_util import cached_jit
+
+        log_hs = tuple(m.shape[0].bit_length() - 1 for m in self.matrices)
+        widths = tuple(m.shape[1] for m in self.matrices)
+        key = (log_max, log_hs, widths, len(idx), len(self.digest_layers))
+
+        def make():
+            import jax.numpy as jnp
+
+            def body(i, mats, layers):
+                parts = [
+                    m[i >> (log_max - lh)].reshape(-1)
+                    for m, lh in zip(mats, log_hs)
+                ]
+                parts += [
+                    layers[k][(i >> k) ^ 1].reshape(-1) for k in range(log_max)
+                ]
+                return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint32)
+
+            return body
+
+        fn = cached_jit("mmcs_open", key, make)
+        return fn(idx, tuple(self.matrices), tuple(self.digest_layers))
 
 
 def _take(arr, idx):

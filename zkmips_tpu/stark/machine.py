@@ -133,6 +133,7 @@ class StarkMachine:
         # 1. generate + pad main traces (optionally to a fixed shape)
         with span("prove.trace_gen"):
             raw = {c.name: c.air.generate_trace(record, None).astype(np.uint32) for c in chips}
+        _pad_span = span("prove.pad_upload"); _pad_span.__enter__()
         shape = None
         if self.shape_config is not None:
             shape = self.shape_config.fix_shape({n: t.shape[0] for n, t in raw.items()})
@@ -153,6 +154,7 @@ class StarkMachine:
             t = pad_to_power_of_two(t, fixed_rows=target)
             tm = f.to_monty(t)
             traces[chip.name] = tm if xp is np else xp.asarray(tm)
+        _pad_span.__exit__(None, None, None)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
         names = [c.name for c in chips]
         log_degrees = {n: traces[n].shape[0].bit_length() - 1 for n in names}
@@ -258,6 +260,7 @@ class StarkMachine:
         zeta = ch.sample_ext()
 
         # 5. open
+        _open_prep = span("prove.open_prep"); _open_prep.__enter__()
         rounds = []
         if pk.prep_data is not None:
             prep_points = [
@@ -271,6 +274,7 @@ class StarkMachine:
             perm_points = [[zeta, Domain(log_degrees[n], 1).next_point_ext(zeta)] for n in perm_names]
             rounds.append((perm_data, perm_points))
         rounds.append((quotient_data, [[zeta]] * len(q_mats)))
+        _open_prep.__exit__(None, None, None)
         opened_vals, fri_proof = pcs.open_batches(self.config.fri, rounds, ch, xp=xp)
 
         # 6. assemble per-chip opened values

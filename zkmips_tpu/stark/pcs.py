@@ -264,11 +264,12 @@ def open_batches(
     for pdata, _pts in rounds:
         batch_log_max = max(d.log_n for d in pdata.domains) + config.log_blowup
         rows, sibs = pdata.tree.open_many(idx_arr >> (log_max - batch_log_max))
-        per_round.append((rows, sibs))
+        # one device->host transfer per tree; per-query assembly is host slicing
+        per_round.append(([np.asarray(r) for r in rows], np.asarray(sibs)))
     per_layer = []
     for k, tree in enumerate(layer_trees):
         rows, sibs = tree.open_many((idx_arr >> k) >> 1)
-        per_layer.append((rows[0], sibs))
+        per_layer.append((np.asarray(rows[0]), np.asarray(sibs)))
 
     query_proofs = []
     for qi, idx in enumerate(indices):
