@@ -273,3 +273,31 @@ def test_bls_hooks():
     assert status == b"\x00" and pow(int.from_bytes(root, "big"), 2, p) == 2 * nr % p
     (inv,) = hook_bls12_381_inverse(None, x.to_bytes(48, "big"))
     assert int.from_bytes(inv, "big") * x % p == 1
+
+
+def test_deferred_proof_syscalls():
+    """VERIFY_ZKM_PROOF pops from the proof stream; COMMIT_DEFERRED_PROOFS
+    records digest words (reference syscalls/{verify,deferred}.rs)."""
+    body = []
+    for i in range(8):
+        body += [*asm.li(R.T0, 0x1111 * (i + 1)), *asm.li(R.T1, 0x2000 + 4 * i),
+                 asm.sw(R.T0, R.T1)]
+        body += [*asm.li(R.T0, 0x2222 * (i + 1)), *asm.li(R.T1, 0x2100 + 4 * i),
+                 asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.V0, 0x1B), *asm.li(R.A0, 0x2000), *asm.li(R.A1, 0x2100),
+             asm.syscall()]
+    body += [*asm.li(R.V0, 0x1A), *asm.li(R.A0, 3), *asm.li(R.A1, 0xABCD), asm.syscall()]
+    p = asm.prog(body + asm.halt_sequence())
+    ex = Executor(p)
+    seen = []
+    ex.proof_stream.append(("proofobj", "vkobj"))
+    ex.subproof_verifier = lambda proof, vk, vkey, pvd: seen.append((proof, vk, vkey, pvd))
+    records = ex.run()
+    assert seen[0][2] == [0x1111 * (i + 1) for i in range(8)]
+    assert seen[0][3] == [0x2222 * (i + 1) for i in range(8)]
+    assert ex.deferred_proofs_digest[3] == 0xABCD
+    assert records[-1].deferred_proof_digests
+    # without a queued proof the syscall must fail
+    ex2 = Executor(p)
+    with pytest.raises(Exception, match="proof stream"):
+        ex2.run()

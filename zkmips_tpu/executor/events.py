@@ -130,6 +130,7 @@ class ExecutionRecord:
     global_memory_initialize_events: list = field(default_factory=list)
     global_memory_finalize_events: list = field(default_factory=list)
     byte_lookups: dict = field(default_factory=dict)  # "arrays" -> [(op, a, b, c) arrays]
+    deferred_proof_digests: list = field(default_factory=list)  # (vkey[8], pv_digest[8])
     global_lookup_events: list = field(default_factory=list)
     nested_alu_events: list = field(default_factory=list)
     precompile_events: dict = field(default_factory=dict)  # name -> [events]

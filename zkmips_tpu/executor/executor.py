@@ -87,6 +87,13 @@ class Executor:
         self.public_values_stream = bytearray()
         self.stdout = bytearray()
         self.committed_value_digest = [0] * 8
+        self.deferred_proofs_digest = [0] * 8
+        # host-provided (proof, vk) pairs consumed by VERIFY_ZKM_PROOF; the
+        # optional callback verifies them during execution (ZKMContext's
+        # subproof verifier, reference context.rs)
+        self.proof_stream: list = []
+        self.proof_stream_ptr = 0
+        self.subproof_verifier = None
 
         # unconstrained (hint-generation) mode: fork/rollback state
         self.unconstrained = False

@@ -63,6 +63,14 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
     if code == SyscallCode.EXIT_UNCONSTRAINED:
         ex.exit_unconstrained()
         return 0, next_pc, extra, exit_code
+    if code == SyscallCode.COMMIT_DEFERRED_PROOFS:
+        if b >= 8:
+            raise _err(f"deferred digest word index {b} out of range")
+        ex.deferred_proofs_digest[b] = c
+        return None, next_pc, extra, exit_code
+    if code == SyscallCode.VERIFY_ZKM_PROOF:
+        _verify_proof(ex, b, c)
+        return None, next_pc, extra, exit_code
     if code == SyscallCode.SYS_EXT_GROUP:
         _linux_event(ex, code, b, c, 0, a3=0)
         return 0, 0, extra, b
@@ -625,3 +633,21 @@ for _c in (C.SYS_OPEN, C.SYS_CLOSE, C.SYS_MUNMAP, C.SYS_RT_SIGACTION,
            C.SYS_GETTID, C.SYS_SCHED_GETAFFINITY, C.SYS_CLOCK_GETTIME,
            C.SYS_OPENAT, C.SYS_PRLIMIT64):
     LINUX_SYSCALLS[_c] = _sys_nop
+
+
+
+def _verify_proof(ex, vkey_ptr: int, pv_digest_ptr: int):
+    """VERIFY_ZKM_PROOF (reference syscalls/verify.rs): pop a (proof, vk)
+    from the host-provided proof stream and check it against the vkey and
+    public-values digests the guest points at."""
+    if vkey_ptr % 4 or pv_digest_ptr % 4:
+        raise _err("verify_zkm_proof: pointers must be word-aligned")
+    vkey = [ex.word(vkey_ptr + 4 * i) for i in range(8)]
+    pv_digest = [ex.word(pv_digest_ptr + 4 * i) for i in range(8)]
+    if ex.proof_stream_ptr >= len(ex.proof_stream):
+        raise _err("verify_zkm_proof: not enough proofs in the proof stream")
+    proof, proof_vk = ex.proof_stream[ex.proof_stream_ptr]
+    ex.proof_stream_ptr += 1
+    if ex.subproof_verifier is not None:
+        ex.subproof_verifier(proof, proof_vk, vkey, pv_digest)
+    ex.record.deferred_proof_digests.append((list(vkey), list(pv_digest)))

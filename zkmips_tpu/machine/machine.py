@@ -17,6 +17,9 @@ from ..stark import air
 from ..stark.chip import Chip
 from ..stark.machine import StarkConfig, StarkMachine, VerificationError
 from .alu import AddSubAir, BitwiseAir, LtAir
+from .branch import BranchAir
+from .jump import JumpAir
+from .shift import ShiftLeftAir, ShiftRightAir
 from .byte import ByteAir
 from .cpu import CpuAir
 from .global_chip import START, GlobalAir
@@ -206,8 +209,11 @@ def _complete_add(p1, p2):
 
 def mips_machine(config: StarkConfig | None = None, minimal: bool = False) -> MipsMachine:
     if minimal:
+        # every opcode the mini-assembler's li/branch helpers emit must have a
+        # receiving chip: Cpu dispatches unconditionally
         airs = [
-            CpuAir(), AddSubAir(), BitwiseAir(), LtAir(), SyscallInstrAir(),
+            CpuAir(), AddSubAir(), BitwiseAir(), LtAir(), ShiftLeftAir(),
+            ShiftRightAir(), BranchAir(), JumpAir(), SyscallInstrAir(),
             MemoryLocalAir(), MemoryGlobalInitAir(), MemoryGlobalFinalizeAir(),
             GlobalAir(), ProgramAir(), ByteAir(),
         ]

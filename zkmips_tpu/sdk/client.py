@@ -27,6 +27,7 @@ class ZKMStdin:
 
     def __init__(self):
         self.buffers: list[bytes] = []
+        self.proofs: list = []  # (proof, vk) pairs for verify_zkm_proof
 
     def write_bytes(self, data: bytes):
         self.buffers.append(bytes(data))
@@ -36,6 +37,11 @@ class ZKMStdin:
 
     def write_u64(self, value: int):
         self.buffers.append(struct.pack("<Q", value))
+
+    def write_proof(self, proof, vk):
+        """Queue a (proof, vk) pair for the guest's verify_zkm_proof calls
+        (reference ZKMStdin::write_proof, sdk/src/lib.rs)."""
+        self.proofs.append((proof, vk))
 
 
 @dataclass
@@ -156,6 +162,7 @@ class ProverClient:
         if stdin is not None:
             for buf in stdin.buffers:
                 ex.write_stdin(buf)
+            ex.proof_stream.extend(stdin.proofs)
         return ex
 
 

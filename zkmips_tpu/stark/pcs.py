@@ -210,6 +210,11 @@ def open_batches(
             for coeffs, dom, pts in zip(pdata.coeffs, pdata.domains, points_per_mat):
                 mats_vals.append([eval_at_ext_point(coeffs, dom, z, xp) for z in pts])
             opened_values.append(mats_vals)
+        if xp is not np:
+            # one bulk transfer instead of a sync per (matrix, point)
+            import jax
+
+            opened_values = jax.device_get(opened_values)
 
     # 2. per-height reduced vectors (bitrev layout, ext (H, 4))
     _sp = span("open.reduce"); _sp.__enter__()
