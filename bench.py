@@ -6,6 +6,11 @@ Baseline derivation (BASELINE.md): the reference proves fibonacci n=58218 in
 14.985 s on an r6a.8xlarge (32 vCPU).  That guest executes ~2M MIPS cycles
 (≈35 cycles/iteration incl. loads + runtime overhead), giving a baseline of
 ~133,000 cycles proved per second per host.  vs_baseline = ours / 133000.
+
+Default run is the numpy prover (no compile latency).  BENCH_DEVICE=1 runs
+the TPU stage-kernel path instead: first pass compiles/loads the persistent
+kernel cache (minutes when cold), the measured pass is steady-state — warm
+it reaches ~11k cycles/s at fib20000 on one v5e chip vs ~420 c/s numpy.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ def _device_available() -> bool:
 
 
 def main():
-    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "2000"))
+    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "8000"))
     from zkmips_tpu.executor import Executor, Instruction, Opcode, Register
     from zkmips_tpu.executor import asm
     from zkmips_tpu.machine.machine import MipsMachine

@@ -492,3 +492,25 @@ def test_keccak_sponge_precompile():
     assert out.hex() == "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
     evs = [e for r in records for e in r.precompile_events.get("keccak_sponge", [])]
     assert len(evs) == 1 and evs[0]["input_len"] == 36
+
+
+def test_lde_size_probe_bumps_shards():
+    """Cost-model shape probe (executor/cost.py): a low LDE budget splits
+    execution into extra shards before the cycle limit is reached."""
+    body = [
+        *asm.li(R.T0, 0), *asm.li(R.T1, 1), *asm.li(R.T2, 5000),
+        asm.alu(Opcode.ADD, R.T3, R.T0, R.T1),
+        asm.alu(Opcode.ADD, R.T0, R.T1, 0, imm_c=True),
+        asm.alu(Opcode.ADD, R.T1, R.T3, 0, imm_c=True),
+        asm.addi(R.T2, R.T2, -1 & 0xFFFFFFFF),
+        asm.branch(Opcode.BGTZ, R.T2, 0, -20),
+        asm.nop(),
+    ]
+    p = asm.prog(body + asm.halt_sequence())
+    ex = Executor(p, max_lde_size=12_000_000)
+    records = ex.run()
+    assert len(records) > 1
+    # shard chain remains contiguous
+    assert [r.shard for r in records] == list(range(1, len(records) + 1))
+    ex2 = asm_run = Executor(p)
+    assert len(ex2.run()) == 1

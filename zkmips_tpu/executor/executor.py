@@ -61,10 +61,17 @@ class ExecutionError(Exception):
 
 
 class Executor:
-    def __init__(self, program: Program, shard_size: int = 1 << 20, mode: int = ExecutorMode.Trace):
+    def __init__(self, program: Program, shard_size: int = 1 << 20, mode: int = ExecutorMode.Trace,
+                 max_lde_size: int | None = None):
         self.program = program
         self.mode = mode
         self.shard_size = shard_size  # max cycles (cpu events) per shard
+        if max_lde_size is None:
+            from ..utils.opts import ZKMCoreOpts
+
+            max_lde_size = ZKMCoreOpts.default().max_lde_size
+        self.max_lde_size = max_lde_size  # estimated LDE cells before shard bump
+        self._shard_group_counts: dict = {}
 
         # state
         self.pc = program.pc_start
@@ -277,10 +284,28 @@ class Executor:
         if not self.unconstrained:
             op = instruction.opcode
             self.report_opcode_counts[op] = self.report_opcode_counts.get(op, 0) + 1
-        if len(self.record.cpu_events) >= self.shard_size and not self.next_is_delayslot:
+            g = self._shard_group_counts
+            g[op] = g.get(op, 0) + 1
+        n = len(self.record.cpu_events)
+        if not self.next_is_delayslot and (
+            n >= self.shard_size or (n & 0xFFF) == 0 and n and self._lde_probe(n)
+        ):
             self._bump_record()
 
+    def _lde_probe(self, n_cpu: int) -> bool:
+        """Shape probe (cost.rs usage, executor.rs:2183-2272): bump the shard
+        early if its estimated LDE area exceeds the memory budget."""
+        from . import cost
+
+        counts = {"Cpu": n_cpu, "MemoryLocal": len(self.record.local_memory_access)}
+        for op, n in self._shard_group_counts.items():
+            name = cost.chip_group(op)
+            if name is not None:
+                counts[name] = counts.get(name, 0) + n
+        return cost.estimate_lde_size(counts) > self.max_lde_size
+
     def _bump_record(self, final: bool = False):
+        self._shard_group_counts = {}
         pv = self.record.public_values
         pv.shard = self.shard
         pv.exit_code = self.exit_code

@@ -173,3 +173,37 @@ def verify_opening(
         if size in by_height:
             digest = p2.compress(digest, layer_hash(size))
     return bool(np.array_equal(digest, np.asarray(root)))
+
+
+def verify_openings(root, indices, dims, rows_per_matrix, siblings) -> np.ndarray:
+    """Batched verify_opening over Q queries (numpy-vectorized per layer).
+
+    indices (Q,), rows_per_matrix[m] (Q, w_m), siblings (Q, L, 8);
+    returns a (Q,) bool array.
+    """
+    idx = np.asarray(indices, dtype=np.int64)
+    heights = [h for h, _ in dims]
+    max_height = max(heights)
+    log_max = max_height.bit_length() - 1
+
+    by_height: dict[int, list[np.ndarray]] = {}
+    for (h, _w), rows in zip(dims, rows_per_matrix):
+        by_height.setdefault(h, []).append(np.asarray(rows, dtype=np.uint32))
+
+    def layer_hash(h: int) -> np.ndarray:
+        rows = by_height[h]
+        flat = rows[0] if len(rows) == 1 else np.concatenate(rows, axis=1)
+        return p2.hash_matrix_rows(flat)
+
+    digest = layer_hash(max_height)                      # (Q, 8)
+    size = max_height
+    for k in range(log_max):
+        sib = np.asarray(siblings[:, k], dtype=np.uint32)
+        bit = ((idx >> k) & 1)[:, None].astype(bool)
+        left = np.where(bit, sib, digest)
+        right = np.where(bit, digest, sib)
+        digest = p2.compress(left, right)
+        size //= 2
+        if size in by_height:
+            digest = p2.compress(digest, layer_hash(size))
+    return np.all(digest == np.asarray(root)[None, :], axis=1)

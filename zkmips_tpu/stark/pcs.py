@@ -373,69 +373,87 @@ def verify_batches(
         raise PcsError("wrong number of query proofs")
     indices = [challenger.sample_bits(log_max) for _ in range(config.num_queries)]
 
-    # Precompute alpha power layout per height (must mirror the prover's order).
-    for idx, qproof in zip(indices, proof.query_proofs):
-        ro: dict[int, np.ndarray] = {}
-        apow_count: dict[int, int] = {}
-        if len(qproof.input_openings) != len(rounds_info):
+    # All queries are verified together: merkle layers, reduced openings and
+    # the fold chain are numpy-vectorized over the Q query axis (a per-query
+    # Python loop costs ~30k scalar Poseidon2 permutes at 84 queries).
+    q = config.num_queries
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    for qp in proof.query_proofs:
+        if len(qp.input_openings) != len(rounds_info):
             raise PcsError("wrong number of input openings")
-        for (rows, sibs), (root, mats) in zip(qproof.input_openings, rounds_info):
-            dims = [(dom.size << config.log_blowup, np.asarray(r).shape[0]) for (dom, _pts), r in zip(mats, rows)]
-            batch_log_max = max(d.log_n for d, _ in mats) + config.log_blowup
-            reduced_idx = idx >> (log_max - batch_log_max)
-            if not merkle.verify_opening(root, reduced_idx, dims, [np.asarray(r) for r in rows], np.asarray(sibs)):
-                raise PcsError("merkle verification failed for input batch")
-            for (dom, pts), row in zip(mats, rows):
-                log_h = dom.log_n + config.log_blowup
-                mat_idx = idx >> (log_max - log_h)
-                # x = g * w^{rev(mat_idx)} (fri.rs:139-151)
-                x = lde_points_bitrev_monty(log_h)[mat_idx]
-                row = np.asarray(row, dtype=np.uint32)
-                w = row.shape[0]
-                for z, ys in pts:
-                    k0 = apow_count.get(log_h, 0)
-                    apows = _alpha_powers(alpha, k0, w)
-                    apow_count[log_h] = k0 + w
-                    ys = np.asarray(ys)
-                    diff = ext4.sub(ys, ext4.from_base(row))  # (w,4): p(z)-p(x)
-                    acc = bits.sum_mod(ext4.mul(apows, diff), axis=0)
-                    denom = ext4.sub(z, ext4.from_base(x))
-                    contrib = ext4.mul(acc, ext4.inv(denom))
-                    ro[log_h] = contrib if log_h not in ro else ext4.add(ro[log_h], contrib)
 
-        if config.log_blowup in ro:
-            raise PcsError("matrix at minimum height not allowed")
+    ro: dict[int, np.ndarray] = {}  # log_h -> (Q, 4)
+    apow_count: dict[int, int] = {}
+    for ri, (root, mats) in enumerate(rounds_info):
+        rows_per_mat = [
+            np.stack([np.asarray(qp.input_openings[ri][0][m], dtype=np.uint32)
+                      for qp in proof.query_proofs])
+            for m in range(len(mats))
+        ]
+        sibs = np.stack([np.asarray(qp.input_openings[ri][1]) for qp in proof.query_proofs])
+        dims = [(dom.size << config.log_blowup, r.shape[1]) for (dom, _pts), r in zip(mats, rows_per_mat)]
+        batch_log_max = max(d.log_n for d, _ in mats) + config.log_blowup
+        reduced_idx = idx_arr >> (log_max - batch_log_max)
+        if not merkle.verify_openings(root, reduced_idx, dims, rows_per_mat, sibs).all():
+            raise PcsError("merkle verification failed for input batch")
+        for (dom, pts), rows in zip(mats, rows_per_mat):
+            log_h = dom.log_n + config.log_blowup
+            mat_idx = idx_arr >> (log_max - log_h)
+            # x = g * w^{rev(mat_idx)} (fri.rs:139-151)
+            x = lde_points_bitrev_monty(log_h)[mat_idx]          # (Q,)
+            w = rows.shape[1]
+            rows_ext = ext4.from_base(rows)                      # (Q, w, 4)
+            for z, ys in pts:
+                k0 = apow_count.get(log_h, 0)
+                apows = _alpha_powers(alpha, k0, w)
+                apow_count[log_h] = k0 + w
+                diff = ext4.sub(np.asarray(ys)[None], rows_ext)  # (Q, w, 4)
+                acc = bits.sum_mod(ext4.mul(apows[None], diff), axis=1)
+                denom = ext4.sub(z[None], ext4.from_base(x))
+                contrib = ext4.mul(acc, ext4.inv(denom))
+                ro[log_h] = contrib if log_h not in ro else ext4.add(ro[log_h], contrib)
 
-        # fold chain (plain subgroup points)
-        folded = ro.get(log_max)
-        if folded is None:
-            raise PcsError("no reduced opening at max height")
-        x = pow(f.two_adic_generator_int(log_max), _bitrev_int(idx, log_max), f.P)
-        for k, (beta, opening) in enumerate(zip(betas, qproof.commit_openings)):
-            log_folded = log_max - k - 1
-            layer_idx = idx >> k
-            bit = layer_idx & 1
-            pair_idx = layer_idx >> 1
-            ours = folded
-            row = np.concatenate([ours, opening.sibling_value]) if bit == 0 else np.concatenate([opening.sibling_value, ours])
-            if not merkle.verify_opening(
-                proof.commit_roots[k], pair_idx, [(1 << log_folded, 8)], [row.astype(np.uint32)], np.asarray(opening.siblings)
-            ):
-                raise PcsError(f"merkle verification failed at fold layer {k}")
-            e0, e1 = row[0:4], row[4:8]
-            x_even = x if bit == 0 else (f.P - x) % f.P
-            # folded = e0 + (beta - x_even) * (e1 - e0) / (-2 * x_even)
-            diff = ext4.sub(e1, e0)
-            slope = ext4.mul_base(diff, f.inv(f.to_monty(np.uint32((f.P - 2 * x_even % f.P) % f.P))))
-            bm = ext4.sub(beta, ext4.from_base(f.to_monty(np.uint32(x_even))))
-            folded = ext4.add(e0, ext4.mul(bm, slope))
-            nxt = ro.get(log_folded)
-            if nxt is not None and log_folded > config.log_blowup:
-                beta2 = ext4.mul(beta, beta)
-                folded = ext4.add(folded, ext4.mul(beta2, nxt))
-            x = x * x % f.P
-        if not np.array_equal(folded, proof.final_poly):
-            raise PcsError("final poly mismatch")
+    if config.log_blowup in ro:
+        raise PcsError("matrix at minimum height not allowed")
+    folded = ro.get(log_max)
+    if folded is None:
+        raise PcsError("no reduced opening at max height")
+
+    # fold chain over the plain subgroup, all queries at once
+    gen = f.two_adic_generator_int(log_max)
+    x = np.array([pow(gen, _bitrev_int(int(i), log_max), f.P) for i in idx_arr],
+                 dtype=np.int64)
+    for k, beta in enumerate(betas):
+        log_folded = log_max - k - 1
+        layer_idx = idx_arr >> k
+        bit = (layer_idx & 1).astype(bool)
+        pair_idx = layer_idx >> 1
+        sib_vals = np.stack([np.asarray(qp.commit_openings[k].sibling_value, dtype=np.uint32)
+                             for qp in proof.query_proofs])         # (Q, 4)
+        layer_sibs = np.stack([np.asarray(qp.commit_openings[k].siblings)
+                               for qp in proof.query_proofs])       # (Q, L, 8)
+        row = np.where(bit[:, None],
+                       np.concatenate([sib_vals, folded.astype(np.uint32)], axis=1),
+                       np.concatenate([folded.astype(np.uint32), sib_vals], axis=1))
+        if not merkle.verify_openings(
+            proof.commit_roots[k], pair_idx, [(1 << log_folded, 8)], [row], layer_sibs
+        ).all():
+            raise PcsError(f"merkle verification failed at fold layer {k}")
+        e0, e1 = row[:, 0:4], row[:, 4:8]
+        x_even = np.where(bit, (f.P - x) % f.P, x)
+        # folded = e0 + (beta - x_even) * (e1 - e0) / (-2 * x_even)
+        diff = ext4.sub(e1, e0)
+        neg2x = ((f.P - 2 * x_even % f.P) % f.P).astype(np.uint32)
+        slope = ext4.mul_base(diff, f.inv(f.to_monty(neg2x)))
+        bm = ext4.sub(beta[None], ext4.from_base(f.to_monty(x_even.astype(np.uint32))))
+        folded = ext4.add(e0, ext4.mul(bm, slope))
+        nxt = ro.get(log_folded)
+        if nxt is not None and log_folded > config.log_blowup:
+            beta2 = ext4.mul(beta, beta)
+            folded = ext4.add(folded, ext4.mul(beta2[None], nxt))
+        x = x * x % f.P
+    if not np.all(folded == np.asarray(proof.final_poly)[None]):
+        raise PcsError("final poly mismatch")
     return True
 
 

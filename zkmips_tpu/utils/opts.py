@@ -24,6 +24,7 @@ class ZKMCoreOpts:
     shard_batch_size: int = field(default_factory=lambda: _env_int("SHARD_BATCH_SIZE", 2))
     trace_gen_workers: int = field(default_factory=lambda: _env_int("TRACE_GEN_WORKERS", 2))
     split_threshold: int = field(default_factory=lambda: _env_int("SPLIT_THRESHOLD", 1 << 15))
+    max_lde_size: int = field(default_factory=lambda: _env_int("MAX_LDE_SIZE", 1 << 31))
 
     @staticmethod
     def default() -> "ZKMCoreOpts":
