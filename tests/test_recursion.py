@@ -52,3 +52,73 @@ def test_tampered_public_value_rejected():
     proof.public_values[6] ^= 1
     with pytest.raises(VerificationError):
         m.verify(pk.vk, proof)
+
+
+def test_fri_fold_roundtrip():
+    """FriFold instruction + chip: compare against direct ext math and prove."""
+    from zkmips_tpu.ops import ext4
+    from zkmips_tpu.ops import field as ff
+    import numpy as np
+
+    b = Builder()
+    x = b.felt(7)
+    z = b.ext(3, 1, 4, 1)
+    alpha = b.ext(2, 7, 1, 8)
+    mat = [b.ext(10 + i, i, 0, 5) for i in range(3)]
+    psz = [b.ext(20 + i, 0, i, 6) for i in range(3)]
+    apow = b.ext(1)
+    ro = b.ext(0)
+    apow2, ro2 = b.fri_fold(x, z, alpha, mat, psz, apow, ro)
+    # extract the base coordinates through a BaseAlu (public values are felts)
+    from zkmips_tpu.recursion.builder import Felt
+    ro_f = b.add(Felt(ro2.addr), b.felt(0))
+    ap_f = b.add(Felt(apow2.addr), b.felt(0))
+    pv = [ro_f, ap_f] + [b.felt(0) for _ in range(6)]
+    b.commit_public_values(pv)
+    prog = b.compile()
+
+    m = RecursionMachine(StarkConfig.test())
+    rec = m.execute(prog, witness=[])
+
+    # independent expected value
+    def mont(t):
+        return np.array([ff.to_monty_int(v) for v in t], dtype=np.uint32)
+
+    zv, av = mont((3, 1, 4, 1)), mont((2, 7, 1, 8))
+    xz = ext4.sub(mont((7, 0, 0, 0)), zv)
+    acc_ro, acc_ap = mont((0, 0, 0, 0)), mont((1, 0, 0, 0))
+    for i in range(3):
+        px, pz = mont((10 + i, i, 0, 5)), mont((20 + i, 0, i, 6))
+        q = ext4.mul(ext4.sub(px, pz), ext4.inv(xz))
+        acc_ro = ext4.add(acc_ro, ext4.mul(acc_ap, q))
+        acc_ap = ext4.mul(acc_ap, av)
+    assert tuple(int(v) for v in ff.from_monty(acc_ro))[0] == rec.public_values[0]
+
+    pk = m.setup(prog)
+    proof = m.prove(pk, rec)
+    assert m.verify(pk.vk, proof)
+
+
+def test_hint_bits_and_ext2felts():
+    """HintBits + HintExt2Felts + ExpReverseBitsLen interplay: recover
+    x = g^rev(idx) from hinted bits, and split an ext into felts."""
+    b = Builder()
+    v = b.felt(0b1011)
+    bits = b.hint_bits(v, 4)
+    # recomposition constraint: sum 2^k b_k == v (also forces each write real)
+    acc = bits[0]
+    for k in range(1, 4):
+        acc = b.add(acc, b.mul(bits[k], b.felt(1 << k)))
+    e = b.ext(9, 8, 7, 6)
+    felts = b.ext2felts(e)
+    pv = [acc] + felts + [bits[1], bits[2], bits[3]]
+    b.commit_public_values(pv)
+    prog = b.compile()
+    m = RecursionMachine(StarkConfig.test())
+    rec = m.execute(prog, witness=[])
+    assert rec.public_values[0] == 0b1011
+    assert rec.public_values[1:5] == [9, 8, 7, 6]
+    assert rec.public_values[5:] == [1, 0, 1]
+    pk = m.setup(prog)
+    proof = m.prove(pk, rec)
+    assert m.verify(pk.vk, proof)

@@ -126,6 +126,60 @@ class Builder:
 
     # -------------------------------------------------------------- compile
 
+    def hint_bits(self, value: Felt, num_bits: int) -> list:
+        """Bit-decompose a felt (LSB first).  The decomposition itself is
+        UNCONSTRAINED (a hint): the caller must bind it with booleanity +
+        recomposition constraints against ``value``."""
+        addrs = tuple(self._alloc(4) for _ in range(num_bits))
+        self.instructions.append(pr.HintBits(addrs, value.addr, (0,) * num_bits))
+        return [Felt(a) for a in addrs]
+
+    def ext2felts(self, value: Ext) -> list:
+        """Split an ext into 4 felts; unconstrained hint like hint_bits."""
+        addrs = tuple(self._alloc(4) for _ in range(4))
+        self.instructions.append(pr.HintExt2Felts(addrs, value.addr, (0, 0, 0, 0)))
+        return [Felt(a) for a in addrs]
+
+    def print_(self, v, label: str = ""):
+        self.instructions.append(pr.Print(v.addr, label))
+
+    def fri_fold(self, x: Felt, z: Ext, alpha: Ext, mat_opening: list,
+                 ps_at_z: list, alpha_pow: Ext, ro: Ext):
+        """Chained FRI fold over all matrices; returns the final
+        (alpha_pow, ro) handles (reference builder ExtFromBaseSlice + FriFold
+        emission)."""
+        n = len(ps_at_z)
+        assert len(mat_opening) == n
+        self._read(x.addr)
+        self._read(z.addr)
+        self._read(alpha.addr)
+        api = [alpha_pow.addr]
+        roi = [ro.addr]
+        apo, roo = [], []
+        for m in range(n):
+            self._read(mat_opening[m].addr)
+            self._read(ps_at_z[m].addr)
+            self._read(api[-1])
+            self._read(roi[-1])
+            ao, ro_ = self._alloc(4), self._alloc(4)
+            apo.append(ao)
+            roo.append(ro_)
+            if m + 1 < n:
+                api.append(ao)
+                roi.append(ro_)
+        # x/z/alpha are read once per matrix row
+        for _ in range(n - 1):
+            self._read(x.addr)
+            self._read(z.addr)
+            self._read(alpha.addr)
+        self.instructions.append(pr.FriFold(
+            x.addr, z.addr, alpha.addr,
+            tuple(v.addr for v in mat_opening), tuple(v.addr for v in ps_at_z),
+            tuple(api), tuple(roi), tuple(apo), tuple(roo),
+            (0,) * n, (0,) * n,
+        ))
+        return Ext(apo[-1]), Ext(roo[-1])
+
     def compile(self) -> pr.RecursionProgram:
         """Patch read multiplicities into the write instructions."""
         out = []
@@ -142,6 +196,16 @@ class Builder:
                 )
             elif isinstance(ins, pr.ExpReverseBitsLen):
                 out.append(replace(ins, mult=self._reads.get(ins.out, 0)))
+            elif isinstance(ins, (pr.HintBits, pr.HintExt2Felts)):
+                out.append(replace(
+                    ins, mults=tuple(self._reads.get(a, 0) for a in ins.output_addrs)
+                ))
+            elif isinstance(ins, pr.FriFold):
+                out.append(replace(
+                    ins,
+                    alpha_pow_mults=tuple(self._reads.get(a, 0) for a in ins.alpha_pow_output),
+                    ro_mults=tuple(self._reads.get(a, 0) for a in ins.ro_output),
+                ))
             else:
                 out.append(ins)
         return pr.RecursionProgram(out, self._next_addr)

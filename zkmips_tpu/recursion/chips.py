@@ -65,7 +65,14 @@ class RecMemVarAir(BaseAir):
         b.send(MEM, mem_msg(b.preprocessed(0), v), b.preprocessed(1))
 
     def generate_preprocessed(self, program):
-        rows = [(ins.addr, ins.mult, 1) for ins in program.instructions if isinstance(ins, pr.Hint)]
+        rows = []
+        for ins in program.instructions:
+            if isinstance(ins, pr.Hint):
+                rows.append((ins.addr, ins.mult, 1))
+            elif isinstance(ins, (pr.HintBits, pr.HintExt2Felts)):
+                rows.extend(
+                    (a, m, 1) for a, m in zip(ins.output_addrs, ins.mults)
+                )
         t = np.zeros((max(len(rows), 1), 3), dtype=np.uint32)
         for i, r in enumerate(rows):
             t[i] = r
@@ -375,4 +382,80 @@ class RecPublicValuesAir(BaseAir):
         t = np.zeros((8, 1), dtype=np.uint32)
         for i in range(8):
             t[i, 0] = record.public_values[i]
+        return t
+
+
+class RecFriFoldAir(BaseAir):
+    """FRI fold accumulator chip: one row per (instruction, matrix) pair.
+
+    Analog of the reference FriFoldChip (recursion chips/fri_fold): with
+    committed values x, z, alpha, p(x), p(z), alpha_pow, ro the row enforces
+      (ro' - ro) * (x - z) == alpha_pow * (p(x) - p(z))
+      alpha_pow'           == alpha_pow * alpha
+    and the nine memory interactions (7 reads, 2 multiplicity-weighted
+    writes) against the flat recursion memory.
+    """
+
+    name = "RecFriFold"
+    preprocessed_width = 12  # x,z,alpha,px,pz,api,roi,apo,roo addrs + 2 mults + is_real
+    main_width = 33
+
+    def eval(self, b: AirBuilder):
+        addr = [b.preprocessed(i) for i in range(9)]
+        apow_mult, ro_mult = b.preprocessed(9), b.preprocessed(10)
+        is_real = b.preprocessed(11)
+        x = b.main(0)
+        z = [b.main(1 + i) for i in range(4)]
+        alpha = [b.main(5 + i) for i in range(4)]
+        px = [b.main(9 + i) for i in range(4)]
+        pz = [b.main(13 + i) for i in range(4)]
+        api = [b.main(17 + i) for i in range(4)]
+        roi = [b.main(21 + i) for i in range(4)]
+        apo = [b.main(25 + i) for i in range(4)]
+        roo = [b.main(29 + i) for i in range(4)]
+
+        b.receive(MEM, mem_msg(addr[0], [x, 0, 0, 0]), is_real)
+        for a, blk in zip(addr[1:7], (z, alpha, px, pz, api, roi)):
+            b.receive(MEM, mem_msg(a, blk), is_real)
+        b.send(MEM, mem_msg(addr[7], apo), apow_mult)
+        b.send(MEM, mem_msg(addr[8], roo), ro_mult)
+
+        xz = [x - z[0], 0 - z[1], 0 - z[2], 0 - z[3]]
+        lhs = _ext_mul_expr([roo[i] - roi[i] for i in range(4)], xz)
+        rhs = _ext_mul_expr(api, [px[i] - pz[i] for i in range(4)])
+        for i in range(4):
+            b.when(is_real).assert_eq(lhs[i], rhs[i])
+        prod = _ext_mul_expr(api, alpha)
+        for i in range(4):
+            b.when(is_real).assert_eq(apo[i], prod[i])
+
+    def generate_preprocessed(self, program):
+        rows = []
+        for ins in program.instructions:
+            if isinstance(ins, pr.FriFold):
+                for m in range(len(ins.ps_at_z)):
+                    rows.append((
+                        ins.x, ins.z, ins.alpha, ins.mat_opening[m], ins.ps_at_z[m],
+                        ins.alpha_pow_input[m], ins.ro_input[m],
+                        ins.alpha_pow_output[m], ins.ro_output[m],
+                        ins.alpha_pow_mults[m], ins.ro_mults[m], 1,
+                    ))
+        t = np.zeros((max(len(rows), 1), self.preprocessed_width), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        events = record.fri_fold_events
+        t = np.zeros((max(len(events), 1), self.main_width), dtype=np.uint32)
+        for i, (x, z, alpha, px, pz, api, roi, apo, roo, _ins, _m) in enumerate(events):
+            t[i, 0] = x
+            t[i, 1:5] = z
+            t[i, 5:9] = alpha
+            t[i, 9:13] = px
+            t[i, 13:17] = pz
+            t[i, 17:21] = api
+            t[i, 21:25] = roi
+            t[i, 25:29] = apo
+            t[i, 29:33] = roo
         return t

@@ -18,6 +18,7 @@ from .chips import (
     RecMemConstAir,
     RecMemVarAir,
     RecPoseidon2Air,
+    RecFriFoldAir,
     RecPublicValuesAir,
     RecSelectAir,
 )
@@ -30,7 +31,8 @@ class RecursionMachine:
     def __init__(self, config: StarkConfig | None = None):
         self.airs = [
             RecMemConstAir(), RecMemVarAir(), RecBaseAluAir(), RecExtAluAir(),
-            RecPoseidon2Air(), RecSelectAir(), RecPublicValuesAir(),
+            RecPoseidon2Air(), RecSelectAir(), RecFriFoldAir(),
+            RecPublicValuesAir(),
         ]
         chips = [Chip(a, num_public_values=NUM_PV) for a in self.airs]
         self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=NUM_PV)

@@ -60,6 +60,54 @@ class Poseidon2:
 
 
 @dataclass(frozen=True, slots=True)
+class HintBits:
+    """Decompose mem[value_addr] (base) into its low ``num_bits`` bits,
+    written LSB-first to ``output_addrs`` (runtime/instruction.rs HintBits)."""
+
+    output_addrs: tuple
+    value_addr: int
+    mults: tuple
+
+
+@dataclass(frozen=True, slots=True)
+class HintExt2Felts:
+    """Split an ext block into 4 felt blocks (HintExt2Felts)."""
+
+    output_addrs: tuple  # 4 addrs
+    value_addr: int
+    mults: tuple
+
+
+@dataclass(frozen=True, slots=True)
+class Print:
+    """Host-side debug print of a memory block; proves nothing."""
+
+    addr: int
+    label: str = ""
+
+
+@dataclass(frozen=True, slots=True)
+class FriFold:
+    """FRI fold accumulator update (reference lib.rs:234-276 FriFoldInstr):
+    per matrix m, with quotient q = (p_at_x[m] - p_at_z[m]) / (x - z):
+      ro_out[m]        = ro_in[m] + alpha_pow_in[m] * q
+      alpha_pow_out[m] = alpha_pow_in[m] * alpha
+    """
+
+    x: int              # base address
+    z: int              # ext address
+    alpha: int          # ext address
+    mat_opening: tuple  # ext addrs, p(x) per matrix
+    ps_at_z: tuple      # ext addrs, p(z) per matrix
+    alpha_pow_input: tuple
+    ro_input: tuple
+    alpha_pow_output: tuple
+    ro_output: tuple
+    alpha_pow_mults: tuple
+    ro_mults: tuple
+
+
+@dataclass(frozen=True, slots=True)
 class Select:
     """out1 = bit ? in2 : in1 ; out2 = bit ? in1 : in2 (runtime/instruction.rs Select)."""
 

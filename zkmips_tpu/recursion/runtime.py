@@ -24,6 +24,7 @@ class RecursionRecord:
     poseidon2_events: list = field(default_factory=list)  # (in_addrs, in_vals, out_addrs, out_vals, mults)
     select_events: list = field(default_factory=list)
     exp_bits_events: list = field(default_factory=list)
+    fri_fold_events: list = field(default_factory=list)  # one per matrix index
     hint_events: list = field(default_factory=list)
     public_values: list = field(default_factory=lambda: [0] * 8)
 
@@ -91,6 +92,39 @@ class RecursionRuntime:
                 val = pow(base, exp, ff.P)
                 self._w(ins.out, (val, 0, 0, 0))
                 rec.exp_bits_events.append((ins, base, bits, val))
+            elif isinstance(ins, pr.HintBits):
+                v = self._r(ins.value_addr)[0]
+                for k, addr in enumerate(ins.output_addrs):
+                    bit = (v >> k) & 1
+                    self._w(addr, (bit, 0, 0, 0))
+                    rec.hint_events.append((addr, (bit, 0, 0, 0)))
+            elif isinstance(ins, pr.HintExt2Felts):
+                blk = self._r(ins.value_addr)
+                for k, addr in enumerate(ins.output_addrs):
+                    self._w(addr, (blk[k], 0, 0, 0))
+                    rec.hint_events.append((addr, (blk[k], 0, 0, 0)))
+            elif isinstance(ins, pr.Print):
+                print(f"[recursion print] {ins.label}: {self._r(ins.addr)}")
+            elif isinstance(ins, pr.FriFold):
+                x = self._r(ins.x)[0]
+                z = self._r(ins.z)
+                alpha = self._r(ins.alpha)
+                xz = _ext_sub((x, 0, 0, 0), z)
+                inv_xz = _ext_inv(xz)
+                for m in range(len(ins.ps_at_z)):
+                    p_at_x = self._r(ins.mat_opening[m])
+                    p_at_z = self._r(ins.ps_at_z[m])
+                    apow = self._r(ins.alpha_pow_input[m])
+                    ro = self._r(ins.ro_input[m])
+                    q = _ext_mul(_ext_sub(p_at_x, p_at_z), inv_xz)
+                    new_ro = _ext_add(ro, _ext_mul(apow, q))
+                    new_apow = _ext_mul(apow, alpha)
+                    self._w(ins.ro_output[m], new_ro)
+                    self._w(ins.alpha_pow_output[m], new_apow)
+                    rec.fri_fold_events.append(
+                        (x, z, alpha, p_at_x, p_at_z, apow, ro, new_apow, new_ro,
+                         ins, m)
+                    )
             elif isinstance(ins, pr.CommitPublicValues):
                 rec.public_values = [self._r(a)[0] for a in ins.addrs]
             else:
@@ -120,3 +154,20 @@ def _ext_op(op: pr.BaseOp, a: tuple, b: tuple) -> tuple:
     else:
         o = ext4.mul(am, ext4.inv(bm))
     return tuple(int(x) for x in ff.from_monty(o))
+
+
+def _ext_add(a: tuple, b: tuple) -> tuple:
+    return _ext_op(pr.BaseOp.ADD, a, b)
+
+
+def _ext_sub(a: tuple, b: tuple) -> tuple:
+    return _ext_op(pr.BaseOp.SUB, a, b)
+
+
+def _ext_mul(a: tuple, b: tuple) -> tuple:
+    return _ext_op(pr.BaseOp.MUL, a, b)
+
+
+def _ext_inv(a: tuple) -> tuple:
+    am = np.array([ff.to_monty_int(v) for v in a], dtype=np.uint32)
+    return tuple(int(x) for x in ff.from_monty(ext4.inv(am)))
