@@ -122,3 +122,33 @@ def test_hint_bits_and_ext2felts():
     pk = m.setup(prog)
     proof = m.prove(pk, rec)
     assert m.verify(pk.vk, proof)
+
+
+def test_batch_fri_roundtrip():
+    b = Builder()
+    from zkmips_tpu.recursion.builder import Felt
+    pxs = [b.felt(3 + i) for i in range(4)]
+    pzs = [b.ext(7 + i, i, 2 * i, 1) for i in range(4)]
+    apows = [b.ext(1, i, 0, 3) for i in range(4)]
+    acc = b.batch_fri(pxs, pzs, apows)
+    acc_f = b.add(Felt(acc.addr), b.felt(0))
+    b.commit_public_values([acc_f] + [b.felt(0)] * 7)
+    prog = b.compile()
+    m = RecursionMachine(StarkConfig.test())
+    rec = m.execute(prog, witness=[])
+    # independent expected value
+    from zkmips_tpu.ops import ext4
+    import numpy as np
+
+    def mont(t):
+        return np.array([ff.to_monty_int(v) for v in t], dtype=np.uint32)
+
+    acc_v = mont((0, 0, 0, 0))
+    for i in range(4):
+        term = ext4.mul(mont((1, i, 0, 3)),
+                        ext4.sub(mont((7 + i, i, 2 * i, 1)), mont((3 + i, 0, 0, 0))))
+        acc_v = ext4.add(acc_v, term)
+    assert int(ff.from_monty(acc_v)[0]) == rec.public_values[0]
+    pk = m.setup(prog)
+    proof = m.prove(pk, rec)
+    assert m.verify(pk.vk, proof)

@@ -143,6 +143,21 @@ class Builder:
     def print_(self, v, label: str = ""):
         self.instructions.append(pr.Print(v.addr, label))
 
+    def batch_fri(self, p_at_x: list, p_at_z: list, alpha_pow: list) -> Ext:
+        """acc = sum alpha_pow[m] * (p_at_z[m] - p_at_x[m]); p_at_x are felts."""
+        n = len(p_at_z)
+        assert len(p_at_x) == n and len(alpha_pow) == n
+        for m in range(n):
+            self._read(p_at_x[m].addr)
+            self._read(p_at_z[m].addr)
+            self._read(alpha_pow[m].addr)
+        acc = self._alloc(4)
+        self.instructions.append(pr.BatchFRI(
+            acc, tuple(v.addr for v in p_at_x), tuple(v.addr for v in p_at_z),
+            tuple(v.addr for v in alpha_pow), 0,
+        ))
+        return Ext(acc)
+
     def fri_fold(self, x: Felt, z: Ext, alpha: Ext, mat_opening: list,
                  ps_at_z: list, alpha_pow: Ext, ro: Ext):
         """Chained FRI fold over all matrices; returns the final
@@ -200,6 +215,8 @@ class Builder:
                 out.append(replace(
                     ins, mults=tuple(self._reads.get(a, 0) for a in ins.output_addrs)
                 ))
+            elif isinstance(ins, pr.BatchFRI):
+                out.append(replace(ins, acc_mult=self._reads.get(ins.acc, 0)))
             elif isinstance(ins, pr.FriFold):
                 out.append(replace(
                     ins,

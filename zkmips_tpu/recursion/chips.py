@@ -459,3 +459,65 @@ class RecFriFoldAir(BaseAir):
             t[i, 25:29] = apo
             t[i, 29:33] = roo
         return t
+
+
+class RecBatchFRIAir(BaseAir):
+    """Batched FRI accumulation chip: one row per (instruction, matrix) with
+    a running accumulator; the last row writes acc to memory (reference
+    chips/batch_fri)."""
+
+    name = "RecBatchFRI"
+    preprocessed_width = 8  # px_a, pz_a, apow_a, acc_a, acc_mult, first, last, is_real
+    main_width = 13  # px, pz(4), apow(4), acc(4)
+
+    def eval(self, b: AirBuilder):
+        px_a, pz_a, apow_a, acc_a = (b.preprocessed(i) for i in range(4))
+        acc_mult = b.preprocessed(4)
+        first, last, is_real = b.preprocessed(5), b.preprocessed(6), b.preprocessed(7)
+        px = b.main(0)
+        pz = [b.main(1 + i) for i in range(4)]
+        apow = [b.main(5 + i) for i in range(4)]
+        acc = [b.main(9 + i) for i in range(4)]
+
+        b.receive(MEM, mem_msg(px_a, [px, 0, 0, 0]), is_real)
+        b.receive(MEM, mem_msg(pz_a, pz), is_real)
+        b.receive(MEM, mem_msg(apow_a, apow), is_real)
+        b.send(MEM, mem_msg(acc_a, acc), acc_mult * last)
+
+        term = _ext_mul_expr(apow, [pz[0] - px, pz[1], pz[2], pz[3]])
+        for i in range(4):
+            b.when(first).assert_eq(acc[i], term[i])
+        # rows of one instruction are contiguous: acc chains forward
+        nxt_term = _ext_mul_expr(
+            [b.main(5 + i, 1) for i in range(4)],
+            [b.main(1, 1) - b.main(0, 1), b.main(2, 1), b.main(3, 1), b.main(4, 1)],
+        )
+        for i in range(4):
+            b.when_transition().when(is_real - last).assert_eq(
+                b.main(9 + i, 1), acc[i] + nxt_term[i]
+            )
+
+    def generate_preprocessed(self, program):
+        rows = []
+        for ins in program.instructions:
+            if isinstance(ins, pr.BatchFRI):
+                n = len(ins.p_at_z)
+                for m in range(n):
+                    rows.append((
+                        ins.p_at_x[m], ins.p_at_z[m], ins.alpha_pow[m], ins.acc,
+                        ins.acc_mult, 1 if m == 0 else 0, 1 if m == n - 1 else 0, 1,
+                    ))
+        t = np.zeros((max(len(rows), 1), self.preprocessed_width), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        events = record.batch_fri_events
+        t = np.zeros((max(len(events), 1), self.main_width), dtype=np.uint32)
+        for i, (px, pz, apow, acc, _ins, _m) in enumerate(events):
+            t[i, 0] = px
+            t[i, 1:5] = pz
+            t[i, 5:9] = apow
+            t[i, 9:13] = acc
+        return t

@@ -18,6 +18,7 @@ from .chips import (
     RecMemConstAir,
     RecMemVarAir,
     RecPoseidon2Air,
+    RecBatchFRIAir,
     RecFriFoldAir,
     RecPublicValuesAir,
     RecSelectAir,
@@ -31,7 +32,7 @@ class RecursionMachine:
     def __init__(self, config: StarkConfig | None = None):
         self.airs = [
             RecMemConstAir(), RecMemVarAir(), RecBaseAluAir(), RecExtAluAir(),
-            RecPoseidon2Air(), RecSelectAir(), RecFriFoldAir(),
+            RecPoseidon2Air(), RecSelectAir(), RecFriFoldAir(), RecBatchFRIAir(),
             RecPublicValuesAir(),
         ]
         chips = [Chip(a, num_public_values=NUM_PV) for a in self.airs]

@@ -108,6 +108,19 @@ class FriFold:
 
 
 @dataclass(frozen=True, slots=True)
+class BatchFRI:
+    """Batched FRI opening accumulation (runtime/mod.rs BatchFRI):
+    acc = sum_m alpha_pow[m] * (p_at_z[m] - p_at_x[m]), p_at_x base-valued;
+    one memory write of the final acc."""
+
+    acc: int            # ext addr (output)
+    p_at_x: tuple       # base addrs
+    p_at_z: tuple       # ext addrs
+    alpha_pow: tuple    # ext addrs
+    acc_mult: int
+
+
+@dataclass(frozen=True, slots=True)
 class Select:
     """out1 = bit ? in2 : in1 ; out2 = bit ? in1 : in2 (runtime/instruction.rs Select)."""
 

@@ -25,6 +25,7 @@ class RecursionRecord:
     select_events: list = field(default_factory=list)
     exp_bits_events: list = field(default_factory=list)
     fri_fold_events: list = field(default_factory=list)  # one per matrix index
+    batch_fri_events: list = field(default_factory=list)  # one per matrix index
     hint_events: list = field(default_factory=list)
     public_values: list = field(default_factory=lambda: [0] * 8)
 
@@ -125,6 +126,16 @@ class RecursionRuntime:
                         (x, z, alpha, p_at_x, p_at_z, apow, ro, new_apow, new_ro,
                          ins, m)
                     )
+            elif isinstance(ins, pr.BatchFRI):
+                acc = (0, 0, 0, 0)
+                n = len(ins.p_at_z)
+                for m in range(n):
+                    px = self._r(ins.p_at_x[m])[0]
+                    pz = self._r(ins.p_at_z[m])
+                    apow = self._r(ins.alpha_pow[m])
+                    acc = _ext_add(acc, _ext_mul(apow, _ext_sub(pz, (px, 0, 0, 0))))
+                    rec.batch_fri_events.append((px, pz, apow, acc, ins, m))
+                self._w(ins.acc, acc)
             elif isinstance(ins, pr.CommitPublicValues):
                 rec.public_values = [self._r(a)[0] for a in ins.addrs]
             else:
