@@ -68,8 +68,6 @@ def chip_costs(log_blowup: int = 1) -> dict:
     key = log_blowup
     if key in _COSTS_CACHE:
         return _COSTS_CACHE[key]
-    from ..machine.machine import MipsMachine
-
     from ..machine.machine import core_chip_airs
     from ..stark.chip import Chip
 
