@@ -73,6 +73,39 @@ class BranchAir(InstrAir):
         b.when(taken).assert_eq(nnpc + wrap * TWO32, next_pc + cw.value_expr())
         b.when(is_real).when_not(taken).assert_eq(nnpc, next_pc + 4)
 
+    def fill_vec(self, t, events, ops, sink) -> bool:
+        s = self.schema
+        a = t[:, s.idx("a_lo")].astype(np.int64) | (t[:, s.idx("a_hi")].astype(np.int64) << 16)
+        bb = t[:, s.idx("b_lo")].astype(np.int64) | (t[:, s.idx("b_hi")].astype(np.int64) << 16)
+        c = t[:, s.idx("c_lo")].astype(np.int64) | (t[:, s.idx("c_hi")].astype(np.int64) << 16)
+        next_pc = t[:, s.idx("next_pc")].astype(np.int64)
+        dl = (a & 0xFFFF) - (bb & 0xFFFF)
+        dh = (a >> 16) - (bb >> 16)
+        z_lo, z_hi = dl == 0, dh == 0
+        t[:, s.idx("z_lo")] = z_lo
+        t[:, s.idx("z_hi")] = z_hi
+        for d, zcol, icol in ((dl, z_lo, "inv_lo"), (dh, z_hi, "inv_hi")):
+            dm = ff.to_monty(np.where(zcol, 1, d % ff.P).astype(np.uint32))
+            t[:, s.idx(icol)] = np.where(zcol, 0, ff.from_monty(ff.inv(dm)))
+        t[:, s.idx("eq")] = z_lo & z_hi
+        a_hi = a >> 16
+        a_h0, a_h1 = (a_hi & 0xFF).astype(np.uint32), (a_hi >> 8).astype(np.uint32)
+        t[:, s.idx("a_h0")], t[:, s.idx("a_h1")] = a_h0, a_h1
+        sink.u8pair(a_h0, a_h1)
+        msb = (a >> 31).astype(np.uint32)
+        t[:, s.idx("msb_a")] = msb
+        sink.msb(msb, a_h1)
+        sa = np.where(a >> 31, a - (1 << 32), a)
+        opv = np.array([int(o) for o in ops], dtype=np.int64)
+        taken = np.select(
+            [opv == int(O.BEQ), opv == int(O.BNE), opv == int(O.BGEZ),
+             opv == int(O.BGTZ), opv == int(O.BLEZ), opv == int(O.BLTZ)],
+            [a == bb, a != bb, sa >= 0, sa > 0, sa <= 0, sa < 0],
+        )
+        t[:, s.idx("is_taken")] = taken
+        t[:, s.idx("wrap")] = taken & (next_pc + c >= (1 << 32))
+        return True
+
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema
         a, bb = int(e.a), int(e.b)

@@ -236,12 +236,12 @@ def open_batches(
     log_max = max(reduced)
     assert min(reduced) > config.log_blowup, "matrices at the minimum height are unsupported"
 
-    # 3. FRI commit phase
+    # 3. FRI commit phase (fused: fold k and commit k+1 in one dispatch)
     _sp = span("open.fold"); _sp.__enter__()
     cur = reduced[log_max]
     commit_roots, betas, layer_trees = [], [], []
+    layer_mat, layers = _fold_commit(cur, log_max, xp)
     for log_h in range(log_max, config.log_blowup, -1):
-        layer_mat, layers = _fold_commit(cur, log_h, xp)
         tree = merkle.MerkleTree([layer_mat], xp=xp, layers=layers)
         layer_trees.append(tree)
         root = tree.root
@@ -251,7 +251,12 @@ def open_batches(
         betas.append(beta)
         nxt = reduced.get(log_h - 1)
         use_next = nxt is not None and log_h - 1 > config.log_blowup
-        cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
+        if log_h - 1 > config.log_blowup:
+            cur, layer_mat, layers = _fold_step_commit(
+                cur, beta, nxt if use_next else None, log_h, xp
+            )
+        else:
+            cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
 
     _sp.__exit__(None, None, None)
     final_poly = np.asarray(cur[0])
@@ -535,3 +540,26 @@ def _fold_step(cur, beta, nxt, log_h: int, xp):
     if nxt is None:
         return fn(cur, beta, xp.zeros((0, 4), dtype=np.uint32))
     return fn(cur, beta, nxt)
+
+
+def _fold_step_commit(cur, beta, nxt, log_h: int, xp):
+    """Fused fold + next-layer commit: one device dispatch per FRI layer
+    instead of two (the root of each layer must still sync to the host for
+    the Fiat-Shamir transcript, so per-layer sequencing is irreducible)."""
+    def make():
+        step = _fold_step_body(log_h, nxt is not None, xp)
+        commit = _fold_commit_body(xp)
+
+        def fn(cur_, beta_, nxt_):
+            folded = step(cur_, beta_, nxt_)
+            layer_mat, layers = commit(folded)
+            return folded, layer_mat, layers
+
+        return fn
+
+    if xp is np:
+        return make()(cur, beta, nxt)
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_fold_commit_fused", (log_h, nxt is not None), make)
+    return fn(cur, beta, nxt if nxt is not None else xp.zeros((0, 4), dtype=np.uint32))
