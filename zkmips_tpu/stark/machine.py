@@ -91,6 +91,26 @@ class VerificationError(Exception):
     pass
 
 
+_PREP_KEYS: dict = {}
+
+
+def _prep_key(prep):
+    """Cache key component for a preprocessed trace: the jitted stage kernels
+    close over it as a constant, so kernels compiled for one program must not
+    be reused for another with a same-shaped table (bug: Program constraint
+    failure when proving two programs with one machine)."""
+    if prep is None:
+        return None
+    key = _PREP_KEYS.get(id(prep))
+    if key is None:
+        import zlib
+
+        key = (prep.shape, zlib.crc32(np.asarray(prep).tobytes()))
+        _PREP_KEYS[id(prep)] = key
+        _PREP_KEYS.setdefault("_refs", []).append(prep)  # pin ids
+    return key
+
+
 class StarkMachine:
     def __init__(self, config: StarkConfig, chips: list[Chip], num_public_values: int = 0, shape_config=None):
         self.config = config
@@ -186,7 +206,7 @@ class StarkMachine:
 
                 h = traces[chip.name].shape[0]
                 fn = cached_jit(
-                    "perm_trace", (chip.name, h, chip.batch_size, prep is None),
+                    "perm_trace", (chip.name, h, chip.batch_size, _prep_key(prep)),
                     lambda chip=chip, prep=prep: (
                         lambda main, a, b: permutation.generate_permutation_trace(
                             chip, prep, main, a, b, chip.batch_size, xp=xp
@@ -235,7 +255,7 @@ class StarkMachine:
                 h = traces[chip.name].shape[0]
                 prep = pk.prep_traces.get(chip.name)
                 fn = cached_jit(
-                    "quotient", (chip.name, h, prep is None, gs is None),
+                    "quotient", (chip.name, h, _prep_key(prep), gs is None),
                     lambda chip=chip, prep=prep: (
                         lambda main, perm, pubs, ch0, ch1, cum, g, al: quotient_mod.quotient_chunks(
                             chip, main, prep, perm, pubs, [ch0, ch1], cum, g, al, xp=xp
