@@ -152,3 +152,110 @@ def test_batch_fri_roundtrip():
     pk = m.setup(prog)
     proof = m.prove(pk, rec)
     assert m.verify(pk.vk, proof)
+
+
+# ---------------------------------------------------------------------------
+# In-DSL shard verifier (recursion/verifier.py)
+# ---------------------------------------------------------------------------
+
+
+def test_circuit_challenger_matches_host():
+    from zkmips_tpu.ops import ext4
+    from zkmips_tpu.recursion.runtime import RecursionRuntime
+    from zkmips_tpu.recursion.verifier import CircuitChallenger
+    from zkmips_tpu.stark.challenger import DuplexChallenger
+
+    b = Builder()
+    cch = CircuitChallenger(b)
+    host = DuplexChallenger()
+    rng = np.random.default_rng(7)
+    pairs = []
+    for i, v in enumerate(int(x) for x in rng.integers(0, ff.P, size=23)):
+        cch.observe(b.const_felt(v))
+        host.observe(v)
+        if i % 5 == 4:
+            pairs.append((cch.sample(), host.sample()))
+    bits_c, bits_h = cch.sample_bits(10), host.sample_bits(10)
+    ec, eh = cch.sample_ext(), host.sample_ext()
+    rt = RecursionRuntime(b.compile(), [])
+    rt.run()
+    for fc, fh in pairs:
+        assert rt.memory[fc.addr][0] == fh
+    assert sum(rt.memory[v.addr][0] << k for k, v in enumerate(bits_c)) == bits_h
+    assert rt.memory[ec.addr] == tuple(int(x) for x in ext4.to_canonical(eh))
+
+
+def test_assert_eq_op():
+    from zkmips_tpu.recursion.runtime import RecursionRuntime
+
+    b = Builder()
+    x = b.felt(4)
+    y = b.mul(x, x)
+    b.assert_eq(y, b.felt(16))
+    prog = b.compile()
+    RecursionRuntime(prog, []).run()
+    m = RecursionMachine(StarkConfig.test())
+    pk = m.setup(prog)
+    proof = m.prove(pk, m.execute(prog))
+    assert m.verify(pk.vk, proof)
+
+    b2 = Builder()
+    b2.assert_eq(b2.felt(1), b2.felt(2))
+    with pytest.raises(AssertionError):
+        RecursionRuntime(b2.compile(), []).run()
+
+
+def _inner_proof():
+    b0 = Builder()
+    z = b0.mul(b0.felt(7), b0.felt(35))
+    ps = b0.poseidon2([z] + [b0.const_felt(i) for i in range(15)])
+    b0.commit_public_values(ps[8:16])
+    p0 = b0.compile()
+    m = RecursionMachine(StarkConfig.test())
+    pk = m.setup(p0)
+    proof = m.prove(pk, m.execute(p0))
+    return m, pk, proof
+
+
+def test_shard_verifier_circuit_accepts_and_rejects():
+    import copy
+
+    from zkmips_tpu.recursion.runtime import RecursionRuntime
+    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit
+
+    m, pk, proof = _inner_proof()
+    circ = ShardVerifierCircuit(m.machine, pk.vk, proof)
+    rec = RecursionRuntime(circ.program, circ.witness(proof)).run()
+    assert rec.public_values == circ.expected_public_values(proof)
+
+    bad = copy.deepcopy(proof)
+    bad.public_values = bad.public_values.copy()
+    bad.public_values[0] = (int(bad.public_values[0]) + 1) % ff.P
+    with pytest.raises(AssertionError):
+        RecursionRuntime(circ.program, circ.witness(bad)).run()
+
+    bad2 = copy.deepcopy(proof)
+    bad2.main_root = bad2.main_root.copy()
+    bad2.main_root[0] ^= 1
+    with pytest.raises(AssertionError):
+        RecursionRuntime(circ.program, circ.witness(bad2)).run()
+
+    bad3 = copy.deepcopy(proof)
+    ov = bad3.opened[0]
+    ov.main_local = ov.main_local.copy()
+    ov.main_local[0] = (ov.main_local[0] + 1) % ff.P
+    with pytest.raises(AssertionError):
+        RecursionRuntime(circ.program, circ.witness(bad3)).run()
+
+
+@pytest.mark.slow
+def test_recursion_of_recursion_proves():
+    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit
+
+    m, pk, proof = _inner_proof()
+    circ = ShardVerifierCircuit(m.machine, pk.vk, proof)
+    rec = m.execute(circ.program, circ.witness(proof))
+    pk1 = m.setup(circ.program)
+    proof1 = m.prove(pk1, rec)
+    assert m.verify(pk1.vk, proof1)
+    assert list(proof1.public_values) == circ.expected_public_values(proof)

@@ -30,6 +30,7 @@ class Builder:
         self.instructions: list = []
         self._next_addr = 0
         self._reads: dict[int, int] = {}
+        self._const_memo: dict[tuple, object] = {}
 
     # ------------------------------------------------------------ allocation
 
@@ -63,30 +64,61 @@ class Builder:
         self.instructions.append(pr.Hint(a, 0))
         return Ext(a)
 
+    # ----------------------------------------------------- memoized constants
+
+    def const_felt(self, value: int) -> Felt:
+        """Deduplicated felt constant (multiplicity counting handles reuse)."""
+        key = ("f", value % ff.P)
+        v = self._const_memo.get(key)
+        if v is None:
+            v = self.felt(value)
+            self._const_memo[key] = v
+        return v
+
+    def const_ext(self, coords) -> Ext:
+        key = ("e", tuple(int(c) % ff.P for c in coords))
+        v = self._const_memo.get(key)
+        if v is None:
+            v = self.ext(*key[1])
+            self._const_memo[key] = v
+        return v
+
     # ------------------------------------------------------------ arithmetic
 
-    def _alu(self, cls, op, x, y):
+    def _alu(self, op, x, y):
+        """Binary op; result is Ext if either operand is Ext (felt blocks are
+        valid ext blocks with zero high coordinates)."""
+        is_ext = isinstance(x, Ext) or isinstance(y, Ext)
+        cls = pr.ExtAlu if is_ext else pr.BaseAlu
         out = self._alloc(4)
         self._read(x.addr)
         self._read(y.addr)
         self.instructions.append(cls(op, out, x.addr, y.addr, 0))
-        return type(x)(out)
+        return (Ext if is_ext else Felt)(out)
 
     def add(self, x, y):
-        return self._alu(self._cls(x), pr.BaseOp.ADD, x, y)
+        return self._alu(pr.BaseOp.ADD, x, y)
 
     def sub(self, x, y):
-        return self._alu(self._cls(x), pr.BaseOp.SUB, x, y)
+        return self._alu(pr.BaseOp.SUB, x, y)
 
     def mul(self, x, y):
-        return self._alu(self._cls(x), pr.BaseOp.MUL, x, y)
+        return self._alu(pr.BaseOp.MUL, x, y)
 
     def div(self, x, y):
-        return self._alu(self._cls(x), pr.BaseOp.DIV, x, y)
+        return self._alu(pr.BaseOp.DIV, x, y)
 
-    @staticmethod
-    def _cls(x):
-        return pr.BaseAlu if isinstance(x, Felt) else pr.ExtAlu
+    def assert_eq(self, x, y):
+        """Constrain x == y (base compare unless either side is Ext)."""
+        is_ext = isinstance(x, Ext) or isinstance(y, Ext)
+        cls = pr.ExtAlu if is_ext else pr.BaseAlu
+        self._read(x.addr)
+        self._read(y.addr)
+        self.instructions.append(cls(pr.BaseOp.ASSERT_EQ, 0, x.addr, y.addr, 0))
+
+    def assert_zero(self, x):
+        zero = self.const_ext((0, 0, 0, 0)) if isinstance(x, Ext) else self.const_felt(0)
+        self.assert_eq(x, zero)
 
     # ------------------------------------------------------------ primitives
 
@@ -109,14 +141,64 @@ class Builder:
         return Felt(o1), Felt(o2)
 
     def exp_reverse_bits(self, base: Felt, bits: list[Felt]) -> Felt:
-        out = self._alloc(4)
-        self._read(base.addr)
-        for b in bits:
-            self._read(b.addr)
-        self.instructions.append(
-            pr.ExpReverseBitsLen(out, base.addr, tuple(b.addr for b in bits), 0)
-        )
-        return Felt(out)
+        """base^(reverse_bits(bits)) via square-and-multiply over ALU+Select
+        ops (bits LSB-of-the-reversed-value first, i.e. bits[0] carries the
+        highest weight; Select enforces booleanity of each bit)."""
+        one = self.const_felt(1)
+        acc = one
+        for bit in bits:
+            acc = self.mul(acc, acc)
+            m, _ = self.select(bit, one, base)
+            acc = self.mul(acc, m)
+        return acc
+
+    # ------------------------------------------------- ext <-> felt plumbing
+
+    def felts2ext(self, felts) -> Ext:
+        """Ext with coordinates (f0, f1, f2, f3): sum f_c * X^c."""
+        assert len(felts) == 4
+        acc = None
+        for c, fv in enumerate(felts):
+            if c == 0:
+                term = fv
+            else:
+                mono = [0, 0, 0, 0]
+                mono[c] = 1
+                term = self.mul(self.const_ext(mono), fv)
+            acc = term if acc is None else self.add(acc, term)
+        return Ext(acc.addr)
+
+    def ext_to_felts(self, value: Ext) -> list:
+        """Split an ext into its 4 coordinate felts, CONSTRAINED: the hinted
+        parts are recomposed and asserted equal to ``value``."""
+        parts = self.ext2felts(value)
+        self.assert_eq(self.felts2ext(parts), value)
+        return parts
+
+    def num2bits(self, value: Felt, num_bits: int = 31) -> list:
+        """Constrained 31-bit LSB-first decomposition of a canonical felt.
+
+        Booleanity, recomposition, and the canonical-range check (if the top
+        7 bits are all one — i.e. v >= P - 1 = 0b1111111 << 24 — the low 24
+        bits must all be zero) are asserted, so the decomposition is unique.
+        Returns the low ``num_bits`` bits.
+        """
+        bits = self.hint_bits(value, 31)
+        for bit in bits:
+            self.assert_eq(self.mul(bit, bit), bit)
+        acc = None
+        for k, bit in enumerate(bits):
+            term = bit if k == 0 else self.mul(bit, self.const_felt(1 << k))
+            acc = term if acc is None else self.add(acc, term)
+        self.assert_eq(acc, value)
+        prod = bits[24]
+        for k in range(25, 31):
+            prod = self.mul(prod, bits[k])
+        low = bits[0]
+        for k in range(1, 24):
+            low = self.add(low, bits[k])
+        self.assert_zero(self.mul(prod, low))
+        return bits[:num_bits]
 
     def commit_public_values(self, felts: list[Felt]):
         assert len(felts) == 8
@@ -202,7 +284,10 @@ class Builder:
             if isinstance(ins, (pr.MemConst, pr.Hint)):
                 out.append(replace(ins, mult=self._reads.get(ins.addr, 0)))
             elif isinstance(ins, (pr.BaseAlu, pr.ExtAlu)):
-                out.append(replace(ins, mult=self._reads.get(ins.out, 0)))
+                if ins.op == pr.BaseOp.ASSERT_EQ:
+                    out.append(ins)  # asserts write nothing; mult stays 0
+                else:
+                    out.append(replace(ins, mult=self._reads.get(ins.out, 0)))
             elif isinstance(ins, pr.Poseidon2):
                 out.append(replace(ins, mults=tuple(self._reads.get(a, 0) for a in ins.out)))
             elif isinstance(ins, pr.Select):

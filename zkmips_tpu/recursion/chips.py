@@ -89,32 +89,34 @@ class RecMemVarAir(BaseAir):
 class _AluAir(BaseAir):
     """Shared base/ext ALU structure (chips/alu_base, alu_ext)."""
 
-    preprocessed_width = 8  # is_add, is_sub, is_mul, is_div, out, in1, in2, mult
+    preprocessed_width = 9  # is_add..is_div, is_assert, out, in1, in2, mult
     main_width = 12  # a(4), b(4), o(4)
     EXT = False
 
     def eval(self, b: AirBuilder):
-        sels = [b.preprocessed(i) for i in range(4)]
-        out_a, in1_a, in2_a = b.preprocessed(4), b.preprocessed(5), b.preprocessed(6)
-        is_real = sels[0] + sels[1] + sels[2] + sels[3]
+        sels = [b.preprocessed(i) for i in range(5)]
+        out_a, in1_a, in2_a = b.preprocessed(5), b.preprocessed(6), b.preprocessed(7)
+        is_real = sels[0] + sels[1] + sels[2] + sels[3] + sels[4]
         a = [b.main(i) for i in range(4)]
         bb = [b.main(4 + i) for i in range(4)]
         o = [b.main(8 + i) for i in range(4)]
         b.receive(MEM, mem_msg(in1_a, a), is_real)
         b.receive(MEM, mem_msg(in2_a, bb), is_real)
-        b.send(MEM, mem_msg(out_a, o), b.preprocessed(7))
-        is_add, is_sub, is_mul, is_div = sels
+        b.send(MEM, mem_msg(out_a, o), b.preprocessed(8))
+        is_add, is_sub, is_mul, is_div, is_assert = sels
         if not self.EXT:
             b.when(is_add).assert_eq(o[0], a[0] + bb[0])
             b.when(is_sub).assert_eq(o[0] + bb[0], a[0])
             b.when(is_mul).assert_eq(o[0], a[0] * bb[0])
             b.when(is_div).assert_eq(o[0] * bb[0], a[0])
+            b.when(is_assert).assert_eq(a[0], bb[0])
             for i in range(1, 4):
                 b.when(is_real).assert_zero(o[i])
         else:
             for i in range(4):
                 b.when(is_add).assert_eq(o[i], a[i] + bb[i])
                 b.when(is_sub).assert_eq(o[i] + bb[i], a[i])
+                b.when(is_assert).assert_eq(a[i], bb[i])
             mul_ab = _ext_mul_expr(a, bb)
             mul_ob = _ext_mul_expr(o, bb)
             for i in range(4):
@@ -129,10 +131,10 @@ class _AluAir(BaseAir):
         rows = []
         for ins in program.instructions:
             if isinstance(ins, cls):
-                sel = [0, 0, 0, 0]
+                sel = [0, 0, 0, 0, 0]
                 sel[int(ins.op)] = 1
                 rows.append((*sel, ins.out, ins.in1, ins.in2, ins.mult))
-        t = np.zeros((max(len(rows), 1), 8), dtype=np.uint32)
+        t = np.zeros((max(len(rows), 1), 9), dtype=np.uint32)
         for i, r in enumerate(rows):
             t[i] = r
         return t

@@ -21,6 +21,7 @@ class BaseOp(IntEnum):
     SUB = 1
     MUL = 2
     DIV = 3
+    ASSERT_EQ = 4  # constrain in1 == in2; writes nothing (out/mult unused)
 
 
 @dataclass(frozen=True, slots=True)

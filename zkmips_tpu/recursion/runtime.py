@@ -59,13 +59,27 @@ class RecursionRuntime:
                 rec.hint_events.append((ins.addr, val))
             elif isinstance(ins, pr.BaseAlu):
                 a, b = self._r(ins.in1), self._r(ins.in2)
-                o = (_base_op(ins.op, a[0], b[0]), 0, 0, 0)
-                self._w(ins.out, o)
+                if ins.op == pr.BaseOp.ASSERT_EQ:
+                    if a[0] != b[0]:
+                        raise AssertionError(
+                            f"circuit assert failed (base): {a[0]} != {b[0]}"
+                        )
+                    o = (0, 0, 0, 0)
+                else:
+                    o = (_base_op(ins.op, a[0], b[0]), 0, 0, 0)
+                    self._w(ins.out, o)
                 rec.base_alu_events.append((ins.op, ins.out, ins.in1, ins.in2, a, b, o, ins.mult))
             elif isinstance(ins, pr.ExtAlu):
                 a, b = self._r(ins.in1), self._r(ins.in2)
-                o = _ext_op(ins.op, a, b)
-                self._w(ins.out, o)
+                if ins.op == pr.BaseOp.ASSERT_EQ:
+                    if a != b:
+                        raise AssertionError(
+                            f"circuit assert failed (ext): {a} != {b}"
+                        )
+                    o = (0, 0, 0, 0)
+                else:
+                    o = _ext_op(ins.op, a, b)
+                    self._w(ins.out, o)
                 rec.ext_alu_events.append((ins.op, ins.out, ins.in1, ins.in2, a, b, o, ins.mult))
             elif isinstance(ins, pr.Poseidon2):
                 from ..ops import poseidon2 as p2

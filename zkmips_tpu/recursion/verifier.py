@@ -1,0 +1,616 @@
+"""In-DSL shard verifier: a RecursionProgram that verifies a ShardProof.
+
+The analog of the reference's in-circuit STARK verifier
+(crates/recursion/circuit/src/stark.rs:213,246 StarkVerifier::verify_shard,
+fri.rs:34-363 verify_two_adic_pcs, challenger.rs:62 DuplexChallengerVariable):
+the whole host-side ``StarkMachine.verify_shard`` + ``pcs.verify_batches``
+pipeline is re-emitted as a straight-line recursion-VM program over hinted
+proof values.  Everything data-dependent on the *shape* of the proof (chip
+set, log-degrees, widths, FRI layer count) is resolved at build time; only
+field values flow through the witness stream, so one compiled program (and
+one recursion-machine pk/vk) serves every proof of the same shape — the
+reference's per-shape program cache (crates/prover/src/lib.rs:366-438).
+
+Public values of the produced program (8 felts):
+    digest = Poseidon2_compress(vk.prep_root, Poseidon2_sponge(shard pv))
+computed in-circuit from the constant vk root and the hinted (and
+transcript-observed) shard public values, so a recursion proof binds both
+the verified shard's vk and its public values.  ``expected_public_values``
+recomputes the digest host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import ext4, field as ff, poseidon2 as p2
+from ..stark import air
+from ..stark.domain import Domain
+from . import program as pr
+from .builder import Builder, Ext, Felt
+
+RATE = 8
+
+
+# ---------------------------------------------------------------------------
+# In-circuit duplex challenger (challenger.rs:62 DuplexChallengerVariable)
+# ---------------------------------------------------------------------------
+
+
+class CircuitChallenger:
+    """Mirror of stark.challenger.DuplexChallenger over Felt handles.
+
+    The observe/sample schedule is fully static per proof shape, so the
+    circuit reproduces the host transcript exactly (overwrite-absorb,
+    sample pops from the end of the refreshed output buffer).
+    """
+
+    def __init__(self, b: Builder):
+        self.b = b
+        zero = b.const_felt(0)
+        self.state: list[Felt] = [zero] * 16
+        self.input_buffer: list[Felt] = []
+        self.output_buffer: list[Felt] = []
+
+    def _duplex(self):
+        assert len(self.input_buffer) <= RATE
+        st = list(self.state)
+        for i, v in enumerate(self.input_buffer):
+            st[i] = v
+        self.input_buffer.clear()
+        self.state = self.b.poseidon2(st)
+        self.output_buffer = list(self.state[:RATE])
+
+    def observe(self, felt: Felt):
+        self.output_buffer.clear()
+        self.input_buffer.append(felt)
+        if len(self.input_buffer) == RATE:
+            self._duplex()
+
+    def observe_slice(self, felts):
+        for v in felts:
+            self.observe(v)
+
+    def sample(self) -> Felt:
+        if self.input_buffer or not self.output_buffer:
+            self._duplex()
+        return self.output_buffer.pop()
+
+    def sample_ext(self) -> Ext:
+        return self.b.felts2ext([self.sample() for _ in range(4)])
+
+    def sample_bits(self, nbits: int) -> list:
+        """Sampled felt constrained-decomposed; returns the low bits."""
+        return self.b.num2bits(self.sample(), 31)[:nbits]
+
+    def check_witness(self, nbits: int, witness: Felt):
+        self.observe(witness)
+        for bit in self.sample_bits(nbits):
+            self.b.assert_zero(bit)
+
+
+# ---------------------------------------------------------------------------
+# In-circuit Poseidon2 hashing / Merkle paths (fri.rs verify_batch)
+# ---------------------------------------------------------------------------
+
+
+def circuit_hash_flat(b: Builder, felts) -> list:
+    """PaddingFreeSponge<16,8,8> over a flat felt list (ops/merkle leaf hash)."""
+    zero = b.const_felt(0)
+    state = [zero] * 16
+    for start in range(0, len(felts), RATE):
+        chunk = list(felts[start : start + RATE])
+        state = chunk + state[len(chunk) :]
+        state = b.poseidon2(state)
+    return state[:RATE]
+
+
+def circuit_compress(b: Builder, left, right) -> list:
+    return b.poseidon2(list(left) + list(right))[:RATE]
+
+
+def circuit_merkle_verify(b, digest, index_bits, siblings, root, folds=None):
+    """Walk a Merkle path and assert the final digest equals ``root``.
+
+    digest/root: 8-felt lists; index_bits LSB-first (len == len(siblings));
+    folds: {level_k: 8-felt digest} folded in after the k-th compression
+    (mixed-height MMCS batches, ops/merkle.py verify_opening).
+    """
+    for k, sib in enumerate(siblings):
+        bit = index_bits[k]
+        left, right = [], []
+        for i in range(RATE):
+            l_, r_ = b.select(bit, digest[i], sib[i])
+            left.append(l_)
+            right.append(r_)
+        digest = circuit_compress(b, left, right)
+        if folds and (k + 1) in folds:
+            digest = circuit_compress(b, digest, folds[k + 1])
+    for i in range(RATE):
+        b.assert_eq(digest[i], root[i])
+
+
+# ---------------------------------------------------------------------------
+# In-circuit constraint-DAG evaluation at zeta (stark.rs eval_constraints)
+# ---------------------------------------------------------------------------
+
+
+class _ConstraintEval:
+    """Walks a chip's symbolic AIR DAG, emitting ExtAlu ops.
+
+    Every node becomes an Ext handle (felt blocks embed as exts with zero
+    high coordinates); the binding mirrors StarkMachine._verify_chip_
+    constraints' EvalContext in ext mode.
+    """
+
+    def __init__(self, b: Builder, opened, selectors, publics, challenges,
+                 cum_sum: Ext, global_sum, perm_var_fn):
+        self.b = b
+        self.opened = opened  # dict segment -> (local handles, next handles)
+        self.selectors = selectors
+        self.publics = publics
+        self.challenges = challenges
+        self.cum_sum = cum_sum
+        self.global_sum = global_sum
+        self.perm_var_fn = perm_var_fn
+        self.cache: dict[int, object] = {}
+
+    def eval(self, e):
+        k = id(e)
+        hit = self.cache.get(k)
+        if hit is not None:
+            return hit
+        b = self.b
+        if isinstance(e, air.Const):
+            v = b.const_felt(e.value)
+        elif isinstance(e, air.Var):
+            if e.segment == air.PERM:
+                v = self.perm_var_fn(e.col, e.offset)
+            else:
+                local, nxt = self.opened[e.segment]
+                v = (local if e.offset == 0 else nxt)[e.col]
+        elif isinstance(e, air.Selector):
+            v = self.selectors[e.which]
+        elif isinstance(e, air.Public):
+            v = self.publics[e.index]
+        elif isinstance(e, air.Challenge):
+            v = self.challenges[e.index]
+        elif isinstance(e, air.CumSumLocal):
+            v = self.cum_sum
+        elif isinstance(e, air.GlobalSumCoord):
+            v = self.global_sum[e.index]
+        elif isinstance(e, air.Add):
+            v = b.add(self.eval(e.a), self.eval(e.b))
+        elif isinstance(e, air.Sub):
+            v = b.sub(self.eval(e.a), self.eval(e.b))
+        elif isinstance(e, air.Mul):
+            v = b.mul(self.eval(e.a), self.eval(e.b))
+        elif isinstance(e, air.Neg):
+            v = b.sub(b.const_felt(0), self.eval(e.a))
+        else:
+            raise TypeError(type(e))
+        self.cache[k] = v
+        return v
+
+
+# ---------------------------------------------------------------------------
+# The shard-verifier circuit
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _MatInfo:
+    domain: Domain
+    width: int
+    points: list  # list of (z_handle, ys_handles list[Ext])
+
+
+class ShardVerifierCircuit:
+    """Builds (once, from a template proof's shape) a recursion program that
+    verifies any same-shape ShardProof of ``machine`` under ``vk``."""
+
+    def __init__(self, machine, vk, template_proof):
+        self.machine = machine
+        self.vk = vk
+        self.config = machine.config.fri
+        self._spec: list = []  # extractors: proof -> canonical 4-tuple block
+        self.b = Builder()
+        self._build(template_proof)
+        self.program = self.b.compile()
+
+    # -- witness stream ------------------------------------------------------
+
+    def witness(self, proof) -> list:
+        return [ex(proof) for ex in self._spec]
+
+    def expected_public_values(self, proof) -> list:
+        """Host-side recomputation of the circuit's committed pv digest."""
+        pv_m = ff.to_monty(np.asarray(proof.public_values, dtype=np.uint32))
+        payload = p2.hash_flat(pv_m)
+        root = np.asarray(self.vk.prep_root, dtype=np.uint32)
+        digest = p2.compress(root, payload)
+        return [int(x) for x in ff.from_monty(digest)]
+
+    # -- hint helpers --------------------------------------------------------
+
+    def _hf(self, extract) -> Felt:
+        self._spec.append(lambda p, e=extract: (int(e(p)) % ff.P, 0, 0, 0))
+        return self.b.hint_felt()
+
+    def _hfs(self, n, extract) -> list:
+        """n felts; extract(proof) -> length-n canonical sequence."""
+        out = []
+        for i in range(n):
+            out.append(self._hf(lambda p, e=extract, i=i: e(p)[i]))
+        return out
+
+    def _hext(self, extract) -> Ext:
+        """Ext hint; extract(proof) -> canonical (4,) coords."""
+        self._spec.append(lambda p, e=extract: tuple(int(x) for x in e(p)))
+        return self.b.hint_ext()
+
+    # -- build ---------------------------------------------------------------
+
+    def _build(self, tp):
+        b = self.b
+        machine, vk, config = self.machine, self.vk, self.config
+        ch = CircuitChallenger(b)
+        one_ext = b.const_ext((1, 0, 0, 0))
+
+        chips = [machine.chip_map[n] for n in tp.chip_names]
+        opened = tp.opened
+        log_degrees = [ov.log_degree for ov in opened]
+
+        # 1. vk observation (constants baked into the program)
+        assert vk.prep_root is not None, "verifier circuit requires a preprocessed commitment"
+        root_canon = [int(x) for x in ff.from_monty(np.asarray(vk.prep_root))]
+        vk_root = [b.const_felt(v) for v in root_canon]
+        ch.observe_slice(vk_root)
+        for _name, log_h in vk.prep_heights:
+            ch.observe(b.const_felt(log_h))
+
+        # 2. public values
+        num_pv = machine.num_public_values
+        pv = self._hfs(num_pv, lambda p: p.public_values)
+        ch.observe_slice(pv)
+
+        # 3. roots + challenges (transcript order: machine.py verify_shard)
+        main_root = self._hfs(8, lambda p: ff.from_monty(p.main_root))
+        ch.observe_slice(main_root)
+        perm_challenges = [ch.sample_ext(), ch.sample_ext()]
+        perm_chips = [c.perm_width_ext > 0 for c in chips]
+        perm_root = None
+        if any(perm_chips):
+            perm_root = self._hfs(8, lambda p: ff.from_monty(p.perm_root))
+            ch.observe_slice(perm_root)
+        cum_exts, global_sums = [], {}
+        for i, chip in enumerate(chips):
+            if chip.perm_width_ext == 0:
+                zero = b.const_felt(0)
+                parts = [zero] * 4
+            else:
+                parts = self._hfs(
+                    4, lambda p, i=i: ext4.to_canonical(p.opened[i].local_cumulative_sum)
+                )
+            ch.observe_slice(parts)
+            cum_exts.append(b.felts2ext(parts))
+            if chip.commit_scope == air.Scope.Global:
+                gs = self._hfs(14, lambda p, i=i: p.opened[i].global_sum)
+                ch.observe_slice(gs)
+                global_sums[i] = gs
+        alpha = ch.sample_ext()
+        quotient_root = self._hfs(8, lambda p: ff.from_monty(p.quotient_root))
+        ch.observe_slice(quotient_root)
+        zeta = ch.sample_ext()
+
+        # 4. opened values (hint in PCS-round order) + z points
+        zw: dict[int, Ext] = {}  # log_n -> zeta * w_{log_n}
+
+        def z_next(log_n: int) -> Ext:
+            if log_n not in zw:
+                zw[log_n] = b.mul(zeta, b.const_felt(Domain(log_n, 1).gen))
+            return zw[log_n]
+
+        rounds: list[tuple[list, list]] = []  # (root_handles, [_MatInfo])
+        prep_mats = []
+        for name, log_h in vk.prep_heights:
+            ci = tp.chip_names.index(name)
+            wp = opened[ci].preprocessed_local.shape[0]
+            ys_l = [
+                self._hext(lambda p, ci=ci, c=c: ext4.to_canonical(p.opened[ci].preprocessed_local[c]))
+                for c in range(wp)
+            ]
+            ys_n = [
+                self._hext(lambda p, ci=ci, c=c: ext4.to_canonical(p.opened[ci].preprocessed_next[c]))
+                for c in range(wp)
+            ]
+            prep_mats.append(_MatInfo(Domain(log_h, 1), wp, [(zeta, ys_l), (z_next(log_h), ys_n)]))
+        rounds.append((vk_root, prep_mats))
+
+        main_mats, perm_mats, q_mats = [], [], []
+        main_opened, perm_opened = [], {}
+        for i, chip in enumerate(chips):
+            d = Domain(log_degrees[i], 1)
+            w = chip.main_width
+            ys_l = [
+                self._hext(lambda p, i=i, c=c: ext4.to_canonical(p.opened[i].main_local[c]))
+                for c in range(w)
+            ]
+            ys_n = [
+                self._hext(lambda p, i=i, c=c: ext4.to_canonical(p.opened[i].main_next[c]))
+                for c in range(w)
+            ]
+            main_opened.append((ys_l, ys_n))
+            main_mats.append(_MatInfo(d, w, [(zeta, ys_l), (z_next(d.log_n), ys_n)]))
+        for i, chip in enumerate(chips):
+            if chip.perm_width_ext == 0:
+                continue
+            d = Domain(log_degrees[i], 1)
+            wflat = 4 * chip.perm_width_ext
+            ys_l = [
+                self._hext(lambda p, i=i, c=c: ext4.to_canonical(p.opened[i].perm_local[c]))
+                for c in range(wflat)
+            ]
+            ys_n = [
+                self._hext(lambda p, i=i, c=c: ext4.to_canonical(p.opened[i].perm_next[c]))
+                for c in range(wflat)
+            ]
+            perm_opened[i] = (ys_l, ys_n)
+            perm_mats.append(_MatInfo(d, wflat, [(zeta, ys_l), (z_next(d.log_n), ys_n)]))
+        q_opened = []
+        for i, chip in enumerate(chips):
+            d = Domain(log_degrees[i], 1)
+            qdom = d.create_disjoint_domain(d.size << chip.log_quotient_degree)
+            chunk_vals = []
+            for k, qd in enumerate(qdom.split_domains(chip.quotient_chunks)):
+                ys = [
+                    self._hext(lambda p, i=i, k=k, c=c: ext4.to_canonical(p.opened[i].quotient[k][c]))
+                    for c in range(4)
+                ]
+                chunk_vals.append(ys)
+                q_mats.append(_MatInfo(qd, 4, [(zeta, ys)]))
+            q_opened.append(chunk_vals)
+        rounds.append((main_root, main_mats))
+        if perm_mats:
+            rounds.append((perm_root, perm_mats))
+        rounds.append((quotient_root, q_mats))
+
+        # 5. FRI verification (pcs.verify_batches mirrored)
+        self._verify_pcs(ch, rounds, one_ext)
+
+        # 6. constraint identity per chip
+        sels_cache: dict[int, dict] = {}
+        mono = [one_ext] + [b.const_ext(tuple(1 if j == c else 0 for j in range(4))) for c in range(1, 4)]
+        for i, chip in enumerate(chips):
+            d = Domain(log_degrees[i], 1)
+            sels, zh = self._selectors(zeta, d, sels_cache)
+            prep_handles = None
+            if chip.name in dict(vk.prep_heights):
+                ci = None
+                for mi, (name, _lh) in enumerate(vk.prep_heights):
+                    if name == chip.name:
+                        ci = mi
+                prep_handles = (prep_mats[ci].points[0][1], prep_mats[ci].points[1][1])
+
+            def perm_var(col, off, i=i):
+                flat = perm_opened[i][off]
+                acc = None
+                for c in range(4):
+                    term = b.mul(mono[c], flat[4 * col + c]) if c else flat[4 * col]
+                    acc = term if acc is None else b.add(acc, term)
+                return acc
+
+            ev = _ConstraintEval(
+                b,
+                {air.MAIN: main_opened[i], air.PREPROCESSED: prep_handles},
+                {air.Selector.FIRST: sels["first"], air.Selector.LAST: sels["last"],
+                 air.Selector.TRANSITION: sels["transition"]},
+                pv, perm_challenges, cum_exts[i], global_sums.get(i),
+                perm_var,
+            )
+            folded = None
+            apow = one_ext
+            for cexp in chip.constraints:
+                term = b.mul(ev.eval(cexp), apow)
+                folded = term if folded is None else b.add(folded, term)
+                apow = b.mul(apow, alpha)
+
+            # quotient recombination (machine.py _verify_chip_constraints)
+            qdom = d.create_disjoint_domain(d.size << chip.log_quotient_degree)
+            chunk_doms = qdom.split_domains(chip.quotient_chunks)
+            qz = None
+            for ci_, cd in enumerate(chunk_doms):
+                zp = None
+                for j, od in enumerate(chunk_doms):
+                    if j == ci_:
+                        continue
+                    num = self._zp_num(zeta, od)
+                    den_inv = ff.inv_int(od.zp_at_point_int(cd.shift))
+                    factor = b.mul(num, b.const_felt(den_inv))
+                    zp = factor if zp is None else b.mul(zp, factor)
+                chunk_val = None
+                for c in range(4):
+                    term = b.mul(mono[c], q_opened[i][ci_][c]) if c else q_opened[i][ci_][0]
+                    chunk_val = term if chunk_val is None else b.add(chunk_val, term)
+                term = b.mul(zp, chunk_val) if zp is not None else chunk_val
+                qz = term if qz is None else b.add(qz, term)
+            b.assert_eq(folded, b.mul(qz, zh))
+
+        # 7. local cumulative sums balance
+        total = None
+        for ce in cum_exts:
+            total = ce if total is None else b.add(total, ce)
+        b.assert_zero(total)
+
+        # 8. bind pv digest: compress(vk_root, sponge(shard pv))
+        payload = circuit_hash_flat(b, pv)
+        digest = circuit_compress(b, vk_root, payload)
+        b.commit_public_values(digest)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _zp_num(self, zeta: Ext, od: Domain) -> Ext:
+        """(zeta / shift)^size - 1 via repeated squaring (memoized)."""
+        key = ("zp", od.shift, od.log_n)
+        memo = self.b._const_memo
+        if key not in memo:
+            b = self.b
+            us = zeta if od.shift == 1 else b.mul(zeta, b.const_felt(ff.inv_int(od.shift)))
+            sq = us
+            for _ in range(od.log_n):
+                sq = b.mul(sq, sq)
+            memo[key] = b.sub(sq, b.const_felt(1))
+        return memo[key]
+
+    def _selectors(self, zeta: Ext, d: Domain, cache: dict):
+        """is_first/last/transition at zeta for a shift-1 domain + Z_H."""
+        if d.log_n not in cache:
+            b = self.b
+            zh = self._zp_num(zeta, d)
+            first_den = b.sub(zeta, b.const_felt(1))
+            last_den = b.sub(zeta, b.const_felt(ff.inv_int(d.gen)))
+            cache[d.log_n] = (
+                {
+                    "first": b.div(zh, first_den),
+                    "last": b.div(zh, last_den),
+                    "transition": last_den,
+                },
+                zh,
+            )
+        return cache[d.log_n]
+
+    def _verify_pcs(self, ch: CircuitChallenger, rounds, one_ext: Ext):
+        """Mirror of pcs.verify_batches over hinted query openings."""
+        b, config = self.b, self.config
+        fri_alpha = ch.sample_ext()
+
+        log_max = max(m.domain.log_n for _root, mats in rounds for m in mats) + config.log_blowup
+        num_layers = log_max - config.log_blowup
+
+        betas, layer_roots = [], []
+        for k in range(num_layers):
+            root = self._hfs(8, lambda p, k=k: ff.from_monty(p.fri_proof.commit_roots[k]))
+            layer_roots.append(root)
+            ch.observe_slice(root)
+            betas.append(ch.sample_ext())
+        fp_parts = self._hfs(4, lambda p: ext4.to_canonical(p.fri_proof.final_poly))
+        ch.observe_slice(fp_parts)
+        final_poly = b.felts2ext(fp_parts)
+        pow_witness = self._hf(lambda p: p.fri_proof.pow_witness)
+        ch.check_witness(config.proof_of_work_bits, pow_witness)
+
+        all_bits = [ch.sample_bits(log_max) for _ in range(config.num_queries)]
+
+        # static alpha-power schedule (one counter per log-height, global
+        # across rounds/matrices/points — pcs.py verify_batches order)
+        apow_count: dict[int, int] = {}
+        schedule: dict[tuple, tuple] = {}
+        for ri, (_root, mats) in enumerate(rounds):
+            for mi, m in enumerate(mats):
+                log_h = m.domain.log_n + config.log_blowup
+                for pi in range(len(m.points)):
+                    k0 = apow_count.get(log_h, 0)
+                    schedule[(ri, mi, pi)] = (log_h, k0)
+                    apow_count[log_h] = k0 + m.width
+        max_pow = max(apow_count.values(), default=0)
+        apows = [one_ext]
+        for _ in range(max_pow - 1):
+            apows.append(b.mul(apows[-1], fri_alpha))
+
+        beta2 = [b.mul(beta, beta) for beta in betas]
+        gen_max = b.const_felt(ff.two_adic_generator_int(log_max))
+        g_shift = b.const_felt(ff.GENERATOR)
+        neg_two = b.const_felt(ff.P - 2)
+        zero_f = b.const_felt(0)
+
+        for q in range(config.num_queries):
+            bits = all_bits[q]
+            ro: dict[int, Ext] = {}
+            x_at: dict[int, Felt] = {}
+            for ri, (root, mats) in enumerate(rounds):
+                batch_log_max = max(m.domain.log_n for m in mats) + config.log_blowup
+                # hint the opened leaf rows for this round
+                row_handles = []
+                for mi, m in enumerate(mats):
+                    row_handles.append(self._hfs(
+                        m.width,
+                        lambda p, q=q, ri=ri, mi=mi: ff.from_monty(
+                            np.asarray(p.fri_proof.query_proofs[q].input_openings[ri][0][mi], dtype=np.uint32)
+                        ),
+                    ))
+                sibs = [
+                    self._hfs(8, lambda p, q=q, ri=ri, k=k: ff.from_monty(
+                        np.asarray(p.fri_proof.query_proofs[q].input_openings[ri][1][k], dtype=np.uint32)
+                    ))
+                    for k in range(batch_log_max)
+                ]
+                # mixed-height leaf/fold hashing (ops/merkle.py layout)
+                by_height: dict[int, list] = {}
+                for m, row in zip(mats, row_handles):
+                    h = m.domain.size << config.log_blowup
+                    by_height.setdefault(h, []).extend(row)
+                max_h = max(by_height)
+                digest = circuit_hash_flat(b, by_height[max_h])
+                folds = {}
+                size = max_h
+                for k in range(batch_log_max):
+                    size //= 2
+                    if size in by_height:
+                        folds[k + 1] = circuit_hash_flat(b, by_height[size])
+                tree_bits = bits[log_max - batch_log_max :]
+                circuit_merkle_verify(b, digest, tree_bits, sibs, root, folds)
+                # reduced openings
+                for mi, m in enumerate(mats):
+                    log_h = m.domain.log_n + config.log_blowup
+                    if log_h not in x_at:
+                        mat_bits = bits[log_max - log_h :]
+                        xr = b.exp_reverse_bits(
+                            b.const_felt(ff.two_adic_generator_int(log_h)), mat_bits
+                        )
+                        x_at[log_h] = b.mul(g_shift, xr)
+                    x = x_at[log_h]
+                    for pi, (z, ys) in enumerate(m.points):
+                        _lh, k0 = schedule[(ri, mi, pi)]
+                        acc = b.batch_fri(row_handles[mi], ys, apows[k0 : k0 + m.width])
+                        contrib = b.div(acc, b.sub(z, x))
+                        ro[log_h] = contrib if log_h not in ro else b.add(ro[log_h], contrib)
+
+            # fold chain over the plain subgroup (fri.rs:258-266)
+            folded = ro[log_max]
+            x = b.exp_reverse_bits(gen_max, bits)
+            for k in range(num_layers):
+                log_folded = log_max - k - 1
+                bit = bits[k]
+                sib_parts = self._hfs(4, lambda p, q=q, k=k: ext4.to_canonical(
+                    p.fri_proof.query_proofs[q].commit_openings[k].sibling_value
+                ))
+                folded_parts = b.ext_to_felts(folded)
+                row = []
+                for i in range(4):
+                    l_, r_ = b.select(bit, folded_parts[i], sib_parts[i])
+                    row.append((l_, r_))
+                left = [lr[0] for lr in row]
+                right = [lr[1] for lr in row]
+                row8 = left + right
+                leaf = circuit_hash_flat(b, row8)
+                path = [
+                    self._hfs(8, lambda p, q=q, k=k, j=j: ff.from_monty(
+                        np.asarray(p.fri_proof.query_proofs[q].commit_openings[k].siblings[j], dtype=np.uint32)
+                    ))
+                    for j in range(log_folded)
+                ]
+                circuit_merkle_verify(b, leaf, bits[k + 1 :], path, layer_roots[k])
+                e0 = b.felts2ext(left)
+                e1 = b.felts2ext(right)
+                negx = b.sub(zero_f, x)
+                x_even, _ = b.select(bit, x, negx)
+                slope = b.div(b.sub(e1, e0), b.mul(neg_two, x_even))
+                bm = b.sub(betas[k], x_even)
+                folded = b.add(e0, b.mul(bm, slope))
+                nxt = ro.get(log_folded)
+                if nxt is not None and log_folded > config.log_blowup:
+                    folded = b.add(folded, b.mul(beta2[k], nxt))
+                x = b.mul(x, x)
+            b.assert_eq(folded, final_poly)
