@@ -259,3 +259,96 @@ def test_recursion_of_recursion_proves():
     proof1 = m.prove(pk1, rec)
     assert m.verify(pk1.vk, proof1)
     assert list(proof1.public_values) == circ.expected_public_values(proof)
+
+
+def test_compress_pair_circuit():
+    """Two same-shape recursion proofs joined by a CompressVerifierCircuit."""
+    import copy
+
+    from zkmips_tpu.recursion.runtime import RecursionRuntime
+    from zkmips_tpu.recursion.verifier import CompressVerifierCircuit, compress_digest
+
+    b0 = Builder()
+    w = b0.hint_felt()
+    z = b0.mul(w, b0.felt(35))
+    ps = b0.poseidon2([z] + [b0.const_felt(i) for i in range(15)])
+    b0.commit_public_values(ps[8:16])
+    p0 = b0.compile()
+    m = RecursionMachine(StarkConfig.test())
+    pk = m.setup(p0)
+    pl = m.prove(pk, m.execute(p0, [(7, 0, 0, 0)]))
+    pr_ = m.prove(pk, m.execute(p0, [(11, 0, 0, 0)]))
+    assert list(pl.public_values) != list(pr_.public_values)
+
+    circ = CompressVerifierCircuit(m.machine, pk.vk, pk.vk, pl, pr_)
+    rec = RecursionRuntime(circ.program, circ.witness((pl, pr_))).run()
+    assert rec.public_values == compress_digest(pl.public_values, pr_.public_values)
+    assert rec.public_values == circ.expected_public_values((pl, pr_))
+
+    bad = copy.deepcopy(pl)
+    bad.public_values = bad.public_values.copy()
+    bad.public_values[3] = (int(bad.public_values[3]) + 1) % ff.P
+    with pytest.raises(AssertionError):
+        RecursionRuntime(circ.program, circ.witness((bad, pr_))).run()
+
+
+@pytest.mark.slow
+def test_lift_core_shard_circuit():
+    """The lift circuit accepts a real MIPS core-machine shard proof."""
+    from zkmips_tpu.executor import Executor, Opcode, Register, asm
+    from zkmips_tpu.machine.machine import mips_machine
+    from zkmips_tpu.recursion.runtime import RecursionRuntime
+    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit, lift_digest
+
+    R, O = Register, Opcode
+    body = [
+        asm.addi(R.A0, 0, 9), asm.addi(R.T0, 0, 0), asm.addi(R.T1, 0, 1),
+        asm.alu(O.ADD, R.T2, R.T0, R.T1),
+        asm.alu(O.ADD, R.T0, R.T1, R.ZERO),
+        asm.alu(O.ADD, R.T1, R.T2, R.ZERO),
+        asm.addi(R.A0, R.A0, -1),
+        asm.branch(O.BNE, R.A0, R.ZERO, -5 * 4),
+        asm.nop(),
+    ]
+    p = asm.prog(body + asm.halt_sequence())
+    records = Executor(p, shard_size=1 << 20).run()
+    m = mips_machine(StarkConfig.test(), minimal=True)
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    assert m.verify(pk.vk, proofs, p)
+
+    circ = ShardVerifierCircuit(m.machine, pk.vk, proofs[0])
+    rec = RecursionRuntime(circ.program, circ.witness(proofs[0])).run()
+    assert rec.public_values == lift_digest(pk.vk, proofs[0])
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZKM_HEAVY_TESTS"),
+    reason="full core->compress->shrink->wrap ladder (~6 min); set ZKM_HEAVY_TESTS=1",
+)
+def test_compress_shrink_wrap_ladder():
+    from zkmips_tpu.executor import Executor, Opcode, Register, asm
+    from zkmips_tpu.machine.machine import mips_machine
+    from zkmips_tpu.recursion.compress import RecursionProver
+
+    R, O = Register, Opcode
+    body = [
+        asm.addi(R.A0, 0, 9), asm.addi(R.T0, 0, 0), asm.addi(R.T1, 0, 1),
+        asm.alu(O.ADD, R.T2, R.T0, R.T1),
+        asm.alu(O.ADD, R.T0, R.T1, R.ZERO),
+        asm.alu(O.ADD, R.T1, R.T2, R.ZERO),
+        asm.addi(R.A0, R.A0, -1),
+        asm.branch(O.BNE, R.A0, R.ZERO, -5 * 4),
+        asm.nop(),
+    ]
+    p = asm.prog(body + asm.halt_sequence())
+    records = Executor(p, shard_size=128).run()
+    m = mips_machine(StarkConfig.test(), minimal=True)
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    rp = RecursionProver(m)
+    cp = rp.compress(pk.vk, proofs)
+    sp = rp.shrink(cp)
+    wp = rp.wrap(sp)
+    for stage_proof in (cp, sp, wp):
+        assert rp.verify_compressed(pk.vk, p, stage_proof)

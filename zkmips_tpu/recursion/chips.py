@@ -236,37 +236,40 @@ class RecPoseidon2Air(BaseAir):
         return t
 
     def generate_trace(self, record, output):
+        """Vectorized witness replay over all events at once: the same round
+        structure as eval(), batched on an (N, 16) Montgomery array."""
+        from ..ops import field as f, poseidon2 as p2
+
         events = record.poseidon2_events
         s = self.schema
         t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
-        for i, (_ia, in_vals, _oa, _out_vals, _m) in enumerate(events):
-            state = [ff.to_monty_int(v) for v in in_vals]
-            state = _ext_linear_int(state)
-            for j in range(16):
-                t[i, s.idx(f"in{j}")] = in_vals[j]
-            widx = 0
-            for r in range(4):
-                state = [_sbox_int(x, int(RC_EXT_FIRST[r, j])) for j, x in enumerate(state)]
-                for j in range(16):
-                    t[i, s.idx(f"x{widx}_{j}")] = ff.from_monty_int(state[j])
-                state = _ext_linear_int(state)
-                widx += 1
-            for r in range(ROUNDS_P):
-                s0 = _sbox_int(state[0], int(RC_INTERNAL[r]))
-                t[i, s.idx(f"t{r}")] = ff.from_monty_int(s0)
-                state = [s0] + state[1:]
-                total = sum(ff.from_monty_int(x) for x in state) % ff.P
-                state = [
-                    (ff.from_monty_int(x) * ff.from_monty_int(int(DIAG[j])) + total) % ff.P
-                    for j, x in enumerate(state)
-                ]
-                state = [ff.to_monty_int(x) for x in state]
-            for r in range(4):
-                state = [_sbox_int(x, int(RC_EXT_SECOND[r, j])) for j, x in enumerate(state)]
-                for j in range(16):
-                    t[i, s.idx(f"x{widx}_{j}")] = ff.from_monty_int(state[j])
-                state = _ext_linear_int(state)
-                widx += 1
+        if not events:
+            return t
+        n = len(events)
+        in_vals = np.array([ev[1] for ev in events], dtype=np.uint32)  # canonical
+        t[:n, s.idx("in0") : s.idx("in0") + 16] = in_vals
+
+        def cube(x):
+            return f.mul(f.mul(x, x), x)
+
+        state = p2._external_linear(ff.to_monty(in_vals), np)
+        widx = 0
+        for r in range(4):
+            state = cube(f.add(state, RC_EXT_FIRST[r][None, :]))
+            t[:n, s.idx(f"x{widx}_0") : s.idx(f"x{widx}_0") + 16] = ff.from_monty(state)
+            state = p2._external_linear(state, np)
+            widx += 1
+        for r in range(ROUNDS_P):
+            s0 = cube(f.add(state[:, 0], RC_INTERNAL[r]))
+            t[:n, s.idx(f"t{r}")] = ff.from_monty(s0)
+            state = np.concatenate([s0[:, None], state[:, 1:]], axis=1)
+            total = p2._sum_lanes(state, np)  # (N, 1)
+            state = f.add(f.mul(state, DIAG[None, :]), total)
+        for r in range(4):
+            state = cube(f.add(state, RC_EXT_SECOND[r][None, :]))
+            t[:n, s.idx(f"x{widx}_0") : s.idx(f"x{widx}_0") + 16] = ff.from_monty(state)
+            state = p2._external_linear(state, np)
+            widx += 1
         return t
 
 

@@ -1,0 +1,288 @@
+"""Recursive proof aggregation: lift core shards, binary-tree compress.
+
+The analog of ``ZKMProver::compress`` (crates/prover/src/lib.rs:614-958,
+REDUCE_BATCH_SIZE=2): every core shard proof is first *lifted* — re-verified
+inside a recursion program whose public values bind
+``compress(core_vk_root, sponge(shard pv ++ septic global sums))`` — then
+pairs of recursion proofs are joined by *compress* programs whose public
+values fold the two child digests, until one proof remains.
+
+Programs are cached by (vk, proof-shape) key — the reference's per-shape
+recursion program LRU (lib.rs:366-438); odd nodes are promoted to the next
+level unchanged (expected-height rule, lib.rs:631-639).
+
+Trust model (round 1): child vks are baked into each parent program as
+constants, so the final program's identity transitively pins the whole tree
+down to the core vk.  ``verify_compressed`` re-derives the expected final vk
+through the same caches (same-process verification); the cross-process
+vk_map/merkle-tree artifact (reference shapes.rs) is future work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..machine.pv import PV_NEXT_PC, PV_SHARD, PV_START_PC
+from ..ops import field as ff, septic
+from ..machine.global_chip import START
+from ..stark.machine import VerificationError
+from .machine import RecursionMachine
+from .verifier import (
+    CompressVerifierCircuit,
+    ShardVerifierCircuit,
+    compress_digest,
+    lift_digest_values,
+)
+
+
+@dataclass
+class CompressedProof:
+    """One recursion proof standing for a whole core MachineProof.
+
+    stage: "compress" (core-config FRI), "shrink" (blowup-2 compressed
+    config), or "wrap" (blowup-3 ultra-compressed config; BN254 outer config
+    is future work) — which machine's verifier accepts ``proof``."""
+
+    proof: object  # final recursion-machine ShardProof
+    final_vk_root: tuple  # canonical 8-tuple of the final program's prep root
+    shard_public_values: list  # per core shard: list of canonical ints
+    shard_global_sums: list  # per core shard: flat canonical ints (chip order)
+    num_shards: int
+    stage: str = "compress"
+
+
+def _vk_key(vk) -> tuple:
+    return (
+        tuple(int(x) for x in np.asarray(vk.prep_root).reshape(-1)),
+        tuple(vk.prep_heights),
+    )
+
+
+def _shape_key(proof) -> tuple:
+    return (
+        tuple(proof.chip_names),
+        tuple(ov.log_degree for ov in proof.opened),
+    )
+
+
+class RecursionProver:
+    """Caches lift/compress circuits + recursion pk/vks; proves and verifies
+    compressed proofs for one core machine instance."""
+
+    def __init__(self, core_machine):
+        from ..stark.machine import StarkConfig
+        from ..stark.pcs import FriConfig
+
+        self.core = core_machine
+        self.rec = RecursionMachine(core_machine.machine.config)
+        base = core_machine.machine.config.fri
+        # shrink/wrap configs scale the reference ladder (blowup 1->2->3,
+        # kb31_poseidon2.rs:203-240) off whatever the core config is, keeping
+        # the unsound-but-fast test config cheap in tests
+        self.shrink_machine = RecursionMachine(StarkConfig(FriConfig(
+            base.log_blowup + 1, max(base.num_queries // 2, 2), base.proof_of_work_bits
+        )))
+        self.wrap_machine = RecursionMachine(StarkConfig(FriConfig(
+            base.log_blowup + 2, max(base.num_queries // 3, 2), base.proof_of_work_bits
+        )))
+        self._lift_cache: dict = {}
+        self._compress_cache: dict = {}
+        self._shrink_cache: dict = {}
+
+    # -- program caches ------------------------------------------------------
+
+    def _lift_entry(self, core_vk, template_proof):
+        key = (_vk_key(core_vk), _shape_key(template_proof))
+        entry = self._lift_cache.get(key)
+        if entry is None:
+            circ = ShardVerifierCircuit(self.core.machine, core_vk, template_proof)
+            pk = self.rec.setup(circ.program)
+            entry = (circ, pk)
+            self._lift_cache[key] = entry
+        return entry
+
+    def _compress_entry(self, left_vk, right_vk, tl, tr):
+        key = (_vk_key(left_vk), _vk_key(right_vk), _shape_key(tl), _shape_key(tr))
+        entry = self._compress_cache.get(key)
+        if entry is None:
+            circ = CompressVerifierCircuit(self.rec.machine, left_vk, right_vk, tl, tr)
+            pk = self.rec.setup(circ.program)
+            entry = (circ, pk)
+            self._compress_cache[key] = entry
+        return entry
+
+    # -- proving -------------------------------------------------------------
+
+    def lift(self, core_vk, shard_proof, xp=np):
+        """Core ShardProof -> recursion proof binding its lift digest."""
+        circ, pk = self._lift_entry(core_vk, shard_proof)
+        record = self.rec.execute(circ.program, circ.witness(shard_proof))
+        proof = self.rec.prove(pk, record, xp=xp)
+        assert list(proof.public_values) == circ.expected_public_values(shard_proof)
+        return proof, pk.vk
+
+    def compress(self, core_vk, shard_proofs: list, xp=np) -> CompressedProof:
+        """Aggregate all core shard proofs into one recursion proof."""
+        assert shard_proofs, "nothing to compress"
+        layer = []
+        for sp in shard_proofs:
+            proof, vk = self.lift(core_vk, sp, xp=xp)
+            layer.append((proof, vk))
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                (pl, vl), (prf, vr) = layer[i], layer[i + 1]
+                circ, pk = self._compress_entry(vl, vr, pl, prf)
+                record = self.rec.execute(circ.program, circ.witness((pl, prf)))
+                proof = self.rec.prove(pk, record, xp=xp)
+                assert list(proof.public_values) == compress_digest(
+                    pl.public_values, prf.public_values
+                )
+                nxt.append((proof, pk.vk))
+            if len(layer) % 2:
+                nxt.append(layer[-1])
+            layer = nxt
+        final_proof, final_vk = layer[0]
+        return CompressedProof(
+            proof=final_proof,
+            final_vk_root=tuple(int(x) for x in np.asarray(final_vk.prep_root)),
+            shard_public_values=[
+                [int(x) for x in sp.public_values] for sp in shard_proofs
+            ],
+            shard_global_sums=[_global_sums(sp) for sp in shard_proofs],
+            num_shards=len(shard_proofs),
+        )
+
+    def _shrink_step(self, cp: CompressedProof, child_machine, prover_machine, stage, xp=np):
+        from .verifier import ShrinkVerifierCircuit
+
+        child_vk = self._find_final_vk(cp)
+        key = (stage, _vk_key(child_vk), _shape_key(cp.proof))
+        entry = self._shrink_cache.get(key)
+        if entry is None:
+            circ = ShrinkVerifierCircuit(child_machine.machine, child_vk, cp.proof)
+            pk = prover_machine.setup(circ.program)
+            entry = (circ, pk)
+            self._shrink_cache[key] = entry
+        circ, pk = entry
+        record = prover_machine.execute(circ.program, circ.witness(cp.proof))
+        proof = prover_machine.prove(pk, record, xp=xp)
+        assert list(proof.public_values) == list(cp.proof.public_values)
+        return CompressedProof(
+            proof=proof,
+            final_vk_root=tuple(int(x) for x in np.asarray(pk.vk.prep_root)),
+            shard_public_values=cp.shard_public_values,
+            shard_global_sums=cp.shard_global_sums,
+            num_shards=cp.num_shards,
+            stage=stage,
+        )
+
+    def shrink(self, cp: CompressedProof, xp=np) -> CompressedProof:
+        """Re-prove the final compress proof under the blowup+1 config."""
+        assert cp.stage == "compress"
+        return self._shrink_step(cp, self.rec, self.shrink_machine, "shrink", xp=xp)
+
+    def wrap(self, cp: CompressedProof, xp=np) -> CompressedProof:
+        """Re-prove a shrunk proof under the blowup+2 config (stand-in for
+        the BN254 outer config, recursion/core/src/stark/config.rs)."""
+        assert cp.stage == "shrink"
+        return self._shrink_step(cp, self.shrink_machine, self.wrap_machine, "wrap", xp=xp)
+
+    # -- verification --------------------------------------------------------
+
+    def verify_compressed(self, core_vk, program, cp: CompressedProof) -> bool:
+        """Verify a compressed proof + the host-side cross-shard checks.
+
+        The recursion proof authenticates (per shard) the public values and
+        septic global digests via the pv digest tree; the pc chaining and
+        global-sum-zero checks then run on those authenticated values
+        (MipsMachine.verify minus the per-shard STARK work).
+        """
+        # 1. the final recursion proof verifies under a known-cached vk
+        final_vk = self._find_final_vk(cp)
+        stage_machine = {
+            "compress": self.rec, "shrink": self.shrink_machine, "wrap": self.wrap_machine,
+        }[cp.stage]
+        stage_machine.verify(final_vk, cp.proof)
+
+        # 2. its pv digest equals the recomputed lift/compress digest tree
+        digests = [
+            lift_digest_values(core_vk, pv, gs)
+            for pv, gs in zip(cp.shard_public_values, cp.shard_global_sums)
+        ]
+        while len(digests) > 1:
+            nxt = [
+                compress_digest(digests[i], digests[i + 1])
+                for i in range(0, len(digests) - 1, 2)
+            ]
+            if len(digests) % 2:
+                nxt.append(digests[-1])
+            digests = nxt
+        if [int(x) for x in cp.proof.public_values] != digests[0]:
+            raise VerificationError("compressed pv digest tree mismatch")
+
+        # 3. shard chaining on the authenticated public values
+        prev_next_pc = None
+        for i, pv in enumerate(cp.shard_public_values):
+            if int(pv[PV_SHARD]) != i + 1:
+                raise VerificationError(f"shard index mismatch at shard {i}")
+            if i == 0 and int(pv[PV_START_PC]) != program.pc_start:
+                raise VerificationError("first shard does not start at pc_start")
+            if prev_next_pc is not None and int(pv[PV_START_PC]) != prev_next_pc:
+                raise VerificationError(f"pc chain broken at shard {i + 1}")
+            prev_next_pc = int(pv[PV_NEXT_PC])
+        if prev_next_pc != 0:
+            raise VerificationError("final shard does not halt")
+
+        # 4. septic global digests sum to zero (memory consistency)
+        total = None
+        for gs in cp.shard_global_sums:
+            for off in range(0, len(gs), 14):
+                point = (list(gs[off : off + 7]), list(gs[off + 7 : off + 14]))
+                total = _septic_add(total, point)
+                total = _septic_add(total, _neg_start())
+        if total is not None:
+            raise VerificationError("global memory digest does not sum to zero")
+        return True
+
+    def _find_final_vk(self, cp: CompressedProof):
+        for _key, (_circ, pk) in (
+            list(self._compress_cache.items())
+            + list(self._lift_cache.items())
+            + list(self._shrink_cache.items())
+        ):
+            if tuple(int(x) for x in np.asarray(pk.vk.prep_root)) == cp.final_vk_root:
+                return pk.vk
+        raise VerificationError(
+            "final vk not derivable from cached programs (cross-process "
+            "verification requires the vk_map artifact, round-2 work)"
+        )
+
+
+def _global_sums(proof) -> list:
+    out = []
+    for ov in proof.opened:
+        if ov.global_sum is not None:
+            out.extend(int(x) for x in ov.global_sum)
+    return out
+
+
+def _neg_start():
+    return (
+        [int(c) for c in START[0]],
+        [(ff.P - int(c)) % ff.P for c in START[1]],
+    )
+
+
+def _septic_add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    if p1[0] == p2[0]:
+        if p1[1] == p2[1]:
+            raise VerificationError("unexpected septic doubling in digest sum")
+        return None
+    return septic.curve_add_int(p1, p2)

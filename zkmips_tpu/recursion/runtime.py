@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..ops import field as ff, ext4
+from ..ops import field as ff
 from . import program as pr
 
 import numpy as np
@@ -168,17 +168,57 @@ def _base_op(op: pr.BaseOp, a: int, b: int) -> int:
 
 
 def _ext_op(op: pr.BaseOp, a: tuple, b: tuple) -> tuple:
-    am = np.array([ff.to_monty_int(v) for v in a], dtype=np.uint32)
-    bm = np.array([ff.to_monty_int(v) for v in b], dtype=np.uint32)
+    """Quartic-extension op on canonical int 4-tuples (X^4 = 3).
+
+    Pure-Python int arithmetic: the runtime executes one op per instruction,
+    where per-op numpy/Montgomery round-trips dominate by ~100x.
+    """
+    P = ff.P
     if op == pr.BaseOp.ADD:
-        o = ext4.add(am, bm)
-    elif op == pr.BaseOp.SUB:
-        o = ext4.sub(am, bm)
-    elif op == pr.BaseOp.MUL:
-        o = ext4.mul(am, bm)
-    else:
-        o = ext4.mul(am, ext4.inv(bm))
-    return tuple(int(x) for x in ff.from_monty(o))
+        return tuple((x + y) % P for x, y in zip(a, b))
+    if op == pr.BaseOp.SUB:
+        return tuple((x - y) % P for x, y in zip(a, b))
+    if op == pr.BaseOp.MUL:
+        return _ext_mul_int(a, b)
+    return _ext_mul_int(a, _ext_inv_int(b))
+
+
+def _ext_mul_int(a: tuple, b: tuple) -> tuple:
+    P = ff.P
+    c = [0] * 7
+    for i in range(4):
+        ai = a[i]
+        if ai:
+            for j in range(4):
+                c[i + j] += ai * b[j]
+    return (
+        (c[0] + 3 * c[4]) % P,
+        (c[1] + 3 * c[5]) % P,
+        (c[2] + 3 * c[6]) % P,
+        c[3] % P,
+    )
+
+
+def _ext_inv_int(a: tuple) -> tuple:
+    """Inverse in F_p[X]/(X^4 - 3) via conjugate products.
+
+    With the Frobenius x -> x^p acting as X -> u*X for u = 3^((p-1)/4),
+    N(a) = a * a^p * a^{p^2} * a^{p^3} is in F_p, so
+    a^{-1} = (conj product) / N(a).
+    """
+    P = ff.P
+    u = _FROB_U
+    # a^{p^k}: coordinate i scaled by u^(i*k)
+    conj = [tuple(a[i] * pow(u, i * k, P) % P for i in range(4)) for k in (1, 2, 3)]
+    prod = _ext_mul_int(conj[0], conj[1])
+    prod = _ext_mul_int(prod, conj[2])
+    norm = _ext_mul_int(a, prod)
+    assert norm[1] == norm[2] == norm[3] == 0, "norm not in base field"
+    ninv = pow(norm[0], P - 2, P)
+    return tuple(x * ninv % P for x in prod)
+
+
+_FROB_U = pow(3, (ff.P - 1) // 4, ff.P)
 
 
 def _ext_add(a: tuple, b: tuple) -> tuple:
@@ -190,9 +230,8 @@ def _ext_sub(a: tuple, b: tuple) -> tuple:
 
 
 def _ext_mul(a: tuple, b: tuple) -> tuple:
-    return _ext_op(pr.BaseOp.MUL, a, b)
+    return _ext_mul_int(a, b)
 
 
 def _ext_inv(a: tuple) -> tuple:
-    am = np.array([ff.to_monty_int(v) for v in a], dtype=np.uint32)
-    return tuple(int(x) for x in ff.from_monty(ext4.inv(am)))
+    return _ext_inv_int(a)

@@ -207,55 +207,55 @@ class _MatInfo:
     points: list  # list of (z_handle, ys_handles list[Ext])
 
 
-class ShardVerifierCircuit:
-    """Builds (once, from a template proof's shape) a recursion program that
-    verifies any same-shape ShardProof of ``machine`` under ``vk``."""
+class _VerifierCircuitBase:
+    """Shared machinery: hint plumbing + the single-shard verifier emitter.
 
-    def __init__(self, machine, vk, template_proof):
+    Subclasses call ``_verify_shard`` once (lift) or per child (compress) and
+    decide what to commit as public values; ``sel`` maps the top-level
+    witness object handed to :meth:`witness` to the ShardProof being
+    verified, so one witness stream can carry several proofs.
+    """
+
+    def __init__(self, machine):
         self.machine = machine
-        self.vk = vk
         self.config = machine.config.fri
-        self._spec: list = []  # extractors: proof -> canonical 4-tuple block
+        self._spec: list = []  # extractors: witness object -> canonical block
+        self._cursel = lambda p: p
         self.b = Builder()
-        self._build(template_proof)
-        self.program = self.b.compile()
 
     # -- witness stream ------------------------------------------------------
 
-    def witness(self, proof) -> list:
-        return [ex(proof) for ex in self._spec]
-
-    def expected_public_values(self, proof) -> list:
-        """Host-side recomputation of the circuit's committed pv digest."""
-        pv_m = ff.to_monty(np.asarray(proof.public_values, dtype=np.uint32))
-        payload = p2.hash_flat(pv_m)
-        root = np.asarray(self.vk.prep_root, dtype=np.uint32)
-        digest = p2.compress(root, payload)
-        return [int(x) for x in ff.from_monty(digest)]
+    def witness(self, proof_obj) -> list:
+        return [ex(proof_obj) for ex in self._spec]
 
     # -- hint helpers --------------------------------------------------------
 
     def _hf(self, extract) -> Felt:
-        self._spec.append(lambda p, e=extract: (int(e(p)) % ff.P, 0, 0, 0))
+        sel = self._cursel
+        self._spec.append(lambda p, e=extract, s=sel: (int(e(s(p))) % ff.P, 0, 0, 0))
         return self.b.hint_felt()
 
     def _hfs(self, n, extract) -> list:
-        """n felts; extract(proof) -> length-n canonical sequence."""
+        """n felts; extract(shard_proof) -> length-n canonical sequence."""
         out = []
         for i in range(n):
             out.append(self._hf(lambda p, e=extract, i=i: e(p)[i]))
         return out
 
     def _hext(self, extract) -> Ext:
-        """Ext hint; extract(proof) -> canonical (4,) coords."""
-        self._spec.append(lambda p, e=extract: tuple(int(x) for x in e(p)))
+        """Ext hint; extract(shard_proof) -> canonical (4,) coords."""
+        sel = self._cursel
+        self._spec.append(lambda p, e=extract, s=sel: tuple(int(x) for x in e(s(p))))
         return self.b.hint_ext()
 
-    # -- build ---------------------------------------------------------------
+    # -- the in-circuit shard verifier --------------------------------------
 
-    def _build(self, tp):
+    def _verify_shard(self, vk, tp, sel):
+        """Emit a full shard verification; returns (vk_root, pv, global_sum
+        handle lists) for the subclass's public-values binding."""
+        self._cursel = sel
         b = self.b
-        machine, vk, config = self.machine, self.vk, self.config
+        machine, config = self.machine, self.config
         ch = CircuitChallenger(b)
         one_ext = b.const_ext((1, 0, 0, 0))
 
@@ -444,16 +444,18 @@ class ShardVerifierCircuit:
             total = ce if total is None else b.add(total, ce)
         b.assert_zero(total)
 
-        # 8. bind pv digest: compress(vk_root, sponge(shard pv))
-        payload = circuit_hash_flat(b, pv)
-        digest = circuit_compress(b, vk_root, payload)
-        b.commit_public_values(digest)
+        gs_flat = []
+        for i in sorted(global_sums):
+            gs_flat.extend(global_sums[i])
+        return vk_root, pv, gs_flat
+
 
     # -- helpers -------------------------------------------------------------
 
     def _zp_num(self, zeta: Ext, od: Domain) -> Ext:
-        """(zeta / shift)^size - 1 via repeated squaring (memoized)."""
-        key = ("zp", od.shift, od.log_n)
+        """(zeta / shift)^size - 1 via repeated squaring (memoized per zeta
+        handle — a multi-proof circuit has one zeta per verified shard)."""
+        key = ("zp", zeta.addr, od.shift, od.log_n)
         memo = self.b._const_memo
         if key not in memo:
             b = self.b
@@ -614,3 +616,92 @@ class ShardVerifierCircuit:
                     folded = b.add(folded, b.mul(beta2[k], nxt))
                 x = b.mul(x, x)
             b.assert_eq(folded, final_poly)
+
+
+
+class ShardVerifierCircuit(_VerifierCircuitBase):
+    """The "lift" program (machine/core.rs ZKMRecursiveVerifier analog):
+    verifies one core-machine ShardProof and commits
+
+        digest = compress(vk.prep_root, sponge(pv ++ global_sums))
+
+    binding the verified shard's vk, public values, AND its septic global
+    memory digests (so a compressed proof authenticates the inputs of the
+    host-side cross-shard chaining and global-sum checks)."""
+
+    def __init__(self, machine, vk, template_proof):
+        super().__init__(machine)
+        self.vk = vk
+        vk_root, pv, gs = self._verify_shard(vk, template_proof, lambda p: p)
+        payload = circuit_hash_flat(self.b, pv + gs)
+        digest = circuit_compress(self.b, vk_root, payload)
+        self.b.commit_public_values(digest)
+        self.program = self.b.compile()
+
+    def expected_public_values(self, proof) -> list:
+        return lift_digest(self.vk, proof)
+
+
+def lift_digest_values(vk, pv, gs) -> list:
+    """Lift digest from raw (pv, global-sum) values (no proof needed)."""
+    vals = [int(x) for x in pv] + [int(x) for x in gs]
+    payload = p2.hash_flat(ff.to_monty(np.asarray(vals, dtype=np.uint32)))
+    digest = p2.compress(np.asarray(vk.prep_root, dtype=np.uint32), payload)
+    return [int(x) for x in ff.from_monty(digest)]
+
+
+def lift_digest(vk, proof) -> list:
+    """Host-side recomputation of ShardVerifierCircuit's pv digest."""
+    gs = []
+    for ov in proof.opened:
+        if ov.global_sum is not None:
+            gs.extend(int(x) for x in ov.global_sum)
+    return lift_digest_values(vk, proof.public_values, gs)
+
+
+def compress_digest(left_pv, right_pv) -> list:
+    """Host-side parent digest: compress(left child pv, right child pv)."""
+    l = ff.to_monty(np.asarray([int(x) for x in left_pv], dtype=np.uint32))
+    r = ff.to_monty(np.asarray([int(x) for x in right_pv], dtype=np.uint32))
+    return [int(x) for x in ff.from_monty(p2.compress(l, r))]
+
+
+class ShrinkVerifierCircuit(_VerifierCircuitBase):
+    """Pass-through re-proof (prover/src/lib.rs:958 shrink analog): verifies
+    one recursion proof and commits the SAME public values, so the digest
+    chain survives while the proof is re-proven under a higher-blowup
+    (smaller) FRI config by the caller."""
+
+    def __init__(self, machine, vk, template_proof):
+        super().__init__(machine)
+        self.vk = vk
+        _, pv, _ = self._verify_shard(vk, template_proof, lambda p: p)
+        self.b.commit_public_values(pv)
+        self.program = self.b.compile()
+
+    def expected_public_values(self, proof) -> list:
+        return [int(x) for x in proof.public_values]
+
+
+class CompressVerifierCircuit(_VerifierCircuitBase):
+    """The "compress" program (machine/compress.rs ZKMCompressVerifier
+    analog): verifies TWO recursion-machine proofs (left/right children,
+    possibly under different vks) and commits
+
+        digest = compress(left.public_values, right.public_values)
+
+    so a binary reduction tree of these programs yields one proof whose pv
+    digest folds every leaf lift digest.  Child vks are baked as constants:
+    the parent program's identity pins the whole sub-tree of programs."""
+
+    def __init__(self, machine, left_vk, right_vk, template_left, template_right):
+        super().__init__(machine)
+        b = self.b
+        _, pv_l, _ = self._verify_shard(left_vk, template_left, lambda p: p[0])
+        _, pv_r, _ = self._verify_shard(right_vk, template_right, lambda p: p[1])
+        digest = circuit_compress(b, pv_l, pv_r)
+        b.commit_public_values(digest)
+        self.program = self.b.compile()
+
+    def expected_public_values(self, pair) -> list:
+        return compress_digest(pair[0].public_values, pair[1].public_values)

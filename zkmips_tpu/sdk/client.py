@@ -140,12 +140,21 @@ class ProverClient:
             cycle_tracker=dict(ex.cycle_tracker),
         )
 
-    def prove(self, pk, program: Program, stdin: ZKMStdin | None = None, shard_size: int = 1 << 20) -> ProofWithPublicValues:
+    def prove(self, pk, program: Program, stdin: ZKMStdin | None = None, shard_size: int = 1 << 20, mode: str = "core") -> ProofWithPublicValues:
+        """mode: "core" (one STARK per shard) or "compressed" (shard proofs
+        recursively aggregated into a single recursion proof — the reference's
+        ``.compressed()`` action, sdk/src/action.rs:14-156)."""
         ex = self._executor(program, stdin, shard_size)
         records = ex.run()
         if self.backend == "mock":
             return ProofWithPublicValues([], bytes(ex.public_values_stream), list(ex.committed_value_digest), mode="mock")
         proofs = self.machine.prove(pk, records, device=self.device)
+        if mode == "compressed":
+            cp = self._recursion_prover().compress(pk.vk, proofs)
+            return ProofWithPublicValues(
+                [cp], bytes(ex.public_values_stream), list(ex.committed_value_digest),
+                mode="compressed",
+            )
         return ProofWithPublicValues(
             proofs, bytes(ex.public_values_stream), list(ex.committed_value_digest)
         )
@@ -153,7 +162,16 @@ class ProverClient:
     def verify(self, vk, proof: ProofWithPublicValues, program: Program) -> bool:
         if proof.mode == "mock":
             return True
+        if proof.mode == "compressed":
+            return self._recursion_prover().verify_compressed(vk, program, proof.proofs[0])
         return self.machine.verify(vk, proof.proofs, program)
+
+    def _recursion_prover(self):
+        if not hasattr(self, "_rp"):
+            from ..recursion.compress import RecursionProver
+
+            self._rp = RecursionProver(self.machine)
+        return self._rp
 
     # ------------------------------------------------------------- internals
 
