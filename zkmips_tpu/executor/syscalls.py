@@ -351,6 +351,10 @@ def _ec_add(curve, key):
         q_recs, q_words = _mr_slice(ex, q_ptr, n, clk0)
         px, py = _cv.words_to_int(p_words[: curve.nwords]), _cv.words_to_int(p_words[curve.nwords:])
         qx, qy = _cv.words_to_int(q_words[: curve.nwords]), _cv.words_to_int(q_words[curve.nwords:])
+        if px % curve.p == qx % curve.p:
+            # the affine-add AIR has no doubling branch (reference
+            # WeierstrassAddAssign semantics): guests must call DOUBLE
+            raise _err(f"{key}: operands share an x-coordinate (use DOUBLE)")
         try:
             rx, ry = curve.add((px, py), (qx, qy))
         except ValueError as e:
@@ -365,7 +369,7 @@ def _ec_add(curve, key):
 
 
 def _ec_double(curve, key):
-    def impl(ex, code, p_ptr, _unused):
+    def impl(ex, code, p_ptr, arg2):
         clk0 = ex.clk
         n = 2 * curve.nwords
         p_words = _slice_unsafe(ex, p_ptr, n)
@@ -376,7 +380,7 @@ def _ec_double(curve, key):
             raise _err(str(e)) from e
         out = _cv.int_to_words(rx, curve.nwords) + _cv.int_to_words(ry, curve.nwords)
         p_recs = _mw_slice(ex, p_ptr, out, clk0)
-        _push_ec_event(ex, key, clk=clk0, p_ptr=p_ptr, p=p_words, p_records=p_recs)
+        _push_ec_event(ex, key, clk=clk0, p_ptr=p_ptr, arg2=arg2, p=p_words, p_records=p_recs)
         return None
 
     return impl

@@ -43,6 +43,7 @@ def core_chip_airs() -> list:
     from .sha_compress import ShaCompressAir
     from .poseidon2_chip import Poseidon2ChipAir
     from .keccak_chip import KeccakSpongeAir
+    from .precompiles_ec import ec_precompile_airs
 
     return [
         CpuAir(),
@@ -64,6 +65,7 @@ def core_chip_airs() -> list:
         ShaCompressAir(),
         Poseidon2ChipAir(),
         KeccakSpongeAir(),
+        *ec_precompile_airs(),
         MemoryLocalAir(),
         MemoryGlobalInitAir(),
         MemoryGlobalFinalizeAir(),

@@ -25,9 +25,41 @@ SYS_FLAGS = [
     ("is_shacmp_sc", SyscallCode.SHA_COMPRESS),
     ("is_p2perm_sc", SyscallCode.POSEIDON2_PERMUTE),
     ("is_keccak_sc", SyscallCode.KECCAK_SPONGE),
+    ("is_k1add_sc", SyscallCode.SECP256K1_ADD),
+    ("is_k1dbl_sc", SyscallCode.SECP256K1_DOUBLE),
+    ("is_k1dec_sc", SyscallCode.SECP256K1_DECOMPRESS),
+    ("is_r1add_sc", SyscallCode.SECP256R1_ADD),
+    ("is_r1dbl_sc", SyscallCode.SECP256R1_DOUBLE),
+    ("is_r1dec_sc", SyscallCode.SECP256R1_DECOMPRESS),
+    ("is_bnadd_sc", SyscallCode.BN254_ADD),
+    ("is_bndbl_sc", SyscallCode.BN254_DOUBLE),
+    ("is_blsadd_sc", SyscallCode.BLS12381_ADD),
+    ("is_blsdbl_sc", SyscallCode.BLS12381_DOUBLE),
+    ("is_blsdec_sc", SyscallCode.BLS12381_DECOMPRESS),
+    ("is_edadd_sc", SyscallCode.ED_ADD),
+    ("is_eddec_sc", SyscallCode.ED_DECOMPRESS),
+    ("is_bnfpa_sc", SyscallCode.BN254_FP_ADD),
+    ("is_bnfps_sc", SyscallCode.BN254_FP_SUB),
+    ("is_bnfpm_sc", SyscallCode.BN254_FP_MUL),
+    ("is_bnf2a_sc", SyscallCode.BN254_FP2_ADD),
+    ("is_bnf2s_sc", SyscallCode.BN254_FP2_SUB),
+    ("is_bnf2m_sc", SyscallCode.BN254_FP2_MUL),
+    ("is_blfpa_sc", SyscallCode.BLS12381_FP_ADD),
+    ("is_blfps_sc", SyscallCode.BLS12381_FP_SUB),
+    ("is_blfpm_sc", SyscallCode.BLS12381_FP_MUL),
+    ("is_blf2a_sc", SyscallCode.BLS12381_FP2_ADD),
+    ("is_blf2s_sc", SyscallCode.BLS12381_FP2_SUB),
+    ("is_blf2m_sc", SyscallCode.BLS12381_FP2_MUL),
+    ("is_u256m_sc", SyscallCode.UINT256_MUL),
+    ("is_u2048_sc", SyscallCode.U256XU2048_MUL),
 ]
-# syscalls whose events are consumed by a precompile chip (should_send bit)
-PRECOMPILE_FLAGS = {"is_shaext_sc", "is_shacmp_sc", "is_p2perm_sc", "is_keccak_sc"}
+# syscalls whose events are consumed by a precompile chip (should_send bit);
+# U256XU2048_MUL stays out until its chip lands
+PRECOMPILE_FLAGS = {
+    n for n, _c in SYS_FLAGS
+    if n not in {"is_halt_sc", "is_write_sc", "is_commit_sc",
+                 "is_hintlen_sc", "is_hintread_sc", "is_u2048_sc"}
+}
 
 
 class SyscallInstrAir(InstrAir):
