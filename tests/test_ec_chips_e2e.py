@@ -123,6 +123,22 @@ def test_bls_fptower_chip_oracles():
     _debug_machine(m, p, records)
 
 
+def test_u256x2048_chip_oracles():
+    a = (1 << 256) - 0x12345
+    bv = ((1 << 2048) - 0xABCDE) // 3
+    body = _store(0x2000, cv.int_to_words(a, 8))
+    body += _store(0x3000, cv.int_to_words(bv, 64))
+    body += [*asm.li(R.A2, 0x5000), *asm.li(R.A3, 0x6000)]
+    body += [*asm.li(R.V0, int(C.U256XU2048_MUL)), *asm.li(R.A0, 0x2000),
+             *asm.li(R.A1, 0x3000), asm.syscall()]
+    p, records, ex = _run(body)
+    lo = cv.words_to_int([ex.word(0x5000 + 4 * i) for i in range(64)])
+    hi = cv.words_to_int([ex.word(0x6000 + 4 * i) for i in range(8)])
+    assert (hi << 2048) | lo == a * bv
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+
+
 def test_ec_precompiles_prove_verify():
     body = _wei_body(cv.SECP256K1, C.SECP256K1_ADD, C.SECP256K1_DOUBLE,
                      C.SECP256K1_DECOMPRESS, K1_GX, K1_GY)

@@ -886,6 +886,99 @@ class Uint256MulAir(_PrecompileRowAir):
         return t
 
 
+class U256x2048MulAir(_PrecompileRowAir):
+    """(hi, lo) = a (256-bit) * b (2048-bit); lo/hi pointers come from the
+    a2/a3 registers (reference syscall/precompiles/u256x2048_mul.rs).
+
+    The full-width product identity a*b == hi*2^2048 + lo is one FopSpec
+    congruence with modulus 2^2048: lo is the gadget's range-checked result
+    and hi its 32-limb quotient."""
+
+    name = "U256x2048Mul"
+    EVENT_KEY = "u256x2048_mul"
+
+    def __init__(self):
+        self.code = SyscallCode.U256XU2048_MUL
+        self.g = FopSpec("m", 256, 1 << 2048, [32 + 256 - 1], [], q_count=32, extra_p=0)
+        names = ["shard", "clk", "is_real", "ap_lo", "ap_hi", "bp_lo", "bp_hi"]
+        names += _byte_names("ab", 32) + _byte_names("bb", 256)
+        names += self.g.names()
+        s = Schema(names)
+        s.names.extend(s.access_cols("lp"))
+        s.names.extend(s.access_cols("hp"))
+        for i in range(8):
+            s.names.extend(s.access_cols(f"a{i}"))
+        for i in range(64):
+            s.names.extend(s.access_cols(f"b{i}"))
+        for i in range(64):
+            s.names.extend(s.access_cols(f"l{i}"))
+        for i in range(8):
+            s.names.extend(s.access_cols(f"h{i}"))
+        self.schema = Schema(s.names)
+        self.main_width = self.schema.width
+
+    def eval(self, b: AirBuilder):
+        from ..executor.opcodes import Register
+
+        col = ColView(b, self.schema)
+        ap, bp = col.word("ap"), col.word("bp")
+        is_real, shard, clk = self._common(b, col, self.code, ap, bp)
+        lp = WordExpr(col("lp_prev_lo"), col("lp_prev_hi"))
+        hp = WordExpr(col("hp_prev_lo"), col("hp_prev_hi"))
+        self._ptr_checks(b, (ap, bp, lp, hp), is_real)
+        ab = [col(f"ab{i}") for i in range(32)]
+        bb = [col(f"bb{i}") for i in range(256)]
+        self._u8_groups(b, col, (ab, bb), is_real)
+        self._link_words(b, col, ab, "a{}", 0, 8, is_real)
+        self._link_words(b, col, bb, "b{}", 0, 64, is_real)
+
+        # register reads for the output pointers (value == prev)
+        eval_memory_access(b, col, "lp", shard, clk, int(Register.A2), lp, is_real)
+        eval_memory_access(b, col, "hp", shard, clk, int(Register.A3), hp, is_real)
+
+        lo = self.g.eval(b, col, [poly_mul(ab, bb)], [], is_real)
+        hi = [col(f"m_q{i}") for i in range(32)]  # the gadget's quotient IS hi
+        for i in range(8):
+            prev = WordExpr(col(f"a{i}_prev_lo"), col(f"a{i}_prev_hi"))
+            eval_memory_access(b, col, f"a{i}", shard, clk, ap.value_expr() + 4 * i, prev, is_real)
+        for i in range(64):
+            prev = WordExpr(col(f"b{i}_prev_lo"), col(f"b{i}_prev_hi"))
+            eval_memory_access(b, col, f"b{i}", shard, clk, bp.value_expr() + 4 * i, prev, is_real)
+        for i in range(64):
+            eval_memory_access(b, col, f"l{i}", shard, clk + 1, lp.value_expr() + 4 * i,
+                               _word_of(lo, i), is_real)
+        for i in range(8):
+            eval_memory_access(b, col, f"h{i}", shard, clk + 1, hp.value_expr() + 4 * i,
+                               _word_of(hi, i), is_real)
+
+    def generate_trace(self, record, output):
+        events = record.precompile_events.get(self.EVENT_KEY, [])
+        s = self.schema
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        sink = ByteSink(record)
+        for row, ev in enumerate(events):
+            self._fill_common(t, s, row, ev, sink,
+                              [("ap", ev["a_ptr"]), ("bp", ev["b_ptr"])])
+            for name, rec, ptr in (("lp", ev["lo_ptr_record"], ev["lo_ptr"]),
+                                   ("hp", ev["hi_ptr_record"], ev["hi_ptr"])):
+                populate_access(t, s, [row], name, [rec.prev_shard], [rec.prev_timestamp],
+                                [rec.prev_value], [rec.shard], [rec.timestamp], sink)
+                sink.u16(np.array([ptr & 0xFFFF], dtype=np.uint32))
+                sink.u16(np.array([((ptr >> 16) + 256) * 2], dtype=np.uint32))
+            a = cv.words_to_int(ev["a"])
+            bb_ = cv.words_to_int(ev["b"])
+            self._fill_bytes(t, s, row, "ab", a, 32, sink)
+            self._fill_bytes(t, s, row, "bb", bb_, 256, sink)
+            lo = a * bb_ % (1 << 2048)
+            self.g.populate(t, s, row, [_conv(int_to_limbs(a, 32), int_to_limbs(bb_, 256))],
+                            [], sink, result=lo)
+            self._fill_accesses(t, s, row, "a{}", ev["a_records"], sink)
+            self._fill_accesses(t, s, row, "b{}", ev["b_records"], sink)
+            self._fill_accesses(t, s, row, "l{}", ev["lo_records"], sink)
+            self._fill_accesses(t, s, row, "h{}", ev["hi_records"], sink)
+        return t
+
+
 # ---------------------------------------------------------------------------
 # ed25519: twisted Edwards add + decompress
 # ---------------------------------------------------------------------------
@@ -1120,5 +1213,6 @@ def ec_precompile_airs() -> list:
         Fp2MulAir("bn254"),
         Fp2MulAir("bls12381"),
         Uint256MulAir(),
+        U256x2048MulAir(),
     ]
     return airs

@@ -53,12 +53,11 @@ SYS_FLAGS = [
     ("is_u256m_sc", SyscallCode.UINT256_MUL),
     ("is_u2048_sc", SyscallCode.U256XU2048_MUL),
 ]
-# syscalls whose events are consumed by a precompile chip (should_send bit);
-# U256XU2048_MUL stays out until its chip lands
+# syscalls whose events are consumed by a precompile chip (should_send bit)
 PRECOMPILE_FLAGS = {
     n for n, _c in SYS_FLAGS
     if n not in {"is_halt_sc", "is_write_sc", "is_commit_sc",
-                 "is_hintlen_sc", "is_hintread_sc", "is_u2048_sc"}
+                 "is_hintlen_sc", "is_hintread_sc"}
 }
 
 
