@@ -1,0 +1,103 @@
+"""BN254 outer config: Poseidon2-BN254, multi-field sponge/challenger/Merkle,
+and a full StarkMachine prove/verify roundtrip under the outer transcript
+(reference: crates/recursion/core/src/stark/config.rs KoalaBearPoseidon2Outer)."""
+
+import numpy as np
+import pytest
+
+from zkmips_tpu.ops import bn254, field as f, merkle_bn254
+from zkmips_tpu.stark.challenger_bn254 import MultiField32Challenger
+from zkmips_tpu.stark.chip import Chip
+from zkmips_tpu.stark.machine import StarkConfig, StarkMachine, VerificationError
+from zkmips_tpu.stark.pcs import FriConfig
+
+from test_machine import RECORD, FibonacciAir, RangeAir, SenderAir, _fib_pv
+
+
+def test_permutation_golden_vector():
+    """gnark-ffi/go/zkm/poseidon2/poseidon2_test.go:36-47 fixes permute([0,0,0])."""
+    out = bn254.permute3([0, 0, 0])
+    assert out == [
+        0x2ED1DA00B14D635BD35B88AB49390D5C13C90DA7E9E3A5F1EA69CD87A0AA3E82,
+        0x1E21E979CC3FD844B88C2016FD18F4DB07A698AA27DECA67CA509F5B0A4480D0,
+        0x2C40D0115DA2C9B55553B231BE55295F411E628ED0CD0E187917066515F0A060,
+    ]
+
+
+def test_reduce_split_roundtrip():
+    vals = [123456789, 2130706432, 1, 0, 7, 42, 99, 2**30]
+    packed = bn254.reduce_32(vals[:3])
+    assert packed == vals[0] + (vals[1] << 32) + (vals[2] << 64)
+    # split uses 64-bit windows: felts land at even slots of the packing
+    split = bn254.split_32(packed, 3)
+    assert split[0] == (vals[0] + (vals[1] << 32)) % f.P
+
+
+def test_hash_felts_block_structure():
+    """Absorbing exactly one rate block equals the manual pack+permute."""
+    felts = list(range(1, 17))
+    state = [bn254.reduce_32(felts[:8]), bn254.reduce_32(felts[8:]), 0]
+    assert bn254.hash_felts(felts) == bn254.permute3(state)[0]
+    # two blocks chain through the permutation (state[2] carries capacity)
+    two = bn254.hash_felts(felts + felts)
+    assert two != bn254.hash_felts(felts)
+
+
+def test_challenger_determinism_and_divergence():
+    a, b = MultiField32Challenger(), MultiField32Challenger()
+    for ch in (a, b):
+        ch.observe_slice(np.arange(10, dtype=np.uint32))
+    assert a.sample() == b.sample()
+    assert a.sample_ext().tolist() == b.sample_ext().tolist()
+    b2 = MultiField32Challenger()
+    b2.observe_slice(np.arange(1, 11, dtype=np.uint32))
+    assert a.clone().sample() != b2.sample()
+
+
+def test_challenger_grind_check():
+    ch = MultiField32Challenger()
+    ch.observe(77)
+    w = ch.clone().grind(6)
+    assert ch.check_witness(6, w)
+
+
+def test_merkle_bn254_roundtrip_and_tamper():
+    rng = np.random.default_rng(0)
+    mats = [
+        f.to_monty(rng.integers(0, f.P, size=(16, 5)).astype(np.uint32)),
+        f.to_monty(rng.integers(0, f.P, size=(4, 3)).astype(np.uint32)),
+    ]
+    tree = merkle_bn254.MerkleTree(mats)
+    idx = np.array([0, 5, 15])
+    rows, sibs = tree.open_many(idx)
+    dims = [(16, 5), (4, 3)]
+    ok = merkle_bn254.verify_openings(tree.root, idx, dims, rows, sibs)
+    assert ok.all()
+    bad = [rows[0].copy(), rows[1]]
+    bad[0][1, 2] ^= 1
+    assert not merkle_bn254.verify_openings(tree.root, idx, dims, bad, sibs).all()
+
+
+def _outer_machine():
+    chips = [Chip(FibonacciAir(), num_public_values=1), Chip(SenderAir(), 1), Chip(RangeAir(), 1)]
+    return StarkMachine(StarkConfig(FriConfig.outer_test()), chips, num_public_values=1)
+
+
+def test_outer_prove_verify_roundtrip():
+    m = _outer_machine()
+    pk = m.setup(None)
+    pv = np.array([_fib_pv(16)], dtype=np.uint32)
+    proof = m.prove_shard(pk, RECORD, pv)
+    assert proof.main_root.dtype == object  # single-Fr digests
+    assert m.verify_shard(pk.vk, proof)
+
+
+def test_outer_tamper_rejected():
+    m = _outer_machine()
+    pk = m.setup(None)
+    pv = np.array([_fib_pv(16)], dtype=np.uint32)
+    proof = m.prove_shard(pk, RECORD, pv)
+    proof.opened[0].main_local = proof.opened[0].main_local.copy()
+    proof.opened[0].main_local[0, 0] ^= 1
+    with pytest.raises(VerificationError):
+        m.verify_shard(pk.vk, proof)

@@ -84,9 +84,14 @@ class RecursionProver:
         self.shrink_machine = RecursionMachine(StarkConfig(FriConfig(
             base.log_blowup + 1, max(base.num_queries // 2, 2), base.proof_of_work_bits
         )))
-        self.wrap_machine = RecursionMachine(StarkConfig(FriConfig(
-            base.log_blowup + 2, max(base.num_queries // 3, 2), base.proof_of_work_bits
-        )))
+        # wrap re-proves the shrink proof under the BN254 outer config
+        # (Poseidon2-BN254 Merkle + MultiField32 transcript,
+        # recursion/core/src/stark/config.rs:23-103); the sound parameters are
+        # blowup 4 / 21 queries, scaled down when the core config is the fast
+        # unsound test ladder
+        self.wrap_machine = RecursionMachine(StarkConfig(
+            FriConfig.outer() if base.num_queries >= 42 else FriConfig.outer_test()
+        ))
         self._lift_cache: dict = {}
         self._compress_cache: dict = {}
         self._shrink_cache: dict = {}

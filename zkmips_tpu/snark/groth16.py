@@ -1,0 +1,236 @@
+"""Groth16 zkSNARK over BN254 for R1CS instances.
+
+The analog of gnark's ``groth16.{Setup,Prove,Verify}`` used by the reference
+wrap stage (crates/recursion/gnark-ffi/go/main.go:42-120).  Standard Groth16
+[Gro16]: QAP via Lagrange interpolation over a 2^k evaluation domain in the
+scalar field (2-adicity 28), toxic waste sampled from os.urandom per-circuit
+(a real deployment would run an MPC ceremony; the reference downloads a
+trusted setup for the fixed wrap circuit).
+
+Proof = (A in G1, B in G2, C in G1); verify checks
+  e(A, B) == e(alpha, beta) * e(sum_i pub_i * ic_i, gamma) * e(C, delta).
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+from . import bn254_curve as ec
+from .r1cs import ConstraintSystem, R
+
+# 2^28 | R - 1; generator 5 of Fr* gives the two-adic roots.
+_TWO_ADICITY = 28
+_ROOT_2_28 = pow(5, (R - 1) >> _TWO_ADICITY, R)
+
+
+def _domain_root(log_n: int) -> int:
+    assert log_n <= _TWO_ADICITY
+    return pow(_ROOT_2_28, 1 << (_TWO_ADICITY - log_n), R)
+
+
+def _fft(vals: list[int], root: int, inverse: bool = False) -> list[int]:
+    n = len(vals)
+    if n == 1:
+        return list(vals)
+    if inverse:
+        root = pow(root, R - 2, R)
+    # iterative radix-2 DIT
+    out = list(vals)
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            out[i], out[j] = out[j], out[i]
+    length = 2
+    while length <= n:
+        step = pow(root, n // length, R)
+        for start in range(0, n, length):
+            w = 1
+            for k in range(start, start + length // 2):
+                u, v = out[k], out[k + length // 2] * w % R
+                out[k], out[k + length // 2] = (u + v) % R, (u - v) % R
+                w = w * step % R
+        length <<= 1
+    if inverse:
+        n_inv = pow(n, R - 2, R)
+        out = [x * n_inv % R for x in out]
+    return out
+
+
+@dataclass
+class ProvingKeyG16:
+    alpha1: tuple
+    beta1: tuple
+    beta2: tuple
+    delta1: tuple
+    delta2: tuple
+    a_query: list  # G1 per witness index
+    b1_query: list  # G1 per witness index
+    b2_query: list  # G2 per witness index
+    c_query: list  # G1 per private index (index offset num_public+1)
+    h_query: list  # G1 powers tau^i * zh(tau) / delta
+    num_public: int
+
+
+@dataclass
+class VerifyingKeyG16:
+    alpha1: tuple
+    beta2: tuple
+    gamma2: tuple
+    delta2: tuple
+    ic: list  # G1, len num_public + 1
+
+
+@dataclass
+class ProofG16:
+    a: tuple  # G1
+    b: tuple  # G2
+    c: tuple  # G1
+
+
+def _evaluate_lcs(cs: ConstraintSystem, n: int):
+    """Per-witness-index polynomial evaluations over the constraint axis:
+    a_polys[i][j] = coeff of w_i in A of constraint j (dense over domain n)."""
+    m = len(cs.values)
+    a_evals = [[0] * n for _ in range(m)]
+    b_evals = [[0] * n for _ in range(m)]
+    c_evals = [[0] * n for _ in range(m)]
+    for j, (a, b, c) in enumerate(cs.constraints):
+        for i, coeff in a.items():
+            a_evals[i][j] = coeff % R
+        for i, coeff in b.items():
+            b_evals[i][j] = coeff % R
+        for i, coeff in c.items():
+            c_evals[i][j] = coeff % R
+    return a_evals, b_evals, c_evals
+
+
+def setup(cs: ConstraintSystem):
+    """Per-circuit trusted setup (toxic waste from CSPRNG, then discarded)."""
+    n = 1 << max(1, (len(cs.constraints) - 1).bit_length())
+    root = _domain_root(n.bit_length() - 1)
+    m = len(cs.values)
+    npub = cs.num_public
+
+    tau = secrets.randbelow(R - 1) + 1
+    alpha = secrets.randbelow(R - 1) + 1
+    beta = secrets.randbelow(R - 1) + 1
+    gamma = secrets.randbelow(R - 1) + 1
+    delta = secrets.randbelow(R - 1) + 1
+
+    # u_i(tau), v_i(tau), w_i(tau) via Lagrange basis at tau over the domain
+    # L_j(tau) = (tau^n - 1) / n * root^j / (tau - root^j)
+    zh_tau = (pow(tau, n, R) - 1) % R
+    n_inv = pow(n, R - 2, R)
+    lag = []
+    rj = 1
+    for j in range(n):
+        lag.append(zh_tau * n_inv % R * rj % R * pow((tau - rj) % R, R - 2, R) % R)
+        rj = rj * root % R
+    a_e, b_e, c_e = _evaluate_lcs(cs, n)
+    u = [sum(a_e[i][j] * lag[j] for j in range(n)) % R for i in range(m)]
+    v = [sum(b_e[i][j] * lag[j] for j in range(n)) % R for i in range(m)]
+    w = [sum(c_e[i][j] * lag[j] for j in range(n)) % R for i in range(m)]
+
+    g1, g2 = ec.G1_GEN, ec.G2_GEN
+    delta_inv = pow(delta, R - 2, R)
+    gamma_inv = pow(gamma, R - 2, R)
+
+    pk = ProvingKeyG16(
+        alpha1=ec.g1_mul(g1, alpha),
+        beta1=ec.g1_mul(g1, beta),
+        beta2=ec.g2_mul(g2, beta),
+        delta1=ec.g1_mul(g1, delta),
+        delta2=ec.g2_mul(g2, delta),
+        a_query=[ec.g1_mul(g1, u[i]) for i in range(m)],
+        b1_query=[ec.g1_mul(g1, v[i]) for i in range(m)],
+        b2_query=[ec.g2_mul(g2, v[i]) for i in range(m)],
+        c_query=[
+            ec.g1_mul(g1, (beta * u[i] + alpha * v[i] + w[i]) * delta_inv % R)
+            for i in range(npub + 1, m)
+        ],
+        h_query=[
+            ec.g1_mul(g1, pow(tau, i, R) * zh_tau % R * delta_inv % R)
+            for i in range(n - 1)
+        ],
+        num_public=npub,
+    )
+    vk = VerifyingKeyG16(
+        alpha1=pk.alpha1,
+        beta2=pk.beta2,
+        gamma2=ec.g2_mul(g2, gamma),
+        delta2=pk.delta2,
+        ic=[
+            ec.g1_mul(g1, (beta * u[i] + alpha * v[i] + w[i]) * gamma_inv % R)
+            for i in range(npub + 1)
+        ],
+    )
+    return pk, vk
+
+
+def prove(pk: ProvingKeyG16, cs: ConstraintSystem) -> ProofG16:
+    assert cs.is_satisfied(), "witness does not satisfy the constraint system"
+    n = 1 << max(1, (len(cs.constraints) - 1).bit_length())
+    root = _domain_root(n.bit_length() - 1)
+    wit = [x % R for x in cs.values]
+    m = len(wit)
+
+    # h(X) = (A(X) B(X) - C(X)) / Z_H(X) via coset evaluation
+    a_dom = [0] * n
+    b_dom = [0] * n
+    c_dom = [0] * n
+    for j, (a, b, c) in enumerate(cs.constraints):
+        a_dom[j] = sum(wit[i] * cf for i, cf in a.items()) % R
+        b_dom[j] = sum(wit[i] * cf for i, cf in b.items()) % R
+        c_dom[j] = sum(wit[i] * cf for i, cf in c.items()) % R
+    a_cf = _fft(a_dom, root, inverse=True)
+    b_cf = _fft(b_dom, root, inverse=True)
+    c_cf = _fft(c_dom, root, inverse=True)
+    g = 5  # coset shift (multiplicative generator)
+    shift = [pow(g, i, R) for i in range(n)]
+    a_cs = _fft([a_cf[i] * shift[i] % R for i in range(n)], root)
+    b_cs = _fft([b_cf[i] * shift[i] % R for i in range(n)], root)
+    c_cs = _fft([c_cf[i] * shift[i] % R for i in range(n)], root)
+    zh_inv = pow((pow(g, n, R) - 1) % R, R - 2, R)
+    h_cs = [(a_cs[i] * b_cs[i] - c_cs[i]) % R * zh_inv % R for i in range(n)]
+    h_cf = _fft(h_cs, root, inverse=True)
+    g_inv = pow(g, R - 2, R)
+    h = [h_cf[i] * pow(g_inv, i, R) % R for i in range(n)]
+    assert h[n - 1] == 0  # deg(h) <= n - 2
+
+    r = secrets.randbelow(R)
+    s = secrets.randbelow(R)
+
+    a_pt = ec.g1_add(
+        ec.g1_add(pk.alpha1, ec.g1_msm(pk.a_query, wit)), ec.g1_mul(ec.G1_GEN, 0) or None
+    )
+    a_pt = ec.g1_add(a_pt, ec.g1_mul(pk.delta1, r))
+    b1_pt = ec.g1_add(ec.g1_add(pk.beta1, ec.g1_msm(pk.b1_query, wit)), ec.g1_mul(pk.delta1, s))
+    b_pt = ec.g2_add(ec.g2_add(pk.beta2, ec.g2_msm(pk.b2_query, wit)), ec.g2_mul(pk.delta2, s))
+    c_pt = ec.g1_msm(pk.c_query, wit[pk.num_public + 1 :])
+    c_pt = ec.g1_add(c_pt, ec.g1_msm(pk.h_query, h[: n - 1]))
+    c_pt = ec.g1_add(c_pt, ec.g1_mul(a_pt, s))
+    c_pt = ec.g1_add(c_pt, ec.g1_mul(b1_pt, r))
+    c_pt = ec.g1_add(c_pt, ec.g1_mul(pk.delta1, (-r * s) % R))
+    return ProofG16(a_pt, b_pt, c_pt)
+
+
+def verify(vk: VerifyingKeyG16, proof: ProofG16, public_inputs: list[int]) -> bool:
+    assert len(public_inputs) == len(vk.ic) - 1, "wrong number of public inputs"
+    acc = vk.ic[0]
+    for base, x in zip(vk.ic[1:], public_inputs):
+        acc = ec.g1_add(acc, ec.g1_mul(base, x % R))
+    # e(A, B) = e(alpha, beta) e(acc, gamma) e(C, delta)
+    return ec.pairing_product_is_one(
+        [
+            (ec.g1_neg(proof.a), proof.b),
+            (vk.alpha1, vk.beta2),
+            (acc, vk.gamma2),
+            (proof.c, vk.delta2),
+        ]
+    )

@@ -38,8 +38,28 @@ class StarkConfig:
         return StarkConfig(FriConfig.core())
 
     @staticmethod
+    def outer() -> "StarkConfig":
+        """BN254 outer config (wrap stage): Poseidon2-BN254 Merkle digests and
+        a MultiField32 transcript (recursion/core/src/stark/config.rs:23-103)."""
+        return StarkConfig(FriConfig.outer())
+
+    @staticmethod
     def test() -> "StarkConfig":
         return StarkConfig(FriConfig.test())
+
+    def challenger(self):
+        if self.fri.hash_family == "bn254":
+            from .challenger_bn254 import MultiField32Challenger
+
+            return MultiField32Challenger()
+        return DuplexChallenger()
+
+    def zero_digest(self) -> np.ndarray:
+        if self.fri.hash_family == "bn254":
+            z = np.empty(1, dtype=object)
+            z[0] = 0
+            return z
+        return np.zeros(8, dtype=np.uint32)
 
 
 @dataclass
@@ -179,7 +199,7 @@ class StarkMachine:
         names = [c.name for c in chips]
         log_degrees = {n: traces[n].shape[0].bit_length() - 1 for n in names}
 
-        ch = DuplexChallenger()
+        ch = self.config.challenger()
         pk.vk.observe_into(ch)
         ch.observe_slice(public_values)
 
@@ -338,7 +358,7 @@ class StarkMachine:
 
         return ShardProof(
             main_root=np.asarray(main_data.root),
-            perm_root=np.zeros(8, dtype=np.uint32) if perm_data is None else np.asarray(perm_data.root),
+            perm_root=self.config.zero_digest() if perm_data is None else np.asarray(perm_data.root),
             quotient_root=np.asarray(quotient_data.root),
             chip_names=names,
             opened=opened,
@@ -354,7 +374,7 @@ class StarkMachine:
     # ----------------------------------------------------------------- verify
 
     def verify_shard(self, vk: VerifyingKey, proof: ShardProof):
-        ch = DuplexChallenger()
+        ch = self.config.challenger()
         vk.observe_into(ch)
         if proof.public_values.shape[0] != self.num_public_values:
             raise VerificationError("wrong number of public values")

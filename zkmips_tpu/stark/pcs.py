@@ -42,6 +42,7 @@ class FriConfig:
     log_blowup: int = 1
     num_queries: int = 84
     proof_of_work_bits: int = 16
+    hash_family: str = "kb"  # "kb" (Poseidon2-KoalaBear) | "bn254" (outer)
 
     @staticmethod
     def core() -> "FriConfig":
@@ -56,9 +57,29 @@ class FriConfig:
         return FriConfig(3, 28, 16)
 
     @staticmethod
+    def outer() -> "FriConfig":
+        """BN254 outer config: Poseidon2-BN254 Merkle/transcript
+        (recursion/core/src/stark/config.rs:71-85: blowup 4, 21 queries)."""
+        return FriConfig(4, 21, 16, hash_family="bn254")
+
+    @staticmethod
+    def outer_test() -> "FriConfig":
+        """Small outer config for unit tests (NOT sound)."""
+        return FriConfig(2, 4, 4, hash_family="bn254")
+
+    @staticmethod
     def test() -> "FriConfig":
         """Small config for fast unit tests (NOT sound)."""
         return FriConfig(1, 8, 4)
+
+
+def _mk(config: "FriConfig"):
+    """Merkle/MMCS module for the config's hash family."""
+    if config.hash_family == "bn254":
+        from ..ops import merkle_bn254
+
+        return merkle_bn254
+    return merkle
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +119,7 @@ def _commit_body(config: FriConfig, shapes, xp):
             lde = bits.bitrev_rows(ntt.ntt(padded))
             coeffs.append(c)
             ldes.append(lde)
-        return coeffs, ldes, merkle.build_layers(ldes, xp)
+        return coeffs, ldes, _mk(config).build_layers(ldes, xp)
 
     return fn
 
@@ -117,7 +138,7 @@ def commit(config: FriConfig, domains_and_matrices, xp=np) -> ProverData:
 
         fn = cached_jit("pcs_commit", (config.log_blowup, shapes), lambda: _commit_body(config, shapes, xp))
         coeffs, ldes, layers = fn([xp.asarray(m) for m in mats])
-    tree = merkle.MerkleTree(ldes, xp=xp, layers=layers)
+    tree = _mk(config).MerkleTree(ldes, xp=xp, layers=layers)
     return ProverData(domains, coeffs, ldes, tree)
 
 
@@ -238,11 +259,12 @@ def open_batches(
 
     # 3. FRI commit phase (fused: fold k and commit k+1 in one dispatch)
     _sp = span("open.fold"); _sp.__enter__()
+    mk = _mk(config)
     cur = reduced[log_max]
     commit_roots, betas, layer_trees = [], [], []
-    layer_mat, layers = _fold_commit(cur, log_max, xp)
+    layer_mat, layers = _fold_commit(cur, log_max, xp, mk)
     for log_h in range(log_max, config.log_blowup, -1):
-        tree = merkle.MerkleTree([layer_mat], xp=xp, layers=layers)
+        tree = mk.MerkleTree([layer_mat], xp=xp, layers=layers)
         layer_trees.append(tree)
         root = tree.root
         commit_roots.append(root)
@@ -253,7 +275,7 @@ def open_batches(
         use_next = nxt is not None and log_h - 1 > config.log_blowup
         if log_h - 1 > config.log_blowup:
             cur, layer_mat, layers = _fold_step_commit(
-                cur, beta, nxt if use_next else None, log_h, xp
+                cur, beta, nxt if use_next else None, log_h, xp, mk
             )
         else:
             cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
@@ -399,7 +421,7 @@ def verify_batches(
         dims = [(dom.size << config.log_blowup, r.shape[1]) for (dom, _pts), r in zip(mats, rows_per_mat)]
         batch_log_max = max(d.log_n for d, _ in mats) + config.log_blowup
         reduced_idx = idx_arr >> (log_max - batch_log_max)
-        if not merkle.verify_openings(root, reduced_idx, dims, rows_per_mat, sibs).all():
+        if not _mk(config).verify_openings(root, reduced_idx, dims, rows_per_mat, sibs).all():
             raise PcsError("merkle verification failed for input batch")
         for (dom, pts), rows in zip(mats, rows_per_mat):
             log_h = dom.log_n + config.log_blowup
@@ -440,7 +462,7 @@ def verify_batches(
         row = np.where(bit[:, None],
                        np.concatenate([sib_vals, folded.astype(np.uint32)], axis=1),
                        np.concatenate([folded.astype(np.uint32), sib_vals], axis=1))
-        if not merkle.verify_openings(
+        if not _mk(config).verify_openings(
             proof.commit_roots[k], pair_idx, [(1 << log_folded, 8)], [row], layer_sibs
         ).all():
             raise PcsError(f"merkle verification failed at fold layer {k}")
@@ -497,18 +519,18 @@ def _reduce_contrib(lde, z, ys, apows, log_h: int, xp):
     return fn(lde, z, ys, apows)
 
 
-def _fold_commit_body(xp):
+def _fold_commit_body(xp, mk=merkle):
     def fn(cur):
         evens, odds = cur[0::2], cur[1::2]
         layer_mat = xp.concatenate([evens, odds], axis=1).reshape(evens.shape[0], 8)
-        return layer_mat, merkle.build_layers([layer_mat], xp)
+        return layer_mat, mk.build_layers([layer_mat], xp)
 
     return fn
 
 
-def _fold_commit(cur, log_h: int, xp):
+def _fold_commit(cur, log_h: int, xp, mk=merkle):
     if xp is np:
-        return _fold_commit_body(np)(cur)
+        return _fold_commit_body(np, mk)(cur)
     from .jit_util import cached_jit
 
     fn = cached_jit("pcs_fold_commit", (log_h,), lambda: _fold_commit_body(xp))
@@ -542,13 +564,13 @@ def _fold_step(cur, beta, nxt, log_h: int, xp):
     return fn(cur, beta, nxt)
 
 
-def _fold_step_commit(cur, beta, nxt, log_h: int, xp):
+def _fold_step_commit(cur, beta, nxt, log_h: int, xp, mk=merkle):
     """Fused fold + next-layer commit: one device dispatch per FRI layer
     instead of two (the root of each layer must still sync to the host for
     the Fiat-Shamir transcript, so per-layer sequencing is irreducible)."""
     def make():
         step = _fold_step_body(log_h, nxt is not None, xp)
-        commit = _fold_commit_body(xp)
+        commit = _fold_commit_body(xp, mk)
 
         def fn(cur_, beta_, nxt_):
             folded = step(cur_, beta_, nxt_)
