@@ -34,9 +34,12 @@ def _device_available() -> bool:
         jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        # device proving is opt-in this round: stage-kernel compiles are
-        # cached persistently but a cold run pays them up front
-        return os.environ.get("BENCH_DEVICE") == "1"
+        if os.environ.get("BENCH_DEVICE") == "1":
+            return True
+        # default: use the device path whenever an accelerator is attached;
+        # stage-kernel compiles land in the persistent cache (first run pays
+        # them, reruns are warm).  BENCH_DEVICE=0 forces the numpy prover.
+        return any(d.platform != "cpu" for d in jax.devices())
     except Exception:
         return False
 

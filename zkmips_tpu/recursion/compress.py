@@ -228,7 +228,16 @@ class RecursionProver:
         if [int(x) for x in cp.proof.public_values] != digests[0]:
             raise VerificationError("compressed pv digest tree mismatch")
 
-        # 3. shard chaining on the authenticated public values
+        # 3+4. shard chaining + septic global sum on authenticated values
+        self._check_shard_chain(cp, program)
+        return True
+
+    @staticmethod
+    def _check_shard_chain(cp: CompressedProof, program):
+        """Host-side cross-shard checks over authenticated public values:
+        shard indices, pc chaining, halt, and septic global-sum-zero
+        (prover/src/verify.rs:62-290 analog).  Also used by the Groth16
+        wrapped-proof verifier (snark/outer_circuit.verify_groth16)."""
         prev_next_pc = None
         for i, pv in enumerate(cp.shard_public_values):
             if int(pv[PV_SHARD]) != i + 1:
@@ -241,7 +250,6 @@ class RecursionProver:
         if prev_next_pc != 0:
             raise VerificationError("final shard does not halt")
 
-        # 4. septic global digests sum to zero (memory consistency)
         total = None
         for gs in cp.shard_global_sums:
             for off in range(0, len(gs), 14):
@@ -250,7 +258,6 @@ class RecursionProver:
                 total = _septic_add(total, _neg_start())
         if total is not None:
             raise VerificationError("global memory digest does not sum to zero")
-        return True
 
     def _find_final_vk(self, cp: CompressedProof):
         for _key, (_circ, pk) in (

@@ -248,6 +248,56 @@ class _VerifierCircuitBase:
         self._spec.append(lambda p, e=extract, s=sel: tuple(int(x) for x in e(s(p))))
         return self.b.hint_ext()
 
+    # -- digest/transcript layer (inner KoalaBear-Poseidon2 defaults; the
+    #    outer BN254 wrap circuit overrides these, snark/outer_circuit.py —
+    #    the reference's StarkVerifier is generic over config the same way,
+    #    recursion/circuit/src/stark.rs:213) ------------------------------
+
+    def _new_challenger(self):
+        return CircuitChallenger(self.b)
+
+    def _const_root(self, root_arr):
+        canon = [int(x) for x in ff.from_monty(np.asarray(root_arr))]
+        return [self.b.const_felt(v) for v in canon]
+
+    def _hint_root(self, extract):
+        """Hint one commitment digest; extract(shard_proof) -> digest array."""
+        return self._hfs(
+            8, lambda p, e=extract: ff.from_monty(np.asarray(e(p), dtype=np.uint32))
+        )
+
+    def _observe_root(self, ch, digest):
+        ch.observe_slice(digest)
+
+    def _leaf_hash(self, felts):
+        return circuit_hash_flat(self.b, felts)
+
+    def _compress_digest(self, left, right):
+        return circuit_compress(self.b, left, right)
+
+    def _digest_select(self, bit, digest, sib):
+        left, right = [], []
+        for i in range(RATE):
+            l_, r_ = self.b.select(bit, digest[i], sib[i])
+            left.append(l_)
+            right.append(r_)
+        return left, right
+
+    def _assert_digest_eq(self, digest, root):
+        for i in range(RATE):
+            self.b.assert_eq(digest[i], root[i])
+
+    def _merkle_verify(self, digest, index_bits, siblings, root, folds=None):
+        """Walk a Merkle path and assert the final digest equals ``root``;
+        folds = {level_k: digest} injected after the k-th compression
+        (mixed-height MMCS batches, ops/merkle.py verify_opening)."""
+        for k, sib in enumerate(siblings):
+            left, right = self._digest_select(index_bits[k], digest, sib)
+            digest = self._compress_digest(left, right)
+            if folds and (k + 1) in folds:
+                digest = self._compress_digest(digest, folds[k + 1])
+        self._assert_digest_eq(digest, root)
+
     # -- the in-circuit shard verifier --------------------------------------
 
     def _verify_shard(self, vk, tp, sel):
@@ -256,7 +306,7 @@ class _VerifierCircuitBase:
         self._cursel = sel
         b = self.b
         machine, config = self.machine, self.config
-        ch = CircuitChallenger(b)
+        ch = self._new_challenger()
         one_ext = b.const_ext((1, 0, 0, 0))
 
         chips = [machine.chip_map[n] for n in tp.chip_names]
@@ -265,9 +315,8 @@ class _VerifierCircuitBase:
 
         # 1. vk observation (constants baked into the program)
         assert vk.prep_root is not None, "verifier circuit requires a preprocessed commitment"
-        root_canon = [int(x) for x in ff.from_monty(np.asarray(vk.prep_root))]
-        vk_root = [b.const_felt(v) for v in root_canon]
-        ch.observe_slice(vk_root)
+        vk_root = self._const_root(vk.prep_root)
+        self._observe_root(ch, vk_root)
         for _name, log_h in vk.prep_heights:
             ch.observe(b.const_felt(log_h))
 
@@ -277,14 +326,14 @@ class _VerifierCircuitBase:
         ch.observe_slice(pv)
 
         # 3. roots + challenges (transcript order: machine.py verify_shard)
-        main_root = self._hfs(8, lambda p: ff.from_monty(p.main_root))
-        ch.observe_slice(main_root)
+        main_root = self._hint_root(lambda p: p.main_root)
+        self._observe_root(ch, main_root)
         perm_challenges = [ch.sample_ext(), ch.sample_ext()]
         perm_chips = [c.perm_width_ext > 0 for c in chips]
         perm_root = None
         if any(perm_chips):
-            perm_root = self._hfs(8, lambda p: ff.from_monty(p.perm_root))
-            ch.observe_slice(perm_root)
+            perm_root = self._hint_root(lambda p: p.perm_root)
+            self._observe_root(ch, perm_root)
         cum_exts, global_sums = [], {}
         for i, chip in enumerate(chips):
             if chip.perm_width_ext == 0:
@@ -301,8 +350,8 @@ class _VerifierCircuitBase:
                 ch.observe_slice(gs)
                 global_sums[i] = gs
         alpha = ch.sample_ext()
-        quotient_root = self._hfs(8, lambda p: ff.from_monty(p.quotient_root))
-        ch.observe_slice(quotient_root)
+        quotient_root = self._hint_root(lambda p: p.quotient_root)
+        self._observe_root(ch, quotient_root)
         zeta = ch.sample_ext()
 
         # 4. opened values (hint in PCS-round order) + z points
@@ -455,7 +504,7 @@ class _VerifierCircuitBase:
     def _zp_num(self, zeta: Ext, od: Domain) -> Ext:
         """(zeta / shift)^size - 1 via repeated squaring (memoized per zeta
         handle — a multi-proof circuit has one zeta per verified shard)."""
-        key = ("zp", zeta.addr, od.shift, od.log_n)
+        key = ("zp", id(zeta), od.shift, od.log_n)
         memo = self.b._const_memo
         if key not in memo:
             b = self.b
@@ -493,9 +542,9 @@ class _VerifierCircuitBase:
 
         betas, layer_roots = [], []
         for k in range(num_layers):
-            root = self._hfs(8, lambda p, k=k: ff.from_monty(p.fri_proof.commit_roots[k]))
+            root = self._hint_root(lambda p, k=k: p.fri_proof.commit_roots[k])
             layer_roots.append(root)
-            ch.observe_slice(root)
+            self._observe_root(ch, root)
             betas.append(ch.sample_ext())
         fp_parts = self._hfs(4, lambda p: ext4.to_canonical(p.fri_proof.final_poly))
         ch.observe_slice(fp_parts)
@@ -543,9 +592,9 @@ class _VerifierCircuitBase:
                         ),
                     ))
                 sibs = [
-                    self._hfs(8, lambda p, q=q, ri=ri, k=k: ff.from_monty(
-                        np.asarray(p.fri_proof.query_proofs[q].input_openings[ri][1][k], dtype=np.uint32)
-                    ))
+                    self._hint_root(
+                        lambda p, q=q, ri=ri, k=k: p.fri_proof.query_proofs[q].input_openings[ri][1][k]
+                    )
                     for k in range(batch_log_max)
                 ]
                 # mixed-height leaf/fold hashing (ops/merkle.py layout)
@@ -554,15 +603,15 @@ class _VerifierCircuitBase:
                     h = m.domain.size << config.log_blowup
                     by_height.setdefault(h, []).extend(row)
                 max_h = max(by_height)
-                digest = circuit_hash_flat(b, by_height[max_h])
+                digest = self._leaf_hash(by_height[max_h])
                 folds = {}
                 size = max_h
                 for k in range(batch_log_max):
                     size //= 2
                     if size in by_height:
-                        folds[k + 1] = circuit_hash_flat(b, by_height[size])
+                        folds[k + 1] = self._leaf_hash(by_height[size])
                 tree_bits = bits[log_max - batch_log_max :]
-                circuit_merkle_verify(b, digest, tree_bits, sibs, root, folds)
+                self._merkle_verify(digest, tree_bits, sibs, root, folds)
                 # reduced openings
                 for mi, m in enumerate(mats):
                     log_h = m.domain.log_n + config.log_blowup
@@ -596,14 +645,14 @@ class _VerifierCircuitBase:
                 left = [lr[0] for lr in row]
                 right = [lr[1] for lr in row]
                 row8 = left + right
-                leaf = circuit_hash_flat(b, row8)
+                leaf = self._leaf_hash(row8)
                 path = [
-                    self._hfs(8, lambda p, q=q, k=k, j=j: ff.from_monty(
-                        np.asarray(p.fri_proof.query_proofs[q].commit_openings[k].siblings[j], dtype=np.uint32)
-                    ))
+                    self._hint_root(
+                        lambda p, q=q, k=k, j=j: p.fri_proof.query_proofs[q].commit_openings[k].siblings[j]
+                    )
                     for j in range(log_folded)
                 ]
-                circuit_merkle_verify(b, leaf, bits[k + 1 :], path, layer_roots[k])
+                self._merkle_verify(leaf, bits[k + 1 :], path, layer_roots[k])
                 e0 = b.felts2ext(left)
                 e1 = b.felts2ext(right)
                 negx = b.sub(zero_f, x)

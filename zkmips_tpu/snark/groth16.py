@@ -93,27 +93,71 @@ class ProofG16:
     c: tuple  # G1
 
 
-def _evaluate_lcs(cs: ConstraintSystem, n: int):
-    """Per-witness-index polynomial evaluations over the constraint axis:
-    a_polys[i][j] = coeff of w_i in A of constraint j (dense over domain n)."""
+def _qap_evals_at_tau(cs: ConstraintSystem, n: int, tau: int):
+    """u_i(tau), v_i(tau), w_i(tau): sparse accumulation over constraints
+    (one pass; L_j(tau) = (tau^n - 1)/n * root^j / (tau - root^j))."""
+    root = _domain_root(n.bit_length() - 1)
+    zh_tau = (pow(tau, n, R) - 1) % R
+    n_inv = pow(n, R - 2, R)
+    # batch-invert (tau - root^j) over the domain
+    denoms = []
+    rj = 1
+    for _ in range(n):
+        denoms.append((tau - rj) % R)
+        rj = rj * root % R
+    inv = _batch_inverse(denoms)
+    lag = []
+    rj = 1
+    for j in range(n):
+        lag.append(zh_tau * n_inv % R * rj % R * inv[j] % R)
+        rj = rj * root % R
+
     m = len(cs.values)
-    a_evals = [[0] * n for _ in range(m)]
-    b_evals = [[0] * n for _ in range(m)]
-    c_evals = [[0] * n for _ in range(m)]
+    u = [0] * m
+    v = [0] * m
+    w = [0] * m
     for j, (a, b, c) in enumerate(cs.constraints):
+        lj = lag[j]
         for i, coeff in a.items():
-            a_evals[i][j] = coeff % R
+            u[i] = (u[i] + coeff * lj) % R
         for i, coeff in b.items():
-            b_evals[i][j] = coeff % R
+            v[i] = (v[i] + coeff * lj) % R
         for i, coeff in c.items():
-            c_evals[i][j] = coeff % R
-    return a_evals, b_evals, c_evals
+            w[i] = (w[i] + coeff * lj) % R
+    return u, v, w, zh_tau
+
+
+def _batch_inverse(vals: list[int]) -> list[int]:
+    prefix = [1] * (len(vals) + 1)
+    for i, x in enumerate(vals):
+        prefix[i + 1] = prefix[i] * x % R
+    inv_all = pow(prefix[-1], R - 2, R)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        out[i] = inv_all * prefix[i] % R
+        inv_all = inv_all * vals[i] % R
+    return out
+
+
+def _g1_mul_batch(scalars: list[int]) -> list:
+    from . import native
+
+    if native.available():
+        return native.g1_mul_batch(ec.G1_GEN, scalars)
+    return [ec.g1_mul(ec.G1_GEN, s) for s in scalars]
+
+
+def _g2_mul_batch(scalars: list[int]) -> list:
+    from . import native
+
+    if native.available():
+        return native.g2_mul_batch(ec.G2_GEN, scalars)
+    return [ec.g2_mul(ec.G2_GEN, s) for s in scalars]
 
 
 def setup(cs: ConstraintSystem):
     """Per-circuit trusted setup (toxic waste from CSPRNG, then discarded)."""
     n = 1 << max(1, (len(cs.constraints) - 1).bit_length())
-    root = _domain_root(n.bit_length() - 1)
     m = len(cs.values)
     npub = cs.num_public
 
@@ -123,52 +167,39 @@ def setup(cs: ConstraintSystem):
     gamma = secrets.randbelow(R - 1) + 1
     delta = secrets.randbelow(R - 1) + 1
 
-    # u_i(tau), v_i(tau), w_i(tau) via Lagrange basis at tau over the domain
-    # L_j(tau) = (tau^n - 1) / n * root^j / (tau - root^j)
-    zh_tau = (pow(tau, n, R) - 1) % R
-    n_inv = pow(n, R - 2, R)
-    lag = []
-    rj = 1
-    for j in range(n):
-        lag.append(zh_tau * n_inv % R * rj % R * pow((tau - rj) % R, R - 2, R) % R)
-        rj = rj * root % R
-    a_e, b_e, c_e = _evaluate_lcs(cs, n)
-    u = [sum(a_e[i][j] * lag[j] for j in range(n)) % R for i in range(m)]
-    v = [sum(b_e[i][j] * lag[j] for j in range(n)) % R for i in range(m)]
-    w = [sum(c_e[i][j] * lag[j] for j in range(n)) % R for i in range(m)]
+    u, v, w, zh_tau = _qap_evals_at_tau(cs, n, tau)
 
-    g1, g2 = ec.G1_GEN, ec.G2_GEN
+    g2 = ec.G2_GEN
     delta_inv = pow(delta, R - 2, R)
     gamma_inv = pow(gamma, R - 2, R)
 
+    kv = [(beta * u[i] + alpha * v[i] + w[i]) % R for i in range(m)]
+    tau_pows = [1] * (n - 1)
+    for i in range(1, n - 1):
+        tau_pows[i] = tau_pows[i - 1] * tau % R
+    singles = _g1_mul_batch([alpha, beta, delta])
     pk = ProvingKeyG16(
-        alpha1=ec.g1_mul(g1, alpha),
-        beta1=ec.g1_mul(g1, beta),
-        beta2=ec.g2_mul(g2, beta),
-        delta1=ec.g1_mul(g1, delta),
-        delta2=ec.g2_mul(g2, delta),
-        a_query=[ec.g1_mul(g1, u[i]) for i in range(m)],
-        b1_query=[ec.g1_mul(g1, v[i]) for i in range(m)],
-        b2_query=[ec.g2_mul(g2, v[i]) for i in range(m)],
-        c_query=[
-            ec.g1_mul(g1, (beta * u[i] + alpha * v[i] + w[i]) * delta_inv % R)
-            for i in range(npub + 1, m)
-        ],
-        h_query=[
-            ec.g1_mul(g1, pow(tau, i, R) * zh_tau % R * delta_inv % R)
-            for i in range(n - 1)
-        ],
+        alpha1=singles[0],
+        beta1=singles[1],
+        beta2=None,
+        delta1=singles[2],
+        delta2=None,
+        a_query=_g1_mul_batch(u),
+        b1_query=_g1_mul_batch(v),
+        b2_query=_g2_mul_batch(v),
+        c_query=_g1_mul_batch([kv[i] * delta_inv % R for i in range(npub + 1, m)]),
+        h_query=_g1_mul_batch([t * zh_tau % R * delta_inv % R for t in tau_pows]),
         num_public=npub,
     )
+    g2_singles = _g2_mul_batch([beta, delta, gamma])
+    pk.beta2 = g2_singles[0]
+    pk.delta2 = g2_singles[1]
     vk = VerifyingKeyG16(
         alpha1=pk.alpha1,
         beta2=pk.beta2,
-        gamma2=ec.g2_mul(g2, gamma),
+        gamma2=g2_singles[2],
         delta2=pk.delta2,
-        ic=[
-            ec.g1_mul(g1, (beta * u[i] + alpha * v[i] + w[i]) * gamma_inv % R)
-            for i in range(npub + 1)
-        ],
+        ic=_g1_mul_batch([kv[i] * gamma_inv % R for i in range(npub + 1)]),
     )
     return pk, vk
 
@@ -206,14 +237,17 @@ def prove(pk: ProvingKeyG16, cs: ConstraintSystem) -> ProofG16:
     r = secrets.randbelow(R)
     s = secrets.randbelow(R)
 
-    a_pt = ec.g1_add(
-        ec.g1_add(pk.alpha1, ec.g1_msm(pk.a_query, wit)), ec.g1_mul(ec.G1_GEN, 0) or None
-    )
+    from . import native
+
+    g1_msm = native.g1_msm if native.available() else ec.g1_msm
+    g2_msm = native.g2_msm if native.available() else ec.g2_msm
+
+    a_pt = ec.g1_add(pk.alpha1, g1_msm(pk.a_query, wit))
     a_pt = ec.g1_add(a_pt, ec.g1_mul(pk.delta1, r))
-    b1_pt = ec.g1_add(ec.g1_add(pk.beta1, ec.g1_msm(pk.b1_query, wit)), ec.g1_mul(pk.delta1, s))
-    b_pt = ec.g2_add(ec.g2_add(pk.beta2, ec.g2_msm(pk.b2_query, wit)), ec.g2_mul(pk.delta2, s))
-    c_pt = ec.g1_msm(pk.c_query, wit[pk.num_public + 1 :])
-    c_pt = ec.g1_add(c_pt, ec.g1_msm(pk.h_query, h[: n - 1]))
+    b1_pt = ec.g1_add(ec.g1_add(pk.beta1, g1_msm(pk.b1_query, wit)), ec.g1_mul(pk.delta1, s))
+    b_pt = ec.g2_add(ec.g2_add(pk.beta2, g2_msm(pk.b2_query, wit)), ec.g2_mul(pk.delta2, s))
+    c_pt = g1_msm(pk.c_query, wit[pk.num_public + 1 :])
+    c_pt = ec.g1_add(c_pt, g1_msm(pk.h_query, h[: n - 1]))
     c_pt = ec.g1_add(c_pt, ec.g1_mul(a_pt, s))
     c_pt = ec.g1_add(c_pt, ec.g1_mul(b1_pt, r))
     c_pt = ec.g1_add(c_pt, ec.g1_mul(pk.delta1, (-r * s) % R))

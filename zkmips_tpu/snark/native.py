@@ -1,0 +1,162 @@
+"""ctypes bridge to the native BN254 MSM backend (csrc/bn254.c).
+
+Builds the shared object on first use (same pattern as executor/native.py).
+The Groth16 layer (groth16.py) routes its MSMs and fixed-base key-generation
+batches here when available and falls back to the pure-Python curve ops
+(bn254_curve.py), which stay the semantic reference.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .bn254_curve import P as _FP, R as _FR
+
+_LIB = None
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+    "bn254.c",
+)
+_SO = _SRC.replace("bn254.c", "libzkmbn254.so")
+
+
+def available() -> bool:
+    try:
+        return _lib() is not None
+    except Exception:
+        return False
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
+        _LIB = ctypes.CDLL(_SO)
+    return _LIB
+
+
+def _limbs(x: int, n: int = 4) -> list[int]:
+    return [(x >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(n)]
+
+
+def _from_limbs(arr) -> int:
+    acc = 0
+    for i, v in enumerate(arr):
+        acc |= int(v) << (64 * i)
+    return acc
+
+
+def _pack_g1(points) -> tuple[np.ndarray, np.ndarray]:
+    pts = np.zeros((len(points), 8), dtype=np.uint64)
+    infs = np.zeros(len(points), dtype=np.int32)
+    for i, pt in enumerate(points):
+        if pt is None:
+            infs[i] = 1
+        else:
+            pts[i, :4] = _limbs(pt[0])
+            pts[i, 4:] = _limbs(pt[1])
+    return pts, infs
+
+
+def _pack_g2(points) -> tuple[np.ndarray, np.ndarray]:
+    pts = np.zeros((len(points), 16), dtype=np.uint64)
+    infs = np.zeros(len(points), dtype=np.int32)
+    for i, pt in enumerate(points):
+        if pt is None:
+            infs[i] = 1
+        else:
+            (x0, x1), (y0, y1) = pt
+            pts[i, 0:4] = _limbs(x0)
+            pts[i, 4:8] = _limbs(x1)
+            pts[i, 8:12] = _limbs(y0)
+            pts[i, 12:16] = _limbs(y1)
+    return pts, infs
+
+
+def _pack_scalars(scalars) -> np.ndarray:
+    out = np.zeros((len(scalars), 32), dtype=np.uint8)
+    for i, s in enumerate(scalars):
+        out[i] = np.frombuffer(int(s % _FR).to_bytes(32, "little"), dtype=np.uint8)
+    return out
+
+
+def _unpack_g1(limbs, inf):
+    if inf:
+        return None
+    return (_from_limbs(limbs[:4]), _from_limbs(limbs[4:8]))
+
+
+def _unpack_g2(limbs, inf):
+    if inf:
+        return None
+    return (
+        (_from_limbs(limbs[0:4]), _from_limbs(limbs[4:8])),
+        (_from_limbs(limbs[8:12]), _from_limbs(limbs[12:16])),
+    )
+
+
+def _cptr(arr, typ):
+    return arr.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def g1_msm(points, scalars):
+    lib = _lib()
+    pts, infs = _pack_g1(points)
+    sc = _pack_scalars(scalars)
+    out = np.zeros(8, dtype=np.uint64)
+    out_inf = np.zeros(1, dtype=np.int32)
+    lib.zkm_bn254_g1_msm(
+        _cptr(pts, ctypes.c_uint64), _cptr(infs, ctypes.c_int32),
+        _cptr(sc, ctypes.c_uint8), ctypes.c_int64(len(points)),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return _unpack_g1(out, out_inf[0])
+
+
+def g2_msm(points, scalars):
+    lib = _lib()
+    pts, infs = _pack_g2(points)
+    sc = _pack_scalars(scalars)
+    out = np.zeros(16, dtype=np.uint64)
+    out_inf = np.zeros(1, dtype=np.int32)
+    lib.zkm_bn254_g2_msm(
+        _cptr(pts, ctypes.c_uint64), _cptr(infs, ctypes.c_int32),
+        _cptr(sc, ctypes.c_uint8), ctypes.c_int64(len(points)),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return _unpack_g2(out, out_inf[0])
+
+
+def g1_mul_batch(base, scalars) -> list:
+    """[scalar_i * base for i] — fixed-base window table in C (key setup)."""
+    lib = _lib()
+    pts, infs = _pack_g1([base])
+    sc = _pack_scalars(scalars)
+    out = np.zeros((len(scalars), 8), dtype=np.uint64)
+    out_inf = np.zeros(len(scalars), dtype=np.int32)
+    lib.zkm_bn254_g1_mul_batch(
+        _cptr(pts, ctypes.c_uint64), ctypes.c_int32(int(infs[0])),
+        _cptr(sc, ctypes.c_uint8), ctypes.c_int64(len(scalars)),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return [_unpack_g1(out[i], out_inf[i]) for i in range(len(scalars))]
+
+
+def g2_mul_batch(base, scalars) -> list:
+    lib = _lib()
+    pts, infs = _pack_g2([base])
+    sc = _pack_scalars(scalars)
+    out = np.zeros((len(scalars), 16), dtype=np.uint64)
+    out_inf = np.zeros(len(scalars), dtype=np.int32)
+    lib.zkm_bn254_g2_mul_batch(
+        _cptr(pts, ctypes.c_uint64), ctypes.c_int32(int(infs[0])),
+        _cptr(sc, ctypes.c_uint8), ctypes.c_int64(len(scalars)),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return [_unpack_g2(out[i], out_inf[i]) for i in range(len(scalars))]
