@@ -163,6 +163,201 @@ static void fp_inv(fp *o, const fp *a) {
     *o = acc;
 }
 
+/* ------------------------------------------------------------------ Fr ---
+ * Scalar-field Montgomery arithmetic for the QAP FFTs (h-polynomial in
+ * groth16.prove; crates' analog is gnark's fft package). */
+
+static const u64 FR_MOD[4] = {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL, 0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+static const u64 FR_N0 = 0xc2e1f593efffffffULL;
+static const u64 FR_R2[4] = {0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL, 0x8c49833d53bb8085ULL, 0x0216d0b17f4e44a5ULL};
+static const u64 FR_ONE[4] = {0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL, 0x666ea36f7879462eULL, 0x0e0a77c19a07df2fULL};
+
+typedef struct { u64 v[4]; } fr;
+
+static inline int fr_geq_mod(const u64 a[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > FR_MOD[i]) return 1;
+        if (a[i] < FR_MOD[i]) return 0;
+    }
+    return 1;
+}
+
+static inline void fr_sub_mod_raw(u64 a[4]) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a[i] - FR_MOD[i] - borrow;
+        a[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+}
+
+static inline void fr_add(fr *o, const fr *a, const fr *b) {
+    u128 carry = 0;
+    u64 t[4];
+    for (int i = 0; i < 4; i++) {
+        u128 s = (u128)a->v[i] + b->v[i] + carry;
+        t[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || fr_geq_mod(t)) fr_sub_mod_raw(t);
+    memcpy(o->v, t, 32);
+}
+
+static inline void fr_sub(fr *o, const fr *a, const fr *b) {
+    u128 borrow = 0;
+    u64 t[4];
+    for (int i = 0; i < 4; i++) {
+        u128 d = (u128)a->v[i] - b->v[i] - borrow;
+        t[i] = (u64)d;
+        borrow = (d >> 64) & 1;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; i++) {
+            u128 s = (u128)t[i] + FR_MOD[i] + carry;
+            t[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+    memcpy(o->v, t, 32);
+}
+
+static void fr_mul(fr *o, const fr *a, const fr *b) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 carry = 0;
+        u64 ai = a->v[i];
+        for (int j = 0; j < 4; j++) {
+            u128 s = (u128)t[j] + (u128)ai * b->v[j] + carry;
+            t[j] = (u64)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[4] + carry;
+        t[4] = (u64)s;
+        t[5] = (u64)(s >> 64);
+
+        u64 m = t[0] * FR_N0;
+        carry = 0;
+        u128 s0 = (u128)t[0] + (u128)m * FR_MOD[0];
+        carry = s0 >> 64;
+        for (int j = 1; j < 4; j++) {
+            u128 sj = (u128)t[j] + (u128)m * FR_MOD[j] + carry;
+            t[j - 1] = (u64)sj;
+            carry = sj >> 64;
+        }
+        u128 s4 = (u128)t[4] + carry;
+        t[3] = (u64)s4;
+        t[4] = t[5] + (u64)(s4 >> 64);
+        t[5] = 0;
+    }
+    if (t[4] || fr_geq_mod(t)) fr_sub_mod_raw(t);
+    memcpy(o->v, t, 32);
+}
+
+static void fr_pow(fr *o, const fr *a, const u64 e[4]) {
+    fr base = *a, acc;
+    memcpy(acc.v, FR_ONE, 32);
+    for (int limb = 0; limb < 4; limb++) {
+        u64 bits = e[limb];
+        for (int i = 0; i < 64; i++) {
+            if (bits & 1) fr_mul(&acc, &acc, &base);
+            fr_mul(&base, &base, &base);
+            bits >>= 1;
+        }
+    }
+    *o = acc;
+}
+
+static void fr_inv(fr *o, const fr *a) {
+    u64 e[4];
+    memcpy(e, FR_MOD, 32);
+    e[0] -= 2;
+    fr_pow(o, a, e);
+}
+
+/* In-place radix-2 DIT FFT over Fr.  vals: n*4 canonical LE limbs;
+ * root: canonical primitive n-th root; inverse also scales by 1/n. */
+void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse) {
+    fr r2; memcpy(r2.v, FR_R2, 32);
+    fr root; memcpy(root.v, root_c, 32);
+    fr_mul(&root, &root, &r2); /* to Montgomery */
+    if (inverse) fr_inv(&root, &root);
+    fr *v = (fr *)vals;
+    for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &r2);
+    /* bit-reversal permutation */
+    for (int64_t i = 1, j = 0; i < n; i++) {
+        int64_t bit = n >> 1;
+        for (; j & bit; bit >>= 1) j ^= bit;
+        j |= bit;
+        if (i < j) { fr t = v[i]; v[i] = v[j]; v[j] = t; }
+    }
+    for (int64_t len = 2; len <= n; len <<= 1) {
+        /* step = root^(n/len) */
+        fr step = root;
+        for (int64_t m = n / len; m > 1; m >>= 1) fr_mul(&step, &step, &step);
+        for (int64_t start = 0; start < n; start += len) {
+            fr w; memcpy(w.v, FR_ONE, 32);
+            for (int64_t k = start; k < start + len / 2; k++) {
+                fr u = v[k], t;
+                fr_mul(&t, &v[k + len / 2], &w);
+                fr_add(&v[k], &u, &t);
+                fr_sub(&v[k + len / 2], &u, &t);
+                fr_mul(&w, &w, &step);
+            }
+        }
+    }
+    fr scale; memcpy(scale.v, FR_ONE, 32);
+    if (inverse) {
+        /* 1/n: n fits one limb for any practical domain */
+        fr nf; memset(nf.v, 0, 32); nf.v[0] = (u64)n;
+        fr_mul(&nf, &nf, &r2);
+        fr_inv(&scale, &nf);
+    }
+    /* out of Montgomery (and apply inverse scale) */
+    fr one = {{1, 0, 0, 0}};
+    fr_mul(&scale, &scale, &one);
+    for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &scale);
+}
+
+/* Pointwise ops used by the coset-quotient step (groth16.prove). */
+void zkm_bn254_fr_scale_pows(u64 *vals, int64_t n, const u64 g_c[4]) {
+    /* vals[i] *= g^i (all canonical) */
+    fr r2; memcpy(r2.v, FR_R2, 32);
+    fr g; memcpy(g.v, g_c, 32);
+    fr_mul(&g, &g, &r2);
+    fr acc; memcpy(acc.v, FR_ONE, 32);
+    fr one = {{1, 0, 0, 0}};
+    fr *v = (fr *)vals;
+    for (int64_t i = 0; i < n; i++) {
+        fr t; memcpy(t.v, v[i].v, 32);
+        fr_mul(&t, &t, &r2);
+        fr_mul(&t, &t, &acc);
+        fr_mul(&v[i], &t, &one);
+        fr_mul(&acc, &acc, &g);
+    }
+}
+
+void zkm_bn254_fr_mul_sub_scale(const u64 *a, const u64 *b, const u64 *c,
+                                int64_t n, const u64 k_c[4], u64 *out) {
+    /* out[i] = (a[i]*b[i] - c[i]) * k  (all canonical) */
+    fr r2; memcpy(r2.v, FR_R2, 32);
+    fr k; memcpy(k.v, k_c, 32);
+    fr_mul(&k, &k, &r2);
+    fr one = {{1, 0, 0, 0}};
+    const fr *av = (const fr *)a, *bv = (const fr *)b, *cv = (const fr *)c;
+    fr *ov = (fr *)out;
+    for (int64_t i = 0; i < n; i++) {
+        fr am, bm, cm, t;
+        fr_mul(&am, &av[i], &r2);
+        fr_mul(&bm, &bv[i], &r2);
+        fr_mul(&cm, &cv[i], &r2);
+        fr_mul(&t, &am, &bm);
+        fr_sub(&t, &t, &cm);
+        fr_mul(&t, &t, &k);
+        fr_mul(&ov[i], &t, &one);
+    }
+}
+
 /* ------------------------------------------------------------------ Fp2 --- */
 
 typedef struct { fp c0, c1; } fp2;

@@ -141,16 +141,27 @@ class ProverClient:
         )
 
     def prove(self, pk, program: Program, stdin: ZKMStdin | None = None, shard_size: int = 1 << 20, mode: str = "core") -> ProofWithPublicValues:
-        """mode: "core" (one STARK per shard) or "compressed" (shard proofs
-        recursively aggregated into a single recursion proof — the reference's
-        ``.compressed()`` action, sdk/src/action.rs:14-156)."""
+        """mode: "core" (one STARK per shard), "compressed" (shard proofs
+        recursively aggregated into a single recursion proof), or "groth16"
+        (compressed -> shrink -> wrap under the BN254 outer config -> Groth16
+        over the outer circuit) — the reference's ``.compressed()`` /
+        ``.groth16()`` actions (sdk/src/action.rs:14-156)."""
         ex = self._executor(program, stdin, shard_size)
         records = ex.run()
         if self.backend == "mock":
             return ProofWithPublicValues([], bytes(ex.public_values_stream), list(ex.committed_value_digest), mode="mock")
         proofs = self.machine.prove(pk, records, device=self.device)
-        if mode == "compressed":
-            cp = self._recursion_prover().compress(pk.vk, proofs)
+        if mode in ("compressed", "groth16"):
+            rp = self._recursion_prover()
+            cp = rp.compress(pk.vk, proofs)
+            if mode == "groth16":
+                from ..snark.outer_circuit import wrap_groth16
+
+                wg = wrap_groth16(rp, rp.wrap(rp.shrink(cp)))
+                return ProofWithPublicValues(
+                    [wg], bytes(ex.public_values_stream), list(ex.committed_value_digest),
+                    mode="groth16",
+                )
             return ProofWithPublicValues(
                 [cp], bytes(ex.public_values_stream), list(ex.committed_value_digest),
                 mode="compressed",
@@ -164,6 +175,10 @@ class ProverClient:
             return True
         if proof.mode == "compressed":
             return self._recursion_prover().verify_compressed(vk, program, proof.proofs[0])
+        if proof.mode == "groth16":
+            from ..snark.outer_circuit import verify_groth16
+
+            return verify_groth16(vk, program, proof.proofs[0])
         return self.machine.verify(vk, proof.proofs, program)
 
     def _recursion_prover(self):

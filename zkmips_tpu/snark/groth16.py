@@ -16,6 +16,8 @@ from __future__ import annotations
 import secrets
 from dataclasses import dataclass
 
+import numpy as np
+
 from . import bn254_curve as ec
 from .r1cs import ConstraintSystem, R
 
@@ -62,6 +64,48 @@ def _fft(vals: list[int], root: int, inverse: bool = False) -> list[int]:
     return out
 
 
+class G1Vec:
+    """A G1 point vector kept in the native packed layout ((n,8) u64 canonical
+    limbs + (n,) infinity flags) so multi-million-point keys never round-trip
+    through Python objects; falls back to point-tuple lists without the
+    native backend."""
+
+    GROUP = "g1"
+
+    def __init__(self, pts, infs=None):
+        if isinstance(pts, list):
+            self.points = pts
+            self.pts = self.infs = None
+        else:
+            self.points = None
+            self.pts = pts
+            self.infs = infs
+
+    def __len__(self):
+        return len(self.points) if self.points is not None else len(self.pts)
+
+    def msm(self, scalars_packed_or_list):
+        from . import native
+
+        if self.points is not None:
+            fn = ec.g1_msm if self.GROUP == "g1" else ec.g2_msm
+            return fn(self.points, scalars_packed_or_list)
+        sc = scalars_packed_or_list
+        if not hasattr(sc, "dtype"):
+            sc = native.pack_scalars(sc)
+        fn = native.g1_msm_packed if self.GROUP == "g1" else native.g2_msm_packed
+        return fn(self.pts, self.infs, sc)
+
+    def slice(self, start, stop=None):
+        if self.points is not None:
+            return type(self)(self.points[start:stop])
+        return type(self)(self.pts[start:stop], self.infs[start:stop])
+
+
+class G2Vec(G1Vec):
+    GROUP = "g2"
+
+
 @dataclass
 class ProvingKeyG16:
     alpha1: tuple
@@ -69,11 +113,11 @@ class ProvingKeyG16:
     beta2: tuple
     delta1: tuple
     delta2: tuple
-    a_query: list  # G1 per witness index
-    b1_query: list  # G1 per witness index
-    b2_query: list  # G2 per witness index
-    c_query: list  # G1 per private index (index offset num_public+1)
-    h_query: list  # G1 powers tau^i * zh(tau) / delta
+    a_query: G1Vec  # per witness index
+    b1_query: G1Vec  # per witness index
+    b2_query: G2Vec  # per witness index
+    c_query: G1Vec  # per private index (index offset num_public+1)
+    h_query: G1Vec  # powers tau^i * zh(tau) / delta
     num_public: int
 
 
@@ -139,20 +183,29 @@ def _batch_inverse(vals: list[int]) -> list[int]:
     return out
 
 
-def _g1_mul_batch(scalars: list[int]) -> list:
+def _g1_mul_batch(scalars: list[int]) -> G1Vec:
     from . import native
 
     if native.available():
-        return native.g1_mul_batch(ec.G1_GEN, scalars)
-    return [ec.g1_mul(ec.G1_GEN, s) for s in scalars]
+        return G1Vec(*native.g1_mul_batch_packed(ec.G1_GEN, native.pack_scalars(scalars)))
+    return G1Vec([ec.g1_mul(ec.G1_GEN, s) for s in scalars])
 
 
-def _g2_mul_batch(scalars: list[int]) -> list:
+def _g2_mul_batch(scalars: list[int]) -> G2Vec:
     from . import native
 
     if native.available():
-        return native.g2_mul_batch(ec.G2_GEN, scalars)
-    return [ec.g2_mul(ec.G2_GEN, s) for s in scalars]
+        return G2Vec(*native.g2_mul_batch_packed(ec.G2_GEN, native.pack_scalars(scalars)))
+    return G2Vec([ec.g2_mul(ec.G2_GEN, s) for s in scalars])
+
+
+def _g_single(vec, i: int):
+    """Unpack element i of a point vector (for the handful of singles)."""
+    if vec.points is not None:
+        return vec.points[i]
+    from . import native
+
+    return native._unpack_g1(vec.pts[i], vec.infs[i]) if vec.GROUP == "g1" else native._unpack_g2(vec.pts[i], vec.infs[i])
 
 
 def setup(cs: ConstraintSystem):
@@ -178,12 +231,14 @@ def setup(cs: ConstraintSystem):
     for i in range(1, n - 1):
         tau_pows[i] = tau_pows[i - 1] * tau % R
     singles = _g1_mul_batch([alpha, beta, delta])
+    g2_singles = _g2_mul_batch([beta, delta, gamma])
+    ic_vec = _g1_mul_batch([kv[i] * gamma_inv % R for i in range(npub + 1)])
     pk = ProvingKeyG16(
-        alpha1=singles[0],
-        beta1=singles[1],
-        beta2=None,
-        delta1=singles[2],
-        delta2=None,
+        alpha1=_g_single(singles, 0),
+        beta1=_g_single(singles, 1),
+        beta2=_g_single(g2_singles, 0),
+        delta1=_g_single(singles, 2),
+        delta2=_g_single(g2_singles, 1),
         a_query=_g1_mul_batch(u),
         b1_query=_g1_mul_batch(v),
         b2_query=_g2_mul_batch(v),
@@ -191,27 +246,22 @@ def setup(cs: ConstraintSystem):
         h_query=_g1_mul_batch([t * zh_tau % R * delta_inv % R for t in tau_pows]),
         num_public=npub,
     )
-    g2_singles = _g2_mul_batch([beta, delta, gamma])
-    pk.beta2 = g2_singles[0]
-    pk.delta2 = g2_singles[1]
     vk = VerifyingKeyG16(
         alpha1=pk.alpha1,
         beta2=pk.beta2,
-        gamma2=g2_singles[2],
+        gamma2=_g_single(g2_singles, 2),
         delta2=pk.delta2,
-        ic=_g1_mul_batch([kv[i] * gamma_inv % R for i in range(npub + 1)]),
+        ic=[_g_single(ic_vec, i) for i in range(npub + 1)],
     )
     return pk, vk
 
 
-def prove(pk: ProvingKeyG16, cs: ConstraintSystem) -> ProofG16:
-    assert cs.is_satisfied(), "witness does not satisfy the constraint system"
-    n = 1 << max(1, (len(cs.constraints) - 1).bit_length())
-    root = _domain_root(n.bit_length() - 1)
-    wit = [x % R for x in cs.values]
-    m = len(wit)
+def _h_poly(cs: ConstraintSystem, wit: list[int], n: int):
+    """h(X) = (A(X) B(X) - C(X)) / Z_H(X) via coset evaluation; returns the
+    n-1 coefficient scalars (native packed pipeline when available)."""
+    from . import native
 
-    # h(X) = (A(X) B(X) - C(X)) / Z_H(X) via coset evaluation
+    root = _domain_root(n.bit_length() - 1)
     a_dom = [0] * n
     b_dom = [0] * n
     c_dom = [0] * n
@@ -219,35 +269,60 @@ def prove(pk: ProvingKeyG16, cs: ConstraintSystem) -> ProofG16:
         a_dom[j] = sum(wit[i] * cf for i, cf in a.items()) % R
         b_dom[j] = sum(wit[i] * cf for i, cf in b.items()) % R
         c_dom[j] = sum(wit[i] * cf for i, cf in c.items()) % R
+    g = 5  # coset shift (multiplicative generator)
+    g_inv = pow(g, R - 2, R)
+    zh_inv = pow((pow(g, n, R) - 1) % R, R - 2, R)
+
+    if native.available():
+        pa, pb, pc = (native.pack_fr(v) for v in (a_dom, b_dom, c_dom))
+        for arr in (pa, pb, pc):
+            native.fr_fft(arr, root, inverse=True)
+            native.fr_scale_pows(arr, g)
+            native.fr_fft(arr, root)
+        h_cs = native.fr_mul_sub_scale(pa, pb, pc, zh_inv)
+        native.fr_fft(h_cs, root, inverse=True)
+        native.fr_scale_pows(h_cs, g_inv)
+        assert not h_cs[n - 1].any()  # deg(h) <= n - 2
+        return h_cs[: n - 1]
+
     a_cf = _fft(a_dom, root, inverse=True)
     b_cf = _fft(b_dom, root, inverse=True)
     c_cf = _fft(c_dom, root, inverse=True)
-    g = 5  # coset shift (multiplicative generator)
     shift = [pow(g, i, R) for i in range(n)]
     a_cs = _fft([a_cf[i] * shift[i] % R for i in range(n)], root)
     b_cs = _fft([b_cf[i] * shift[i] % R for i in range(n)], root)
     c_cs = _fft([c_cf[i] * shift[i] % R for i in range(n)], root)
-    zh_inv = pow((pow(g, n, R) - 1) % R, R - 2, R)
     h_cs = [(a_cs[i] * b_cs[i] - c_cs[i]) % R * zh_inv % R for i in range(n)]
     h_cf = _fft(h_cs, root, inverse=True)
-    g_inv = pow(g, R - 2, R)
     h = [h_cf[i] * pow(g_inv, i, R) % R for i in range(n)]
     assert h[n - 1] == 0  # deg(h) <= n - 2
+    return h[: n - 1]
+
+
+def prove(pk: ProvingKeyG16, cs: ConstraintSystem) -> ProofG16:
+    assert cs.is_satisfied(), "witness does not satisfy the constraint system"
+    from . import native
+
+    n = 1 << max(1, (len(cs.constraints) - 1).bit_length())
+    wit = [x % R for x in cs.values]
+    h = _h_poly(cs, wit, n)
+    if native.available() and hasattr(h, "dtype"):
+        # (n-1, 4) u64 canonical -> 32-byte LE scalars, zero-copy
+        h_sc = np.ascontiguousarray(h).view(np.uint8).reshape(len(h), 32)
+    else:
+        h_sc = h
 
     r = secrets.randbelow(R)
     s = secrets.randbelow(R)
 
-    from . import native
-
-    g1_msm = native.g1_msm if native.available() else ec.g1_msm
-    g2_msm = native.g2_msm if native.available() else ec.g2_msm
-
-    a_pt = ec.g1_add(pk.alpha1, g1_msm(pk.a_query, wit))
+    wit_sc = native.pack_scalars(wit) if native.available() else wit
+    a_pt = ec.g1_add(pk.alpha1, pk.a_query.msm(wit_sc))
     a_pt = ec.g1_add(a_pt, ec.g1_mul(pk.delta1, r))
-    b1_pt = ec.g1_add(ec.g1_add(pk.beta1, g1_msm(pk.b1_query, wit)), ec.g1_mul(pk.delta1, s))
-    b_pt = ec.g2_add(ec.g2_add(pk.beta2, g2_msm(pk.b2_query, wit)), ec.g2_mul(pk.delta2, s))
-    c_pt = g1_msm(pk.c_query, wit[pk.num_public + 1 :])
-    c_pt = ec.g1_add(c_pt, g1_msm(pk.h_query, h[: n - 1]))
+    b1_pt = ec.g1_add(ec.g1_add(pk.beta1, pk.b1_query.msm(wit_sc)), ec.g1_mul(pk.delta1, s))
+    b_pt = ec.g2_add(ec.g2_add(pk.beta2, pk.b2_query.msm(wit_sc)), ec.g2_mul(pk.delta2, s))
+    wit_priv = wit_sc[pk.num_public + 1 :]
+    c_pt = pk.c_query.msm(wit_priv)
+    c_pt = ec.g1_add(c_pt, pk.h_query.msm(h_sc))
     c_pt = ec.g1_add(c_pt, ec.g1_mul(a_pt, s))
     c_pt = ec.g1_add(c_pt, ec.g1_mul(b1_pt, r))
     c_pt = ec.g1_add(c_pt, ec.g1_mul(pk.delta1, (-r * s) % R))

@@ -105,6 +105,111 @@ def _cptr(arr, typ):
     return arr.ctypes.data_as(ctypes.POINTER(typ))
 
 
+def pack_scalars(scalars) -> np.ndarray:
+    """(n, 32) u8 little-endian scalar array (the MSM/batch ABI)."""
+    return _pack_scalars(scalars)
+
+
+def g1_msm_packed(pts: np.ndarray, infs, sc: np.ndarray):
+    """MSM over pre-packed (n,8) u64 points + (n,32) u8 scalars."""
+    lib = _lib()
+    out = np.zeros(8, dtype=np.uint64)
+    out_inf = np.zeros(1, dtype=np.int32)
+    infs_p = _cptr(infs, ctypes.c_int32) if infs is not None else None
+    lib.zkm_bn254_g1_msm(
+        _cptr(pts, ctypes.c_uint64), infs_p,
+        _cptr(sc, ctypes.c_uint8), ctypes.c_int64(len(pts)),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return _unpack_g1(out, out_inf[0])
+
+
+def g2_msm_packed(pts: np.ndarray, infs, sc: np.ndarray):
+    lib = _lib()
+    out = np.zeros(16, dtype=np.uint64)
+    out_inf = np.zeros(1, dtype=np.int32)
+    infs_p = _cptr(infs, ctypes.c_int32) if infs is not None else None
+    lib.zkm_bn254_g2_msm(
+        _cptr(pts, ctypes.c_uint64), infs_p,
+        _cptr(sc, ctypes.c_uint8), ctypes.c_int64(len(pts)),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return _unpack_g2(out, out_inf[0])
+
+
+def g1_mul_batch_packed(base, scalars_packed: np.ndarray):
+    """Fixed-base batch returning packed ((n,8) u64, (n,) i32) arrays."""
+    lib = _lib()
+    pts, infs = _pack_g1([base])
+    n = len(scalars_packed)
+    out = np.zeros((n, 8), dtype=np.uint64)
+    out_inf = np.zeros(n, dtype=np.int32)
+    lib.zkm_bn254_g1_mul_batch(
+        _cptr(pts, ctypes.c_uint64), ctypes.c_int32(int(infs[0])),
+        _cptr(scalars_packed, ctypes.c_uint8), ctypes.c_int64(n),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return out, out_inf
+
+
+def g2_mul_batch_packed(base, scalars_packed: np.ndarray):
+    lib = _lib()
+    pts, infs = _pack_g2([base])
+    n = len(scalars_packed)
+    out = np.zeros((n, 16), dtype=np.uint64)
+    out_inf = np.zeros(n, dtype=np.int32)
+    lib.zkm_bn254_g2_mul_batch(
+        _cptr(pts, ctypes.c_uint64), ctypes.c_int32(int(infs[0])),
+        _cptr(scalars_packed, ctypes.c_uint8), ctypes.c_int64(n),
+        _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
+    )
+    return out, out_inf
+
+
+def pack_fr(vals) -> np.ndarray:
+    """(n, 4) u64 canonical little-endian Fr array."""
+    buf = b"".join(int(v % _FR).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, 4).copy()
+
+
+def unpack_fr(arr: np.ndarray) -> list[int]:
+    return [int.from_bytes(row.tobytes(), "little") for row in np.ascontiguousarray(arr)]
+
+
+def fr_fft(vals: np.ndarray, root: int, inverse: bool = False) -> np.ndarray:
+    """In-place radix-2 FFT over Fr on a packed (n,4) u64 canonical array."""
+    lib = _lib()
+    n = len(vals)
+    rt = np.array(_limbs(root), dtype=np.uint64)
+    lib.zkm_bn254_fr_fft(
+        _cptr(vals, ctypes.c_uint64), ctypes.c_int64(n),
+        _cptr(rt, ctypes.c_uint64), ctypes.c_int32(1 if inverse else 0),
+    )
+    return vals
+
+
+def fr_scale_pows(vals: np.ndarray, g: int) -> np.ndarray:
+    """vals[i] *= g^i in place (packed canonical array)."""
+    lib = _lib()
+    gt = np.array(_limbs(g), dtype=np.uint64)
+    lib.zkm_bn254_fr_scale_pows(
+        _cptr(vals, ctypes.c_uint64), ctypes.c_int64(len(vals)), _cptr(gt, ctypes.c_uint64)
+    )
+    return vals
+
+
+def fr_mul_sub_scale(a: np.ndarray, b: np.ndarray, c: np.ndarray, k: int) -> np.ndarray:
+    """(a*b - c) * k elementwise over packed canonical arrays."""
+    lib = _lib()
+    kt = np.array(_limbs(k), dtype=np.uint64)
+    out = np.zeros_like(a)
+    lib.zkm_bn254_fr_mul_sub_scale(
+        _cptr(a, ctypes.c_uint64), _cptr(b, ctypes.c_uint64), _cptr(c, ctypes.c_uint64),
+        ctypes.c_int64(len(a)), _cptr(kt, ctypes.c_uint64), _cptr(out, ctypes.c_uint64),
+    )
+    return out
+
+
 def g1_msm(points, scalars):
     lib = _lib()
     pts, infs = _pack_g1(points)

@@ -40,14 +40,14 @@ from .r1cs import ConstraintSystem, R
 
 
 def pack_public_values(pv) -> list[int]:
-    """Pack 8 canonical KoalaBear felts into 2 Fr scalars (4 per Fr,
-    2^32 stride) — the Groth16 public-input encoding."""
+    """Pack canonical KoalaBear felts into Fr scalars (4 per Fr, 2^32
+    stride) — the Groth16 public-input encoding (8 pv -> 2 Fr for the wrap
+    machine's digest public values)."""
     vals = [int(x) for x in pv]
-    assert len(vals) == 8
     out = []
-    for k in range(2):
+    for k in range(0, len(vals), 4):
         acc = 0
-        for i, v in enumerate(vals[4 * k : 4 * k + 4]):
+        for i, v in enumerate(vals[k : k + 4]):
             acc += v << (32 * i)
         out.append(acc % R)
     return out
@@ -81,7 +81,8 @@ class OuterVerifierCircuit(_VerifierCircuitBase):
         # bind the packed public inputs to the in-circuit (hinted +
         # transcript-observed) wrap public values
         for k, pub_var in enumerate(pub_vars):
-            packed = reduce_32_pack(self.b, [self.b._reduce(f) for f in pv[4 * k : 4 * k + 4]])
+            chunk = pv[4 * k : 4 * k + 4]
+            packed = reduce_32_pack(self.b, [self.b._reduce(f) for f in chunk])
             self.b.fr.assert_eq(
                 packed, self.b.fr.from_public(pub_var, self.packed_pv[k], R - 1)
             )
