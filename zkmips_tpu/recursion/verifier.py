@@ -242,6 +242,11 @@ class _VerifierCircuitBase:
             out.append(self._hf(lambda p, e=extract, i=i: e(p)[i]))
         return out
 
+    def _hfs_rows(self, n, extract) -> list:
+        """Like _hfs but for Merkle-bound leaf rows — the outer backend uses
+        a cheaper range check for these (never transcript-observed)."""
+        return self._hfs(n, extract)
+
     def _hext(self, extract) -> Ext:
         """Ext hint; extract(shard_proof) -> canonical (4,) coords."""
         sel = self._cursel
@@ -585,7 +590,7 @@ class _VerifierCircuitBase:
                 # hint the opened leaf rows for this round
                 row_handles = []
                 for mi, m in enumerate(mats):
-                    row_handles.append(self._hfs(
+                    row_handles.append(self._hfs_rows(
                         m.width,
                         lambda p, q=q, ri=ri, mi=mi: ff.from_monty(
                             np.asarray(p.fri_proof.query_proofs[q].input_openings[ri][0][mi], dtype=np.uint32)
@@ -634,7 +639,7 @@ class _VerifierCircuitBase:
             for k in range(num_layers):
                 log_folded = log_max - k - 1
                 bit = bits[k]
-                sib_parts = self._hfs(4, lambda p, q=q, k=k: ext4.to_canonical(
+                sib_parts = self._hfs_rows(4, lambda p, q=q, k=k: ext4.to_canonical(
                     p.fri_proof.query_proofs[q].commit_openings[k].sibling_value
                 ))
                 folded_parts = b.ext_to_felts(folded)

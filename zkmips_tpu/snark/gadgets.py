@@ -39,8 +39,9 @@ def _ext_inv_canonical(a) -> tuple:
 P = ff.P  # KoalaBear prime 2^31 - 2^24 + 1
 W = ext4.W  # quartic binomial: X^4 = 3
 
-# reduce a lazy value once its bound approaches Fr; 2^200 leaves a wide margin
-_REDUCE_BOUND = 1 << 200
+# reduce a lazy value once its bound reaches this; empirically 2^128 minimizes
+# total constraints (longer chains save reduces but cost wider q range checks)
+_REDUCE_BOUND = 1 << 128
 _R_MINUS_1_BITS = [(R - 1) >> i & 1 for i in range(254)]
 
 
@@ -246,8 +247,19 @@ class OuterBuilder:
         self._check_canonical_kb(fv)
         return KBFelt(fv)
 
+    def hint_felt_loose(self, value: int) -> KBFelt:
+        """Witness a KoalaBear value with only a 31-bit range check (no
+        canonical top-pattern).  Sound for values that feed arithmetic or
+        2^32-stride packing but are never observed into the transcript: the
+        representative is pinned by the Merkle/FRI checks, and non-canonical
+        encodings of the same residue behave identically mod P."""
+        v = int(value) % P
+        fv = self.fr.witness(v, (1 << 31) - 1)
+        self.fr.bits_of(fv, 31)
+        return KBFelt(fv)
+
     def hint_ext(self, coords) -> KBExt:
-        return KBExt([self.hint_felt(c) for c in coords])
+        return KBExt([self.hint_felt_loose(c) for c in coords])
 
     def _check_canonical_kb(self, fv: FrVal):
         """31-bit decomposition + KoalaBear canonical check: if the top 7 bits
@@ -322,11 +334,16 @@ class OuterBuilder:
         return KBFelt(self.fr.mul(x.fr, y.fr))
 
     def _ext_mul(self, x: KBExt, y: KBExt) -> KBExt:
-        # reduce all coords if any product would overflow the lazy bound
-        max_b = max(c.fr.bound for c in x.c) * max(c.fr.bound for c in y.c)
-        if max_b * 7 >= _REDUCE_BOUND:
-            x = KBExt([self._reduce(c) for c in x.c])
-            y = KBExt([self._reduce(c) for c in y.c])
+        # reduce the wider operand's coords (then the other if still needed)
+        # so a canonical operand never pays reduction for its partner's bound
+        bx = max(c.fr.bound for c in x.c)
+        by = max(c.fr.bound for c in y.c)
+        if bx * by * 7 >= _REDUCE_BOUND:
+            if bx >= by:
+                x = KBExt([self._reduce(c) for c in x.c])
+                bx = max(c.fr.bound for c in x.c)
+            if bx * by * 7 >= _REDUCE_BOUND:
+                y = KBExt([self._reduce(c) for c in y.c])
         prods = {}
         for i in range(4):
             for j in range(4):
@@ -363,10 +380,23 @@ class OuterBuilder:
             for a, b in zip(xe.c, ye.c):
                 self.assert_eq(a, b)
             return
-        a = self._reduce(x)
-        b = self._reduce(y)
-        assert a.canonical == b.canonical, "assert_eq on unequal KoalaBear values"
-        self.fr.assert_eq(a.fr, b.fr)
+        assert x.canonical == y.canonical, "assert_eq on unequal KoalaBear values"
+        # divisibility check: x - y + kP == q * P with one hinted, range-
+        # checked q — half the cost of reducing both sides to canonical
+        k = (y.fr.bound + P - 1) // P
+        diff_val = x.fr.value - y.fr.value + k * P
+        diff_bound = x.fr.bound + k * P
+        lc = dict(x.fr.lc)
+        for kk, c in y.fr.lc.items():
+            lc[kk] = (lc.get(kk, 0) - c) % R
+        lc[0] = (lc.get(0, 0) + k * P) % R
+        diff = FrVal(lc, diff_val, diff_bound)
+        assert diff_val % P == 0 and diff_val >= 0
+        q = diff_val // P
+        q_bits = max(1, (diff_bound // P).bit_length())
+        qv = self.fr.witness(q, (1 << q_bits) - 1)
+        self.fr.bits_of(qv, q_bits)
+        self.fr.assert_eq(self.fr.scale(qv, P), diff)
 
     def assert_zero(self, x):
         zero = self.const_ext((0, 0, 0, 0)) if isinstance(x, KBExt) else self.const_felt(0)
@@ -503,6 +533,11 @@ class OuterCircuitChallenger:
         self.b = b
         self.state: list[FrVal] = [b.fr.const(0) for _ in range(3)]
         self.input_buffer: list[KBFelt] = []
+        # split_32 is the most expensive gadget (254-bit canonical
+        # decomposition), so state elements are split LAZILY: ``_pending``
+        # holds unsplit state refs in buffer order; pops materialize from the
+        # end, exactly mirroring the host's pop-from-end semantics
+        self._pending: list[FrVal] = []
         self.output_buffer: list[KBFelt] = []
 
     def _duplex(self):
@@ -514,11 +549,11 @@ class OuterCircuitChallenger:
         self.input_buffer.clear()
         self.state = permute3_gadget(self.b.fr, self.state)
         self.output_buffer = []
-        for st in self.state:
-            self.output_buffer.extend(split_32_gadget(self.b, st, self.PACK))
+        self._pending = list(self.state)
 
     def observe(self, felt: KBFelt):
         self.output_buffer.clear()
+        self._pending.clear()
         self.input_buffer.append(self.b._reduce(felt))
         if len(self.input_buffer) == self.PACK * self.RATE:
             self._duplex()
@@ -534,8 +569,11 @@ class OuterCircuitChallenger:
             self.observe(felt)
 
     def sample(self) -> KBFelt:
-        if self.input_buffer or not self.output_buffer:
+        if self.input_buffer or (not self.output_buffer and not self._pending):
             self._duplex()
+        if not self.output_buffer:
+            st = self._pending.pop()
+            self.output_buffer = split_32_gadget(self.b, st, self.PACK)
         return self.output_buffer.pop()
 
     def sample_ext(self) -> KBExt:
@@ -556,8 +594,10 @@ class OuterCircuitChallenger:
 
 
 def hash_felts_gadget(b: OuterBuilder, felts: list[KBFelt]) -> FrVal:
-    """In-circuit bn254.hash_felts over canonical (reduced) felt handles."""
-    felts = [b._reduce(f_) for f_ in felts]
+    """In-circuit bn254.hash_felts.  Values only need bound < 2^32 for the
+    packing to be injective (loose-hinted Merkle rows keep their 31-bit
+    bound; anything wider is reduced)."""
+    felts = [f_ if f_.fr.bound < (1 << 32) else b._reduce(f_) for f_ in felts]
     state = [b.fr.const(0) for _ in range(3)]
     for i in range(0, len(felts), bn254.RATE_FELTS):
         block = felts[i : i + bn254.RATE_FELTS]

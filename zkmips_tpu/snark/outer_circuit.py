@@ -97,6 +97,11 @@ class OuterVerifierCircuit(_VerifierCircuitBase):
         sel = self._cursel
         return self.b.hint_ext([int(x) for x in extract(sel(self.proof))])
 
+    def _hfs_rows(self, n, extract):
+        sel = self._cursel
+        vals = extract(sel(self.proof))
+        return [self.b.hint_felt_loose(int(vals[i])) for i in range(n)]
+
     # -- digest/transcript layer: BN254 outer overrides ---------------------
 
     def _new_challenger(self):
