@@ -352,3 +352,46 @@ def test_compress_shrink_wrap_ladder():
     wp = rp.wrap(sp)
     for stage_proof in (cp, sp, wp):
         assert rp.verify_compressed(pk.vk, p, stage_proof)
+
+
+def test_vk_map_export_load_roundtrip():
+    """vk-map serialization mechanics (prover/src/shapes.rs vk_map analog):
+    a fresh prover with only the exported map can resolve final vks."""
+    import numpy as np
+
+    from zkmips_tpu.machine.machine import mips_machine
+    from zkmips_tpu.recursion.compress import CompressedProof, RecursionProver
+    from zkmips_tpu.stark.machine import VerifyingKey
+
+    m = mips_machine(StarkConfig.test(), minimal=True)
+    rp = RecursionProver(m)
+    inner_root = np.arange(8, dtype=np.uint32)
+    fake_vk = VerifyingKey(prep_root=inner_root, prep_heights=[("RecMemConst", 4)])
+    outer_root = np.empty(1, dtype=object)
+    outer_root[0] = 123456789012345678901234567890
+    fake_outer = VerifyingKey(prep_root=outer_root, prep_heights=[("RecPoseidon2", 6)])
+
+    class _PK:
+        def __init__(self, vk):
+            self.vk = vk
+
+    rp._lift_cache["a"] = (None, _PK(fake_vk))
+    rp._shrink_cache["b"] = (None, _PK(fake_outer))
+    exported = rp.export_vk_map()
+
+    rp2 = RecursionProver(m)
+    rp2.load_vk_map(exported)
+    cp = CompressedProof(None, tuple(int(x) for x in inner_root), [], [], 1)
+    vk = rp2._find_final_vk(cp)
+    assert vk.prep_heights == [("RecMemConst", 4)]
+    cp_o = CompressedProof(None, (int(outer_root[0]),), [], [], 1, stage="wrap")
+    vko = rp2._find_final_vk(cp_o)
+    assert int(np.asarray(vko.prep_root).reshape(-1)[0]) == int(outer_root[0])
+    # JSON file round-trip
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "vk_map.json")
+        rp.export_vk_map(path)
+        rp3 = RecursionProver(m)
+        rp3.load_vk_map(path)
+        assert rp3._find_final_vk(cp).prep_heights == [("RecMemConst", 4)]

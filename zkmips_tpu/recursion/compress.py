@@ -267,10 +267,65 @@ class RecursionProver:
         ):
             if tuple(int(x) for x in np.asarray(pk.vk.prep_root)) == cp.final_vk_root:
                 return pk.vk
+        vk = getattr(self, "_vk_map", {}).get(cp.final_vk_root)
+        if vk is not None:
+            return vk
         raise VerificationError(
-            "final vk not derivable from cached programs (cross-process "
-            "verification requires the vk_map artifact, round-2 work)"
+            "final vk not in this prover's program caches or loaded vk map "
+            "(load one with load_vk_map, or export from the proving side "
+            "with export_vk_map — the reference's vk_map.bin artifact, "
+            "prover/src/shapes.rs:275-304)"
         )
+
+    # -- vk map (prover/src/shapes.rs vk_map analog) -------------------------
+
+    def export_vk_map(self, path: str | None = None) -> dict:
+        """Serialize every recursion-program vk this prover has built, so a
+        separate process can verify its compressed/shrunk/wrapped proofs
+        without rebuilding the programs (reference ships this as
+        ``vk_map.bin``).  The map is the verifier's trust root: only proofs
+        whose final vk appears in it are accepted."""
+        entries = []
+        for _key, (_circ, pk) in (
+            list(self._lift_cache.items())
+            + list(self._compress_cache.items())
+            + list(self._shrink_cache.items())
+        ):
+            root = np.asarray(pk.vk.prep_root).reshape(-1)
+            entries.append({
+                "root": [str(int(x)) for x in root],
+                "heights": [[n, int(lh)] for n, lh in pk.vk.prep_heights],
+            })
+        out = {"version": 1, "vks": entries}
+        if path is not None:
+            import json
+
+            with open(path, "w") as fh:
+                json.dump(out, fh)
+        return out
+
+    def load_vk_map(self, map_or_path):
+        """Load a vk map (dict or JSON path) for cross-process verification."""
+        data = map_or_path
+        if isinstance(map_or_path, str):
+            import json
+
+            with open(map_or_path) as fh:
+                data = json.load(fh)
+        from ..stark.machine import VerifyingKey
+
+        table = {}
+        for e in data["vks"]:
+            roots = [int(x) for x in e["root"]]
+            if len(roots) == 1:  # outer (BN254) single-Fr digest
+                root = np.empty(1, dtype=object)
+                root[0] = roots[0]
+            else:
+                root = np.asarray(roots, dtype=np.uint32)
+            vk = VerifyingKey(prep_root=root, prep_heights=[(n, lh) for n, lh in e["heights"]])
+            table[tuple(roots)] = vk
+        self._vk_map = table
+        return table
 
 
 def _global_sums(proof) -> list:

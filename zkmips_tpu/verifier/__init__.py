@@ -1,0 +1,161 @@
+"""Standalone proof verification — the `zkm-verifier` crate analog.
+
+The reference ships a no-std crate that verifies gnark Groth16/PLONK proof
+bytes against embedded verifying keys plus a byte-API STARK verifier
+(crates/verifier/src/lib.rs:26-39, src/stark/verify.rs:113).  This package
+is the same boundary for integrators: it depends only on the snark curve
+module (pure Python ints) — no jax, no numpy arrays in the API — and
+defines a stable byte encoding for proofs, verifying keys, and public
+inputs.
+
+Byte encodings (all big-endian field elements, 32 bytes each):
+
+* G1 point: ``x || y`` (64 bytes); the point at infinity is all zeros.
+* G2 point: ``x0 || x1 || y0 || y1`` (128 bytes; Fp2 c0 then c1).
+* Groth16 proof: ``A (G1) || B (G2) || C (G1)`` = 256 bytes.
+* Groth16 vk: ``alpha1 (G1) || beta2 (G2) || gamma2 (G2) || delta2 (G2) ||
+  n_ic (4-byte BE) || ic[0..n_ic] (G1 each)``.
+* Public inputs: 32-byte BE scalars, concatenated.
+"""
+
+from __future__ import annotations
+
+from ..snark import bn254_curve as ec
+from ..snark.groth16 import ProofG16, VerifyingKeyG16, verify as _verify_g16
+
+
+class VerificationFailure(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Point codecs
+# ---------------------------------------------------------------------------
+
+
+def _fp_bytes(x: int) -> bytes:
+    return int(x).to_bytes(32, "big")
+
+
+def _fp_from(b: bytes) -> int:
+    v = int.from_bytes(b, "big")
+    if v >= ec.P:
+        raise VerificationFailure("field element out of range")
+    return v
+
+
+def encode_g1(p) -> bytes:
+    if p is None:
+        return b"\x00" * 64
+    return _fp_bytes(p[0]) + _fp_bytes(p[1])
+
+
+def decode_g1(b: bytes):
+    if len(b) != 64:
+        raise VerificationFailure("bad G1 length")
+    if b == b"\x00" * 64:
+        return None
+    p = (_fp_from(b[:32]), _fp_from(b[32:]))
+    if not ec.g1_is_on_curve(p):
+        raise VerificationFailure("G1 point not on curve")
+    return p
+
+
+def encode_g2(p) -> bytes:
+    if p is None:
+        return b"\x00" * 128
+    (x0, x1), (y0, y1) = p
+    return _fp_bytes(x0) + _fp_bytes(x1) + _fp_bytes(y0) + _fp_bytes(y1)
+
+
+def decode_g2(b: bytes):
+    if len(b) != 128:
+        raise VerificationFailure("bad G2 length")
+    if b == b"\x00" * 128:
+        return None
+    p = (
+        (_fp_from(b[0:32]), _fp_from(b[32:64])),
+        (_fp_from(b[64:96]), _fp_from(b[96:128])),
+    )
+    if not ec.g2_is_on_curve(p):
+        raise VerificationFailure("G2 point not on curve")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Groth16 proof / vk codecs
+# ---------------------------------------------------------------------------
+
+
+def encode_groth16_proof(proof: ProofG16) -> bytes:
+    return encode_g1(proof.a) + encode_g2(proof.b) + encode_g1(proof.c)
+
+
+def decode_groth16_proof(b: bytes) -> ProofG16:
+    if len(b) != 256:
+        raise VerificationFailure("bad proof length")
+    return ProofG16(decode_g1(b[:64]), decode_g2(b[64:192]), decode_g1(b[192:]))
+
+
+def encode_groth16_vk(vk: VerifyingKeyG16) -> bytes:
+    out = encode_g1(vk.alpha1) + encode_g2(vk.beta2) + encode_g2(vk.gamma2) + encode_g2(vk.delta2)
+    out += len(vk.ic).to_bytes(4, "big")
+    for p in vk.ic:
+        out += encode_g1(p)
+    return out
+
+
+def decode_groth16_vk(b: bytes) -> VerifyingKeyG16:
+    if len(b) < 64 + 128 * 3 + 4:
+        raise VerificationFailure("bad vk length")
+    alpha1 = decode_g1(b[:64])
+    beta2 = decode_g2(b[64:192])
+    gamma2 = decode_g2(b[192:320])
+    delta2 = decode_g2(b[320:448])
+    n = int.from_bytes(b[448:452], "big")
+    if len(b) != 452 + 64 * n:
+        raise VerificationFailure("bad vk length")
+    ic = [decode_g1(b[452 + 64 * i : 452 + 64 * (i + 1)]) for i in range(n)]
+    return VerifyingKeyG16(alpha1=alpha1, beta2=beta2, gamma2=gamma2, delta2=delta2, ic=ic)
+
+
+def encode_public_inputs(values) -> bytes:
+    return b"".join(int(v % ec.R).to_bytes(32, "big") for v in values)
+
+
+def decode_public_inputs(b: bytes) -> list[int]:
+    if len(b) % 32:
+        raise VerificationFailure("bad public-input length")
+    out = []
+    for i in range(0, len(b), 32):
+        v = int.from_bytes(b[i : i + 32], "big")
+        if v >= ec.R:
+            raise VerificationFailure("public input out of range")
+        out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Verifiers (crates/verifier/src/lib.rs Groth16Verifier analog)
+# ---------------------------------------------------------------------------
+
+
+class Groth16Verifier:
+    @staticmethod
+    def verify(proof: bytes, vk: bytes, public_inputs: bytes) -> bool:
+        """Verify Groth16 proof bytes; raises VerificationFailure on
+        malformed inputs, returns the pairing-check result."""
+        p = decode_groth16_proof(proof)
+        k = decode_groth16_vk(vk)
+        pubs = decode_public_inputs(public_inputs)
+        if len(pubs) != len(k.ic) - 1:
+            raise VerificationFailure("public input count mismatch")
+        return _verify_g16(k, p, pubs)
+
+
+def verify_groth16_wrapped(wg, core_vk, program) -> bool:
+    """Object-level verification of a Groth16WrappedProof (the full digest
+    tree + shard chain checks; prover/src/verify.rs:295+ analog)."""
+    from ..snark.outer_circuit import verify_groth16
+
+    return verify_groth16(core_vk, program, wg)
