@@ -67,6 +67,8 @@ typedef struct {
   uint32_t digest[8];
   uint8_t *pv_stream;
   uint64_t pv_len, pv_cap;
+  uint8_t *stdout_buf;
+  uint64_t so_len, so_cap;
 } Machine;
 
 static uint32_t *page_for(Machine *m, uint32_t addr) {
@@ -110,6 +112,13 @@ static int do_syscall(Machine *m) {
     case 0x00000002: { /* WRITE: fd 3 (public values) kept; hook/hint fds (>=4)
                           need host callbacks -> punt to the reference path */
       if (a0 >= 4) return EXIT_UNSUPPORTED_SYSCALL;
+      if (a0 == 1 || a0 == 2) {
+        if (m->so_len + a2 > m->so_cap) {
+          while (m->so_len + a2 > m->so_cap) m->so_cap *= 2;
+          m->stdout_buf = (uint8_t *)realloc(m->stdout_buf, m->so_cap);
+        }
+        for (uint32_t i = 0; i < a2; i++) m->stdout_buf[m->so_len++] = mem_byte(m, a1 + i);
+      }
       if (a0 == 3) {
         if (m->pv_len + a2 > m->pv_cap) {
           while (m->pv_len + a2 > m->pv_cap) m->pv_cap *= 2;
@@ -238,7 +247,7 @@ static int do_syscall(Machine *m) {
 }
 
 static int free_and(Machine *m, uint32_t *out_regs, uint32_t *out_digest,
-                    uint64_t *out_counts, uint8_t **out_pv, int status);
+                    uint64_t *out_counts, uint8_t **out_pv, uint8_t **out_stdout, int status);
 
 int zkm_run(
     const Insn *insns, uint32_t num_insns, uint32_t pc_base, uint32_t pc_start,
@@ -247,8 +256,9 @@ int zkm_run(
     uint64_t max_cycles,
     /* outputs */
     uint32_t *out_regs /*36*/, uint32_t *out_digest /*8*/,
-    uint64_t *out_counts /*global_clk, clk, exit_code, pv_len*/,
-    uint8_t **out_pv /* malloc'd; caller frees via zkm_free */) {
+    uint64_t *out_counts /*global_clk, clk, exit_code, pv_len, stdout_len*/,
+    uint8_t **out_pv /* malloc'd; caller frees via zkm_free */,
+    uint8_t **out_stdout /* malloc'd; caller frees via zkm_free */) {
   Machine m;
   memset(&m, 0, sizeof(m));
   m.pages = (uint32_t **)calloc(NUM_PAGES, sizeof(uint32_t *));
@@ -259,6 +269,9 @@ int zkm_run(
   m.num_hints = num_hints;
   m.pv_cap = 1024;
   m.pv_stream = (uint8_t *)malloc(m.pv_cap);
+  m.so_cap = 1024;
+  m.so_len = 0;
+  m.stdout_buf = (uint8_t *)malloc(m.so_cap);
 
   for (uint32_t i = 0; i < image_len; i++) {
     uint32_t a = image_addrs[i];
@@ -290,10 +303,10 @@ int zkm_run(
           case OP_MUL: a = b * c; break;
           case OP_MULT: { int64_t o = (int64_t)(int32_t)b * (int32_t)c; a = (uint32_t)o; hi = (uint32_t)((uint64_t)o >> 32); write_hi = 1; break; }
           case OP_MULTU: { uint64_t o = (uint64_t)b * c; a = (uint32_t)o; hi = (uint32_t)(o >> 32); write_hi = 1; break; }
-          case OP_DIV: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, EXIT_TRAP); a = (uint32_t)((int32_t)b / (int32_t)c); hi = (uint32_t)((int32_t)b % (int32_t)c); write_hi = 1; break;
-          case OP_DIVU: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, EXIT_TRAP); a = b / c; hi = b % c; write_hi = 1; break;
-          case OP_MOD: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, EXIT_TRAP); a = (uint32_t)((int32_t)b % (int32_t)c); break;
-          case OP_MODU: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, EXIT_TRAP); a = b % c; break;
+          case OP_DIV: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, out_stdout, EXIT_TRAP); a = (uint32_t)((int32_t)b / (int32_t)c); hi = (uint32_t)((int32_t)b % (int32_t)c); write_hi = 1; break;
+          case OP_DIVU: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, out_stdout, EXIT_TRAP); a = b / c; hi = b % c; write_hi = 1; break;
+          case OP_MOD: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, out_stdout, EXIT_TRAP); a = (uint32_t)((int32_t)b % (int32_t)c); break;
+          case OP_MODU: if (!c) return free_and(&m, out_regs, out_digest, out_counts, out_pv, out_stdout, EXIT_TRAP); a = b % c; break;
           case OP_SLL: a = b << (c & 31); break;
           case OP_SRL: a = b >> (c & 31); break;
           case OP_SRA: a = (uint32_t)((int32_t)b >> (c & 31)); break;
@@ -444,11 +457,11 @@ int zkm_run(
     m.regs[0] = 0;
   }
 done:
-  return free_and(&m, out_regs, out_digest, out_counts, out_pv, status);
+  return free_and(&m, out_regs, out_digest, out_counts, out_pv, out_stdout, status);
 }
 
 static int free_and(Machine *m, uint32_t *out_regs, uint32_t *out_digest,
-                    uint64_t *out_counts, uint8_t **out_pv, int status) {
+                    uint64_t *out_counts, uint8_t **out_pv, uint8_t **out_stdout, int status) {
   memcpy(out_regs, m->regs, sizeof(m->regs));
   memcpy(out_digest, m->digest, sizeof(m->digest));
   out_counts[0] = m->global_clk;
@@ -456,6 +469,8 @@ static int free_and(Machine *m, uint32_t *out_regs, uint32_t *out_digest,
   out_counts[2] = m->exit_code;
   out_counts[3] = m->pv_len;
   *out_pv = m->pv_stream;
+  out_counts[4] = m->so_len;
+  *out_stdout = m->stdout_buf;
   for (uint32_t i = 0; i < NUM_PAGES; i++)
     if (m->pages[i]) free(m->pages[i]);
   free(m->pages);

@@ -59,8 +59,9 @@ def run_native(program, stdin=(), max_cycles=1 << 40):
     hint_lens = (ctypes.c_uint64 * max(len(bufs), 1))(*[len(b) for b in bufs])
     out_regs = np.zeros(36, dtype=np.uint32)
     out_digest = np.zeros(8, dtype=np.uint32)
-    out_counts = np.zeros(4, dtype=np.uint64)
+    out_counts = np.zeros(5, dtype=np.uint64)
     out_pv = ctypes.POINTER(ctypes.c_uint8)()
+    out_stdout = ctypes.POINTER(ctypes.c_uint8)()
     status = lib.zkm_run(
         insns, len(program.instructions), program.pc_base, program.pc_start,
         addrs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
@@ -72,10 +73,14 @@ def run_native(program, stdin=(), max_cycles=1 << 40):
         out_digest.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         ctypes.byref(out_pv),
+        ctypes.byref(out_stdout),
     )
     pv_len = int(out_counts[3])
     pv = bytes(bytearray(out_pv[i] for i in range(pv_len))) if pv_len else b""
     lib.zkm_free(out_pv)
+    so_len = int(out_counts[4])
+    stdout = bytes(bytearray(out_stdout[i] for i in range(so_len))) if so_len else b""
+    lib.zkm_free(out_stdout)
     if status == 2:
         raise NativeUnsupported("unsupported syscall in native executor")
     if status == 5:
@@ -88,5 +93,6 @@ def run_native(program, stdin=(), max_cycles=1 << 40):
         "global_clk": int(out_counts[0]),
         "exit_code": int(out_counts[2]),
         "public_values": pv,
+        "stdout": stdout,
         "hit_max_cycles": status == 1,
     }

@@ -118,13 +118,15 @@ class ProverClient:
             from ..executor.native import NativeUnsupported, run_native
 
             out = run_native(program, stdin=bufs, max_cycles=max_cycles or (1 << 40))
-            return ExecutionReport(
-                total_instruction_count=out["global_clk"],
-                exit_code=out["exit_code"],
-                stdout=b"",  # stdout capture stays on the python path
-                public_values=out["public_values"],
-                cycle_tracker={},
-            )
+            if b"cycle-tracker-" not in out["stdout"]:
+                return ExecutionReport(
+                    total_instruction_count=out["global_clk"],
+                    exit_code=out["exit_code"],
+                    stdout=out["stdout"],
+                    public_values=out["public_values"],
+                    cycle_tracker={},
+                )
+            # tracker spans need per-write clk values -> reference interpreter
         except Exception:
             pass  # fall back to the reference interpreter
         ex = self._executor(program, stdin)
