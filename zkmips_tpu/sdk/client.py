@@ -92,10 +92,18 @@ class ProofWithPublicValues:
 class ProverClient:
     """client = ProverClient.new(); client.prove(program, stdin)"""
 
-    def __init__(self, backend: str = "local", config: StarkConfig | None = None, device: bool = False):
+    def __init__(self, backend: str = "local", config: StarkConfig | None = None, device: bool = False, endpoint: str | None = None):
+        """backend: "local" | "mock" | "network" (remote ProverServer at
+        ``endpoint``; ZKM_PROVER / sdk backend-selection analog)."""
         self.backend = backend
         self.machine = MipsMachine(config or StarkConfig.core())
         self.device = device
+        self.remote = None
+        if backend == "network":
+            from .network import NetworkProver
+
+            assert endpoint, "network backend requires endpoint='http://host:port'"
+            self.remote = NetworkProver(endpoint)
 
     @staticmethod
     def new(**kw) -> "ProverClient":
@@ -109,6 +117,8 @@ class ProverClient:
 
     def setup(self, program: Program):
         """-> (pk, vk) for the given guest program."""
+        if self.remote is not None:
+            return self.remote.setup(program)
         pk = self.machine.setup(program)
         return pk, pk.vk
 
@@ -148,6 +158,8 @@ class ProverClient:
         (compressed -> shrink -> wrap under the BN254 outer config -> Groth16
         over the outer circuit) — the reference's ``.compressed()`` /
         ``.groth16()`` actions (sdk/src/action.rs:14-156)."""
+        if self.remote is not None:
+            return self.remote.prove(pk, program, stdin, shard_size=shard_size, mode=mode)
         ex = self._executor(program, stdin, shard_size)
         records = ex.run()
         if self.backend == "mock":
@@ -175,6 +187,8 @@ class ProverClient:
     def verify(self, vk, proof: ProofWithPublicValues, program: Program) -> bool:
         if proof.mode == "mock":
             return True
+        if self.remote is not None:
+            return self.remote.verify(vk, proof, program)
         if proof.mode == "compressed":
             return self._recursion_prover().verify_compressed(vk, program, proof.proofs[0])
         if proof.mode == "groth16":

@@ -111,6 +111,13 @@ class VerificationError(Exception):
     pass
 
 
+# Chips at or below this height run their permutation/quotient stages on the
+# host even in device mode: tiny padded chips cost seconds-to-minutes of XLA
+# compile for microseconds of work (ZKMIPS_DEVICE_MIN_ROWS to override).
+import os as _os
+
+DEVICE_MIN_ROWS = int(_os.environ.get("ZKMIPS_DEVICE_MIN_ROWS", "4096"))
+
 _PREP_KEYS: dict = {}
 
 
@@ -216,10 +223,14 @@ class StarkMachine:
         _perm_span = span("prove.perm_traces"); _perm_span.__enter__()
         for chip in chips:
             prep = pk.prep_traces.get(chip.name)
-            if xp is np:
+            if xp is np or traces[chip.name].shape[0] <= DEVICE_MIN_ROWS:
+                # tiny (mostly-padding) chips stay on the host: their XLA
+                # kernels cost tens of seconds of compile for microseconds of
+                # work (the fib bench showed 135 s compiling a height-16
+                # ShaCompress quotient kernel)
                 flat, cum = permutation.generate_permutation_trace(
-                    chip, prep, traces[chip.name], perm_challenges[0], perm_challenges[1],
-                    chip.batch_size, xp=xp,
+                    chip, prep, np.asarray(traces[chip.name]), perm_challenges[0],
+                    perm_challenges[1], chip.batch_size, xp=np,
                 )
             else:
                 from .jit_util import cached_jit
@@ -267,8 +278,13 @@ class StarkMachine:
                 traces[chip.name], pk.prep_traces.get(chip.name), perm_flats[chip.name],
                 publics_monty, perm_challenges, cum_sums[chip.name], gsm, alpha,
             )
-            if xp is np:
-                doms, chunks = quotient_mod.quotient_chunks(chip, *args, xp=xp)
+            if xp is np or traces[chip.name].shape[0] <= DEVICE_MIN_ROWS:
+                host_args = (
+                    np.asarray(traces[chip.name]), pk.prep_traces.get(chip.name),
+                    np.asarray(perm_flats[chip.name]), publics_monty, perm_challenges,
+                    cum_sums[chip.name], gsm, alpha,
+                )
+                doms, chunks = quotient_mod.quotient_chunks(chip, *host_args, xp=np)
             else:
                 from .jit_util import cached_jit
 

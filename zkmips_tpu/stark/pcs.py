@@ -155,6 +155,68 @@ def eval_at_ext_point(coeffs, dom: Domain, z: np.ndarray, xp=np) -> np.ndarray:
     return _eval_at_ext_point_body(coeffs, dom, z, np)
 
 
+def eval_at_ext_points(coeffs, dom: Domain, pts, xp=np) -> list:
+    """Evaluate every column poly at several ext points with one kernel
+    (returns a list of (w, 4) arrays, one per point)."""
+    if xp is np:
+        return [_eval_at_ext_point_body(coeffs, dom, z, np) for z in pts]
+    from .jit_util import cached_jit
+
+    npts = len(pts)
+    fn = cached_jit(
+        "pcs_eval_batch", (coeffs.shape, dom.log_n, dom.shift, npts),
+        lambda: (
+            lambda cf, zz: [
+                _eval_at_ext_point_body(cf, dom, zz[i], xp) for i in range(npts)
+            ]
+        ),
+    )
+    return fn(coeffs, xp.stack([xp.asarray(z) for z in pts]))
+
+
+def _reduce_contrib_batch(parts, log_h: int, xp):
+    """Sum of reduced-opening contributions at one height, one kernel.
+
+    parts: [(lde, z, ys, apows)] — grouped by distinct z value so each
+    denominator inverse is computed once; matrix dots stay per-lde (no
+    concatenated copies of the big LDE buffers)."""
+    slots: dict[bytes, list] = {}
+    for lde, z, ys, apows in parts:
+        slots.setdefault(np.asarray(z).tobytes(), []).append((lde, z, ys, apows))
+    slot_lists = list(slots.values())
+    zs = np.stack([np.asarray(sl[0][1]) for sl in slot_lists])
+
+    def make():
+        x_vec = lde_points_bitrev_monty(log_h)
+
+        def fn(zz, slot_args):
+            acc = None
+            for si, plist in enumerate(slot_args):
+                num = None
+                for lde, ys, apows in plist:
+                    s_val = _ext_dot_ext(apows, ys)
+                    t_vec = _ext_dot_base(apows, lde, xp)
+                    pn = ext4.sub(s_val[None, :], t_vec)
+                    num = pn if num is None else ext4.add(num, pn)
+                denom = ext4.sub(zz[si][None, :], ext4.from_base(x_vec))
+                contrib = ext4.mul(num, ext4.inv(denom))
+                acc = contrib if acc is None else ext4.add(acc, contrib)
+            return acc
+
+        return fn
+
+    slot_args = [
+        [(lde, np.asarray(ys), apows) for lde, _z, ys, apows in sl] for sl in slot_lists
+    ]
+    if xp is np:
+        return make()(zs, slot_args)
+    from .jit_util import cached_jit
+
+    key = (log_h, tuple(tuple(p[0].shape[1] for p in sl) for sl in slot_args))
+    fn = cached_jit("pcs_reduce_batch", key, make)
+    return fn(zs, slot_args)
+
+
 def _eval_at_ext_point_body(coeffs, dom: Domain, z, xp):
     """p(z) = sum_i c_i (z/s)^i where c are coefficients over the coset s*<w>."""
     n, w = coeffs.shape
@@ -223,13 +285,36 @@ def open_batches(
 
     alpha = challenger.sample_ext()
 
-    # 1. claimed evaluations
+    # 1. claimed evaluations — batched: matrices sharing (domain, point list)
+    #    are evaluated by ONE kernel over their concatenated columns (the
+    #    per-matrix version compiled 57 kernels for the fib bench)
     opened_values = []
     with span("open.eval"):
         for pdata, points_per_mat in rounds:
-            mats_vals = []
-            for coeffs, dom, pts in zip(pdata.coeffs, pdata.domains, points_per_mat):
-                mats_vals.append([eval_at_ext_point(coeffs, dom, z, xp) for z in pts])
+            mats_vals = [None] * len(pdata.coeffs)
+            groups: dict = {}
+            for mi, (coeffs, dom, pts) in enumerate(
+                zip(pdata.coeffs, pdata.domains, points_per_mat)
+            ):
+                groups.setdefault((dom.log_n, dom.shift, len(pts)), []).append(mi)
+            for (log_n, shift, npts), idxs in groups.items():
+                dom = pdata.domains[idxs[0]]
+                pts = points_per_mat[idxs[0]]
+                for mi in idxs[1:]:
+                    assert all(
+                        np.array_equal(a, b) for a, b in zip(points_per_mat[mi], pts)
+                    ), "grouped matrices must share opening points"
+                widths = [pdata.coeffs[mi].shape[1] for mi in idxs]
+                cat = (
+                    pdata.coeffs[idxs[0]]
+                    if len(idxs) == 1
+                    else xp.concatenate([pdata.coeffs[mi] for mi in idxs], axis=1)
+                )
+                vals = eval_at_ext_points(cat, dom, pts, xp)  # list of (W, 4)
+                off = 0
+                for mi, w in zip(idxs, widths):
+                    mats_vals[mi] = [v[off : off + w] for v in vals]
+                    off += w
             opened_values.append(mats_vals)
         if xp is not np:
             # one bulk transfer instead of a sync per (matrix, point)
@@ -237,10 +322,13 @@ def open_batches(
 
             opened_values = jax.device_get(opened_values)
 
-    # 2. per-height reduced vectors (bitrev layout, ext (H, 4))
+    # 2. per-height reduced vectors (bitrev layout, ext (H, 4)) — batched:
+    #    ONE kernel per height covering every (matrix, point) pair at that
+    #    height (widths concatenated, points unrolled inside the kernel)
     _sp = span("open.reduce"); _sp.__enter__()
     reduced: dict[int, np.ndarray] = {}
     alpha_pow_count: dict[int, int] = {}
+    by_height: dict[int, list] = {}  # log_h -> [(lde, z, ys, apows)]
     for (pdata, points_per_mat), mats_vals in zip(rounds, opened_values):
         for lde, dom, pts, vals in zip(pdata.ldes, pdata.domains, points_per_mat, mats_vals):
             log_h = dom.log_n + config.log_blowup
@@ -249,10 +337,9 @@ def open_batches(
                 k0 = alpha_pow_count.get(log_h, 0)
                 apows = _alpha_powers(alpha, k0, w)  # (w, 4)
                 alpha_pow_count[log_h] = k0 + w
-                contrib = _reduce_contrib(lde, z, ys, apows, log_h, xp)
-                acc = reduced.get(log_h)
-                reduced[log_h] = contrib if acc is None else ext4.add(acc, contrib)
-
+                by_height.setdefault(log_h, []).append((lde, z, ys, apows))
+    for log_h, parts in by_height.items():
+        reduced[log_h] = _reduce_contrib_batch(parts, log_h, xp)
     _sp.__exit__(None, None, None)
     log_max = max(reduced)
     assert min(reduced) > config.log_blowup, "matrices at the minimum height are unsupported"
