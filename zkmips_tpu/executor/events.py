@@ -127,6 +127,10 @@ class ExecutionRecord:
     misc_events: list = field(default_factory=list)
     syscall_events: list = field(default_factory=list)
     local_memory_access: dict = field(default_factory=dict)  # addr -> MemoryLocalEvent
+    # per-address chains closed out mid-shard (a precompile touched the addr,
+    # splitting the CPU-side access chain; reference record.rs
+    # cpu_local_memory_access)
+    cpu_local_memory_access: list = field(default_factory=list)
     global_memory_initialize_events: list = field(default_factory=list)
     global_memory_finalize_events: list = field(default_factory=list)
     byte_lookups: dict = field(default_factory=dict)  # "arrays" -> [(op, a, b, c) arrays]
@@ -134,10 +138,82 @@ class ExecutionRecord:
     global_lookup_events: list = field(default_factory=list)
     nested_alu_events: list = field(default_factory=list)
     precompile_events: dict = field(default_factory=dict)  # name -> [events]
+    # parallel to precompile_events: per-event SyscallEvent and the memory
+    # chains the syscall itself performed (move together on split())
+    precompile_syscall_events: dict = field(default_factory=dict)  # name -> [SyscallEvent]
+    precompile_local_mem: dict = field(default_factory=dict)  # name -> [[MemoryLocalEvent]]
     public_values: PublicValues = field(default_factory=PublicValues)
 
     def add_alu_event(self, e: AluEvent):
         self.alu_events.append(e)
+
+    def all_local_memory_events(self) -> list:
+        """Every shard-local memory chain this record anchors: the live
+        per-address CPU chains, chains closed out by precompile syscalls, and
+        the syscalls' own chains (for precompile events still in this record)."""
+        out = list(self.local_memory_access.values())
+        out.extend(self.cpu_local_memory_access)
+        for lists in self.precompile_local_mem.values():
+            for evs in lists:
+                out.extend(evs)
+        return out
+
+    def split(self, last: bool, split_threshold: int, rows_per_event=None) -> list:
+        """Carve large precompile event families into standalone deferred
+        records (reference record.rs:110-146 ``split`` + opts.rs
+        SPLIT_THRESHOLD): each deferred record holds only precompile events,
+        their syscall events, and the memory chains the syscalls performed.
+        Cross-shard consistency rides the Global chip: the core shard sends
+        each syscall message onto the septic curve (SyscallCore chip) and the
+        deferred shard receives it (SyscallPrecompile chip); memory chains use
+        the same Global memory argument as ordinary shards.
+
+        Mutates self (moves events out); returns the new deferred records.
+        ``last`` forces every remaining precompile family out regardless of
+        size, mirroring the reference's final-shard behavior.
+        """
+        rows_of = rows_per_event or DEFAULT_ROWS_PER_EVENT
+        deferred = []
+        for name in list(self.precompile_events):
+            events = self.precompile_events[name]
+            if not events:
+                continue
+            if name not in self.precompile_syscall_events:
+                continue  # event family without a syscall bridge (e.g. sys_linux)
+            rpe = rows_of.get(name, 1)
+            if not last and len(events) * rpe < split_threshold:
+                continue
+            syscalls = self.precompile_syscall_events.get(name, [])
+            locals_ = self.precompile_local_mem.get(name, [])
+            assert len(syscalls) == len(events) and len(locals_) == len(events), (
+                f"precompile bookkeeping out of sync for {name}: "
+                f"{len(events)} events, {len(syscalls)} syscalls, {len(locals_)} locals"
+            )
+            chunk = max(1, split_threshold // rpe)
+            for i in range(0, len(events), chunk):
+                rec = ExecutionRecord(shard=self.shard, program=self.program)
+                rec.precompile_events[name] = events[i : i + chunk]
+                rec.precompile_syscall_events[name] = syscalls[i : i + chunk]
+                rec.precompile_local_mem[name] = locals_[i : i + chunk]
+                rec.public_values.committed_value_digest = list(
+                    self.public_values.committed_value_digest
+                )
+                rec.public_values.exit_code = self.public_values.exit_code
+                deferred.append(rec)
+            del self.precompile_events[name]
+            self.precompile_syscall_events.pop(name, None)
+            self.precompile_local_mem.pop(name, None)
+        return deferred
+
+
+# row-count estimates used only to decide when a family is big enough to
+# split out (soundness does not depend on them)
+DEFAULT_ROWS_PER_EVENT = {
+    "sha_extend": 48,
+    "sha_compress": 80,
+    "poseidon2": 1,
+    "keccak_sponge": 24,
+}
 
 
 @dataclass(frozen=True, slots=True)

@@ -105,6 +105,8 @@ class Executor:
         # unconstrained (hint-generation) mode: fork/rollback state
         self.unconstrained = False
         self._fork = None
+        # active precompile-syscall memory scope (addr -> MemoryLocalEvent)
+        self._syscall_local: dict | None = None
 
         # records
         self.record = ExecutionRecord(shard=1, program=program)
@@ -154,11 +156,35 @@ class Executor:
         return MemoryWriteRecord(value, self.shard, timestamp, prev.value, prev.shard, prev.timestamp)
 
     def _track_local(self, addr: int, prev: MemoryRecord, new: MemoryRecord):
-        ev = self.record.local_memory_access.get(addr)
+        # during a precompile syscall the accesses form their own chain,
+        # recorded with the event so it can move to a deferred shard
+        # (reference syscalls/context.rs:28,128)
+        target = self._syscall_local if self._syscall_local is not None else self.record.local_memory_access
+        ev = target.get(addr)
         if ev is None:
-            self.record.local_memory_access[addr] = MemoryLocalEvent(addr, prev, new)
+            target[addr] = MemoryLocalEvent(addr, prev, new)
         else:
-            self.record.local_memory_access[addr] = MemoryLocalEvent(addr, ev.initial, new)
+            target[addr] = MemoryLocalEvent(addr, ev.initial, new)
+
+    def _postprocess_precompile_syscall(self, code, clk: int, b: int, c: int, before: dict, sc_local: dict):
+        """Close out CPU-side chains for addresses the syscall touched and
+        attach the syscall's own chains to its precompile event (reference
+        syscalls/context.rs:128 postprocess)."""
+        key = None
+        for k, v in self.record.precompile_events.items():
+            if len(v) != before.get(k, 0):
+                key = k
+                break
+        if key is None:
+            return  # event-less send (e.g. filtered in unconstrained replays)
+        for addr in sc_local:
+            prior = self.record.local_memory_access.pop(addr, None)
+            if prior is not None:
+                self.record.cpu_local_memory_access.append(prior)
+        self.record.precompile_syscall_events.setdefault(key, []).append(
+            SyscallEvent(self.shard, clk, int(code), b, c)
+        )
+        self.record.precompile_local_mem.setdefault(key, []).append(list(sc_local.values()))
 
     def _timestamp(self, pos: int) -> int:
         return self.clk + pos
@@ -297,7 +323,11 @@ class Executor:
         early if its estimated LDE area exceeds the memory budget."""
         from . import cost
 
-        counts = {"Cpu": n_cpu, "MemoryLocal": len(self.record.local_memory_access)}
+        counts = {
+            "Cpu": n_cpu,
+            "MemoryLocal": len(self.record.local_memory_access)
+            + len(self.record.cpu_local_memory_access),
+        }
         for op, n in self._shard_group_counts.items():
             name = cost.chip_group(op)
             if name is not None:
@@ -388,7 +418,21 @@ class Executor:
             except ValueError as e:
                 raise ExecutionError(f"unsupported syscall {syscall_id:#x}") from e
             syscall_code = code.syscall_id
-            res, s_next_pc, extra_cycles, returned_exit_code = syscalls_mod.dispatch(self, code, b, c)
+            scoped = (
+                self.mode == ExecutorMode.Trace
+                and not self.unconstrained
+                and code.should_send != 0
+            )
+            if scoped:
+                before = {k: len(v) for k, v in self.record.precompile_events.items()}
+                self._syscall_local = {}
+            try:
+                res, s_next_pc, extra_cycles, returned_exit_code = syscalls_mod.dispatch(self, code, b, c)
+            finally:
+                if scoped:
+                    sc_local, self._syscall_local = self._syscall_local, None
+            if scoped:
+                self._postprocess_precompile_syscall(code, clk, b, c, before, sc_local)
             a = res if res is not None else syscall_id
             if code == SyscallCode.HALT:
                 if returned_exit_code != 0:
@@ -404,8 +448,10 @@ class Executor:
             exit_code = returned_exit_code
             hi_or_prev_a = prev_a
             if self.mode == ExecutorMode.Trace and code.should_send:
+                # store the full raw code word ($v0): the Syscall lookup
+                # message carries both 16-bit limbs of it
                 self.record.syscall_events.append(
-                    SyscallEvent(self.shard, clk, syscall_code, b, c)
+                    SyscallEvent(self.shard, clk, int(code), b, c)
                 )
         elif op == Opcode.UNIMPL:
             raise ExecutionError(f"unimplemented instruction {instruction.op_c:#010x} at pc {pc:#x}")

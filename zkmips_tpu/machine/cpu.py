@@ -58,6 +58,12 @@ class CpuAir(BaseAir):
     name = "Cpu"
     main_width = SCHEMA.width
 
+    def included(self, record) -> bool:
+        # deferred precompile shards carry no CPU rows; the chip's first-row
+        # is_real constraint forbids an all-padding trace (reference
+        # cpu/mod.rs included: !shard.cpu_events.is_empty())
+        return bool(record.cpu_events)
+
     def eval(self, b: AirBuilder):
         col = ColView(b, SCHEMA)
         is_real = col("is_real")

@@ -96,6 +96,13 @@ class InstrAir(BaseAir):
         ops = set(self.OPCODES)
         return [e for e in record.cpu_events if e.instruction.opcode in ops]
 
+    def included(self, record) -> bool:
+        """Event-driven shard membership (reference MachineAir::included):
+        an instruction chip with no events receives no lookup messages, so
+        excluding it keeps the shard's lookup multiset balanced while
+        dropping its commit/opening/transcript cost."""
+        return bool(self.events_of(record))
+
     def generate_trace(self, record, output):
         events = self.events_of(record)
         n = len(events)

@@ -44,6 +44,7 @@ def core_chip_airs() -> list:
     from .poseidon2_chip import Poseidon2ChipAir
     from .keccak_chip import KeccakSpongeAir
     from .precompiles_ec import ec_precompile_airs
+    from .syscall_chip import SyscallCoreAir, SyscallPrecompileAir
 
     return [
         CpuAir(),
@@ -61,6 +62,8 @@ def core_chip_airs() -> list:
         MiscInstrAir(),
         MovCondAir(),
         SyscallInstrAir(),
+        SyscallCoreAir(),
+        SyscallPrecompileAir(),
         ShaExtendAir(),
         ShaCompressAir(),
         Poseidon2ChipAir(),
@@ -123,11 +126,30 @@ class MipsMachine:
         pv = self.shard_public_values(record)
         return self.machine.prove_shard(pk, record, pv, xp=xp)
 
+    def split_deferred(self, records: list, split_threshold: int | None = None) -> list:
+        """Carve large precompile event families into standalone deferred
+        shards (reference record.rs:130 split + prove.rs deferred handling):
+        deferred records are appended after the final execution shard with
+        continuing shard numbers; cross-shard syscall/memory consistency rides
+        the Global septic-curve argument (see machine/syscall_chip.py)."""
+        if split_threshold is None:
+            from ..utils.opts import ZKMCoreOpts
+
+            split_threshold = ZKMCoreOpts.default().split_threshold
+        deferred = []
+        for r in records:
+            deferred.extend(r.split(False, split_threshold))
+        for j, d in enumerate(deferred):
+            d.shard = len(records) + 1 + j
+            d.public_values.shard = d.shard
+        return records + deferred
+
     def prove(self, pk, records: list, device: bool = False, workers: int | None = None) -> list:
         """Prove all shards; ``workers`` > 1 pipelines shards across threads
         (the analog of the reference's trace-gen/prove worker pool,
         crates/core/machine/src/utils/prove.rs:157-520 — numpy/XLA release
         the GIL, so host trace generation overlaps device proving)."""
+        records = self.split_deferred(records)
         xp = np
         if device:
             import jax.numpy as jnp
@@ -154,16 +176,23 @@ class MipsMachine:
         for proof in proofs:
             self.machine.verify_shard(vk, proof)
 
-        # shard chaining (reference verify.rs:62-290 subset)
+        # shard chaining (reference verify.rs:62-290 subset); shards without
+        # a Cpu chip (deferred precompile shards) must pass the pc through
+        # unchanged (verify.rs: contains_cpu => start_pc == next_pc rule)
         prev_next_pc = None
         for i, proof in enumerate(proofs):
             pv = proof.public_values
+            has_cpu = "Cpu" in proof.chip_names
+            if i == 0 and not has_cpu:
+                raise VerificationError("first shard has no Cpu chip")
             if int(pv[PV_SHARD]) != i + 1:
                 raise VerificationError(f"shard index mismatch at proof {i}")
             if i == 0 and int(pv[PV_START_PC]) != program.pc_start:
                 raise VerificationError("first shard does not start at pc_start")
             if prev_next_pc is not None and int(pv[PV_START_PC]) != prev_next_pc:
                 raise VerificationError(f"pc chain broken at shard {i + 1}")
+            if not has_cpu and int(pv[PV_START_PC]) != int(pv[PV_NEXT_PC]):
+                raise VerificationError(f"cpu-less shard {i + 1} changes pc")
             prev_next_pc = int(pv[PV_NEXT_PC])
         if prev_next_pc != 0:
             raise VerificationError("final shard does not halt (next_pc != 0)")

@@ -49,6 +49,9 @@ class MemoryLocalAir(BaseAir):
         self.schema = Schema(self._COLS)
         self.main_width = self.schema.width
 
+    def included(self, record) -> bool:
+        return bool(record.all_local_memory_events())
+
     def eval(self, b: AirBuilder):
         col = ColView(b, self.schema)
         is_real = col("is_real")
@@ -72,7 +75,7 @@ class MemoryLocalAir(BaseAir):
         )
 
     def generate_dependencies(self, record, output):
-        for ev in record.local_memory_access.values():
+        for ev in record.all_local_memory_events():
             i_lo, i_hi = split_u32(ev.initial.value)
             f_lo, f_hi = split_u32(ev.final.value)
             record.global_lookup_events.append(
@@ -89,7 +92,7 @@ class MemoryLocalAir(BaseAir):
             )
 
     def generate_trace(self, record, output):
-        events = sorted(record.local_memory_access.values(), key=lambda e: e.addr)
+        events = sorted(record.all_local_memory_events(), key=lambda e: e.addr)
         s = self.schema
         t = np.zeros((len(events), s.width), dtype=np.uint32)
         for i, ev in enumerate(events):
@@ -159,6 +162,9 @@ class _MemoryEndpointAir(BaseAir):
     def _events(self, record):
         evs = record.global_memory_initialize_events if self.IS_INIT else record.global_memory_finalize_events
         return sorted(evs, key=lambda e: e.addr)
+
+    def included(self, record) -> bool:
+        return bool(self._events(record))
 
     def generate_dependencies(self, record, output):
         for ev in self._events(record):

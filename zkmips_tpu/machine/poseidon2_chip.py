@@ -31,6 +31,9 @@ P_HI = ff.P >> 16  # 0x7F00
 class Poseidon2ChipAir(BaseAir):
     name = "Poseidon2Permute"
 
+    def included(self, record) -> bool:
+        return bool(record.precompile_events.get("poseidon2"))
+
     def __init__(self):
         names = ["shard", "clk", "ptr_lo", "ptr_hi", "is_real"]
         for r in range(8):

@@ -48,6 +48,9 @@ def _xor3(x, y, z):
 class ShaCompressAir(BaseAir):
     name = "ShaCompress"
 
+    def included(self, record) -> bool:
+        return bool(record.precompile_events.get("sha_compress"))
+
     def __init__(self):
         names = [
             "shard", "clk", "wp_lo", "wp_hi", "hp_lo", "hp_hi", "is_real", "is_start",

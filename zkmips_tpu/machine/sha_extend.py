@@ -165,7 +165,7 @@ class ShaExtendAir(BaseAir):
     # ------------------------------------------------------------ trace side
 
     def included(self, record) -> bool:
-        return True
+        return bool(record.precompile_events.get("sha_extend"))
 
     def generate_trace(self, record, output):
         events = record.precompile_events.get("sha_extend", [])
