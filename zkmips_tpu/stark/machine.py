@@ -199,8 +199,17 @@ class StarkMachine:
             if pad_hook is not None:
                 t = pad_hook(t, target)
             t = pad_to_power_of_two(t, fixed_rows=target)
-            tm = f.to_monty(t)
-            traces[chip.name] = tm if xp is np else xp.asarray(tm)
+            if xp is np:
+                traces[chip.name] = f.to_monty(t)
+            else:
+                # upload CANONICAL values and convert on device: trace values
+                # are small ints that compress well on the transfer path,
+                # Montgomery form does not — and the numpy u64 modmul is
+                # slower than the fused device kernel
+                from .jit_util import cached_jit
+
+                fn = cached_jit("to_monty", t.shape, lambda: f.to_monty)
+                traces[chip.name] = fn(xp.asarray(t))
         _pad_span.__exit__(None, None, None)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
         names = [c.name for c in chips]
