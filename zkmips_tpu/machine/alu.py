@@ -137,11 +137,9 @@ class LtAir(InstrAir):
         b.when(is_real).assert_eq(a.lo, lt_h + eq_h * lt_l)
         b.when(is_real).assert_zero(a.hi)
 
-    def events_of(self, record):
+    def nested_of(self, record):
         ops = set(self.OPCODES)
-        cpu = [e for e in record.cpu_events if e.instruction.opcode in ops]
-        nested = [e for e in getattr(record, "nested_alu_events", []) if e.opcode in ops]
-        return cpu + nested
+        return [e for e in record.nested_alu_events if e.opcode in ops]
 
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema

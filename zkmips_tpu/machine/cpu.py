@@ -169,7 +169,10 @@ class CpuAir(BaseAir):
     # ------------------------------------------------------------- trace gen
 
     def generate_trace(self, record, output):
+        from ..executor.columnar import cpu_struct
+
         events = record.cpu_events
+        cs = cpu_struct(record)
         n = len(events)
         s = SCHEMA
         t = np.zeros((n, s.width), dtype=np.uint32)
@@ -181,33 +184,30 @@ class CpuAir(BaseAir):
             t[:, s.idx(prefix + "_lo")] = lo
             t[:, s.idx(prefix + "_hi")] = hi
 
-        clk = np.array([e.clk for e in events], dtype=np.uint32)
+        clk = cs["clk"]
         t[:, s.idx("shard")] = shard
         t[:, s.idx("clk16")] = clk & 0xFFFF
         t[:, s.idx("clk8")] = clk >> 16
-        t[:, s.idx("pc")] = np.array([e.pc for e in events], dtype=np.uint32)
-        t[:, s.idx("next_pc")] = np.array([e.next_pc for e in events], dtype=np.uint32)
-        t[:, s.idx("next_next_pc")] = np.array([e.next_next_pc for e in events], dtype=np.uint32)
-        opcodes = np.array([int(e.instruction.opcode) for e in events], dtype=np.int64)
+        t[:, s.idx("pc")] = cs["pc"]
+        t[:, s.idx("next_pc")] = cs["next_pc"]
+        t[:, s.idx("next_next_pc")] = cs["nnpc"]
+        opcodes = cs["opcode"].astype(np.int64)
         t[:, s.idx("i_opcode")] = opcodes
-        op_a = np.array([e.instruction.op_a for e in events], dtype=np.uint32)
+        op_a = cs["op_a"]
         t[:, s.idx("i_op_a")] = op_a
-        setw("i_b", np.array([e.instruction.op_b for e in events], dtype=np.uint32))
-        setw("i_c", np.array([e.instruction.op_c for e in events], dtype=np.uint32))
-        imm_b = np.array([e.instruction.imm_b for e in events], dtype=np.uint32)
-        imm_c = np.array([e.instruction.imm_c for e in events], dtype=np.uint32)
+        setw("i_b", cs["op_b"])
+        setw("i_c", cs["op_c"])
+        imm_b = cs["imm_b"]
+        imm_c = cs["imm_c"]
         t[:, s.idx("i_imm_b")] = imm_b
         t[:, s.idx("i_imm_c")] = imm_c
-        a_vals = np.array([e.a for e in events], dtype=np.uint32)
+        a_vals = cs["a"]
         setw("a", a_vals)
-        setw("b", np.array([e.b for e in events], dtype=np.uint32))
-        setw("c", np.array([e.c for e in events], dtype=np.uint32))
-        pa = np.array([e.hi_or_prev_a or 0 for e in events], dtype=np.uint32)
+        setw("b", cs["b"])
+        setw("c", cs["c"])
+        pa = cs["pa"]
         setw("pa", pa)
-        hiw = np.array(
-            [e.access.hi.value if e.access.hi is not None else 0 for e in events],
-            dtype=np.uint32,
-        )
+        hiw = cs["hiw"]
         setw("hiw", hiw)
         az = (op_a == 0).astype(np.uint32)
         t[:, s.idx("a_eq_zero")] = az
@@ -223,10 +223,10 @@ class CpuAir(BaseAir):
         is_halt = np.zeros(n, dtype=np.uint32)
         num_extra = np.zeros(n, dtype=np.uint32)
         if is_syscall.any():
-            for i in np.nonzero(is_syscall)[0]:
-                e = events[i]
-                is_halt[i] = 1 if e.syscall_code == 0 else 0
-                num_extra[i] = _num_extra(e)
+            sc = cs["syscall"]
+            lut = _extra_cycles_lut()
+            is_halt[is_syscall & (sc == 0)] = 1
+            num_extra = np.where(is_syscall, lut[sc & 0xFFFF], 0).astype(np.uint32)
         t[:, s.idx("num_extra")] = num_extra
         t[:, s.idx("is_write_hi")] = fl[:, 0]
         t[:, s.idx("is_pa_prev_a")] = fl[:, 1]
@@ -241,23 +241,23 @@ class CpuAir(BaseAir):
         sink.u16(np.full(n, shard, dtype=np.uint32))
 
         all_rows = np.arange(n)
-        self._populate_acc(t, s, sink, events, "aacc", lambda e: e.access.a, all_rows, clk + POS_A, shard)
+        self._populate_acc(t, s, sink, cs, "a", "aacc", all_rows, clk + POS_A, shard)
         b_rows = np.nonzero(imm_b == 0)[0]
-        self._populate_acc(t, s, sink, events, "bacc", lambda e: e.access.b, b_rows, clk + POS_B, shard)
+        self._populate_acc(t, s, sink, cs, "b", "bacc", b_rows, clk + POS_B, shard)
         c_rows = np.nonzero(imm_c == 0)[0]
-        self._populate_acc(t, s, sink, events, "cacc", lambda e: e.access.c, c_rows, clk + POS_C, shard)
+        self._populate_acc(t, s, sink, cs, "c", "cacc", c_rows, clk + POS_C, shard)
         hi_rows = np.nonzero(flags[:, 1] == 1)[0]
-        self._populate_acc(t, s, sink, events, "hacc", lambda e: e.access.hi, hi_rows, clk + POS_HI, shard)
+        if len(hi_rows):
+            assert cs["hi_has"][hi_rows].all(), "missing hi access record"
+        self._populate_acc(t, s, sink, cs, "hi", "hacc", hi_rows, clk + POS_HI, shard)
         return t
 
-    def _populate_acc(self, t, s, sink, events, prefix, get, rows, ts, shard):
+    def _populate_acc(self, t, s, sink, cs, field, prefix, rows, ts, shard):
         if len(rows) == 0:
             return
-        recs = [get(events[i]) for i in rows]
-        assert all(r is not None for r in recs), f"missing {prefix} access record"
-        prev_shard = np.array([r.prev_shard for r in recs], dtype=np.uint32)
-        prev_clk = np.array([r.prev_timestamp for r in recs], dtype=np.uint32)
-        prev_val = np.array([getattr(r, "prev_value", 0) if hasattr(r, "prev_value") else r.value for r in recs], dtype=np.uint32)
+        prev_shard = cs[f"{field}_ps"][rows]
+        prev_clk = cs[f"{field}_pt"][rows]
+        prev_val = cs[f"{field}_pv"][rows]
         populate_access(t, s, rows, prefix, prev_shard, prev_clk, prev_val, shard, ts[rows], sink)
 
 
@@ -275,6 +275,21 @@ def _flag_lut():
             lut[int(op), 3] = int(op in IMMUTABLE_A)
         _FLAG_LUT = lut
     return _FLAG_LUT
+
+
+_EXTRA_LUT = None
+
+
+def _extra_cycles_lut():
+    """num_extra_cycles by low-16 syscall id (codes are unique in the low
+    half; the cpu event stores only those bits)."""
+    global _EXTRA_LUT
+    if _EXTRA_LUT is None:
+        lut = np.zeros(1 << 16, dtype=np.uint32)
+        for code in SyscallCode:
+            lut[code.syscall_id] = code.num_extra_cycles
+        _EXTRA_LUT = lut
+    return _EXTRA_LUT
 
 
 def _num_extra(e) -> int:

@@ -91,59 +91,73 @@ class InstrAir(BaseAir):
 
     # ------------------------------------------------------------ trace gen
 
+    def nested_of(self, record) -> list:
+        """Nested helper-ALU events this chip also receives (default none)."""
+        return []
+
     def events_of(self, record) -> list:
-        """(event, is_nested) pairs; default: cpu events matching OPCODES."""
-        ops = set(self.OPCODES)
-        return [e for e in record.cpu_events if e.instruction.opcode in ops]
+        """Event objects in row order: cpu events matching OPCODES + nested."""
+        from ..executor.columnar import indices_of
+
+        idx = indices_of(record, self.OPCODES)
+        cpu = record.cpu_events
+        return [cpu[i] for i in idx] + self.nested_of(record)
 
     def included(self, record) -> bool:
         """Event-driven shard membership (reference MachineAir::included):
         an instruction chip with no events receives no lookup messages, so
         excluding it keeps the shard's lookup multiset balanced while
         dropping its commit/opening/transcript cost."""
-        return bool(self.events_of(record))
+        from ..executor.columnar import indices_of
+
+        return len(indices_of(record, self.OPCODES)) > 0 or bool(self.nested_of(record))
 
     def generate_trace(self, record, output):
-        events = self.events_of(record)
-        n = len(events)
+        from ..executor.columnar import cpu_struct, indices_of
+
+        idx = indices_of(record, self.OPCODES)
+        nested = self.nested_of(record)
+        k, n = len(idx), len(idx) + len(nested)
         s = self.schema
         t = np.zeros((n, s.width), dtype=np.uint32)
         if n == 0:
             return t
         sink = ByteSink(record)
-        shard = record.shard
 
-        def field(fn_cpu, fn_nested):
-            return np.fromiter(
-                (fn_cpu(e) if hasattr(e, "instruction") else fn_nested(e) for e in events),
-                dtype=np.uint64, count=n,
-            )
-
-        t[:, s.idx("shard")] = field(lambda e: shard, lambda e: 0)
-        t[:, s.idx("clk")] = field(lambda e: e.clk, lambda e: 0)
-        t[:, s.idx("pc")] = field(lambda e: e.pc, lambda e: 0)
-        t[:, s.idx("next_pc")] = field(lambda e: e.next_pc, lambda e: 0)
-        t[:, s.idx("next_next_pc")] = field(lambda e: e.next_next_pc, lambda e: 0)
-        vals = {
-            "a": field(lambda e: e.a, lambda e: e.a),
-            "b": field(lambda e: e.b, lambda e: e.b),
-            "c": field(lambda e: e.c, lambda e: e.c),
-            "pa": field(lambda e: e.hi_or_prev_a or 0, lambda e: e.pa),
-            "hiw": field(lambda e: e.access.hi.value if e.access.hi is not None else 0, lambda e: e.hiw),
-            "hp": field(lambda e: e.access.hi.prev_value if e.access.hi is not None else 0, lambda e: e.hp),
-        }
-        for k, v in vals.items():
-            v = v.astype(np.uint32)
-            t[:, s.idx(f"{k}_lo")] = v & 0xFFFF
-            t[:, s.idx(f"{k}_hi")] = v >> 16
+        cs = cpu_struct(record)[idx]
+        t[:k, s.idx("shard")] = record.shard
+        t[:k, s.idx("clk")] = cs["clk"]
+        t[:k, s.idx("pc")] = cs["pc"]
+        t[:k, s.idx("next_pc")] = cs["next_pc"]
+        t[:k, s.idx("next_next_pc")] = cs["nnpc"]
+        opv = np.empty(n, dtype=np.uint32)
+        opv[:k] = cs["opcode"]
+        vals = {}
+        for key in ("a", "b", "c", "pa", "hiw", "hp"):
+            col = np.empty(n, dtype=np.uint32)
+            col[:k] = cs[key]
+            vals[key] = col
+        for i, e in enumerate(nested):
+            row = k + i
+            vals["a"][row] = e.a
+            vals["b"][row] = e.b
+            vals["c"][row] = e.c
+            vals["pa"][row] = e.pa
+            vals["hiw"][row] = e.hiw
+            vals["hp"][row] = e.hp
+            opv[row] = int(e.opcode)
+        for key, v in vals.items():
+            t[:, s.idx(f"{key}_lo")] = v & 0xFFFF
+            t[:, s.idx(f"{key}_hi")] = v >> 16
         t[:, s.idx("is_real")] = 1
-        ops = [e.instruction.opcode if hasattr(e, "instruction") else e.opcode for e in events]
-        for i, op in enumerate(ops):
-            t[i, s.idx(f"is_{op.name.lower()}")] = 1
+        for op in self.OPCODES:
+            t[:, s.idx(f"is_{op.name.lower()}")] = opv == int(op)
+        ops = _OpcodeSeq(opv)
+        events = _LazyEvents(record, idx, nested)
         if self.fill_vec(t, events, ops, sink):
             return t
-        for i, e in enumerate(events):
-            self.fill_op(t, i, e, ops[i], sink)
+        for i in range(n):
+            self.fill_op(t, i, events[i], ops[i], sink)
         return t
 
     def fill_vec(self, t, events, ops, sink) -> bool:
@@ -152,6 +166,54 @@ class InstrAir(BaseAir):
 
     def fill_op(self, t, i, event, op, sink: ByteSink):
         raise NotImplementedError
+
+
+class _OpcodeSeq:
+    """Opcode view over a uint32 array: indexing/iteration yields Opcode
+    enums (what fill_op expects); ``.array`` is the raw vector for
+    vectorized fills."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, arr):
+        self.array = arr
+
+    def __len__(self):
+        return len(self.array)
+
+    def __getitem__(self, i):
+        return Opcode(int(self.array[i]))
+
+    def __iter__(self):
+        return (Opcode(int(v)) for v in self.array)
+
+
+class _LazyEvents:
+    """Row-ordered event objects, materialized only if a fill touches them
+    (the vectorized fills work from the already-filled trace columns)."""
+
+    __slots__ = ("_record", "_idx", "_nested", "_cpu")
+
+    def __init__(self, record, idx, nested):
+        self._record = record
+        self._idx = idx
+        self._nested = nested
+        self._cpu = None
+
+    def __len__(self):
+        return len(self._idx) + len(self._nested)
+
+    def __getitem__(self, i):
+        k = len(self._idx)
+        if i < k:
+            return self._record.cpu_events[self._idx[i]]
+        return self._nested[i - k]
+
+    def __iter__(self):
+        cpu = self._record.cpu_events
+        for i in self._idx:
+            yield cpu[i]
+        yield from self._nested
 
 
 from dataclasses import dataclass

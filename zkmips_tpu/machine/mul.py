@@ -101,11 +101,9 @@ class MulAir(InstrAir):
         b.when(is_multu).assert_eq(hiw.lo, hu_lo)
         b.when(is_multu).assert_eq(hiw.hi, hu_hi)
 
-    def events_of(self, record):
+    def nested_of(self, record):
         ops = set(self.OPCODES)
-        cpu = [e for e in record.cpu_events if e.instruction.opcode in ops]
-        nested = [e for e in record.nested_alu_events if e.opcode in ops]
-        return cpu + nested
+        return [e for e in record.nested_alu_events if e.opcode in ops]
 
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema

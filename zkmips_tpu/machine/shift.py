@@ -131,11 +131,9 @@ class ShiftLeftAir(InstrAir):
         sink.u8pair(np.array([(bb >> 16) & 0xFF], dtype=np.uint32), np.array([(bb >> 24) & 0xFF], dtype=np.uint32))
         self.gadget.fill(t, s, i, bb, sh, sink)
 
-    def events_of(self, record):
+    def nested_of(self, record):
         ops = set(self.OPCODES)
-        cpu = [e for e in record.cpu_events if e.instruction.opcode in ops]
-        nested = [e for e in record.nested_alu_events if e.opcode in ops]
-        return cpu + nested
+        return [e for e in record.nested_alu_events if e.opcode in ops]
 
 
 class ShiftRightAir(InstrAir):
@@ -216,11 +214,9 @@ class ShiftRightAir(InstrAir):
         w.when(is_ror).assert_eq(a.lo, q.lo + rs_lo)
         w.when(is_ror).assert_eq(a.hi, q.hi + rs_hi)
 
-    def events_of(self, record):
+    def nested_of(self, record):
         ops = set(self.OPCODES)
-        cpu = [e for e in record.cpu_events if e.instruction.opcode in ops]
-        nested = [e for e in record.nested_alu_events if e.opcode in ops]
-        return cpu + nested
+        return [e for e in record.nested_alu_events if e.opcode in ops]
 
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema
