@@ -91,3 +91,172 @@ def indices_of(record, opcodes) -> np.ndarray:
     ops = cpu_struct(record)["opcode"]
     vals = np.array([int(o) for o in opcodes], dtype=np.uint32)
     return np.flatnonzero(np.isin(ops, vals))
+
+
+# ---------------------------------------------------------------------------
+# Array-backed event views (native trace executor path)
+# ---------------------------------------------------------------------------
+
+
+class _Rec:
+    """Memory access record view (read and write records share the shape)."""
+
+    __slots__ = ("value", "shard", "timestamp", "prev_value", "prev_shard", "prev_timestamp")
+
+    def __init__(self, value, shard, timestamp, prev_value, prev_shard, prev_timestamp):
+        self.value = value
+        self.shard = shard
+        self.timestamp = timestamp
+        self.prev_value = prev_value
+        self.prev_shard = prev_shard
+        self.prev_timestamp = prev_timestamp
+
+
+# access-position clk offsets (executor.py POS_*)
+_POS_MEMORY, _POS_C, _POS_B, _POS_A, _POS_HI = 0, 1, 2, 3, 4
+
+
+class _ArrayAccess:
+    """MemoryAccessRecord view over one row of the column struct."""
+
+    __slots__ = ("_c", "_i", "_shard")
+
+    def __init__(self, cols, i, shard):
+        self._c = cols
+        self._i = i
+        self._shard = shard
+
+    def _rec(self, prefix, value, pos):
+        c, i = self._c, self._i
+        return _Rec(
+            value, self._shard, int(c["clk"][i]) + pos,
+            int(c[f"{prefix}_pv"][i]), int(c[f"{prefix}_ps"][i]), int(c[f"{prefix}_pt"][i]),
+        )
+
+    @property
+    def a(self):
+        # the stored a-register value is not a column; chips only read the
+        # prev triple from this record
+        return self._rec("a", int(self._c["a"][self._i]), _POS_A)
+
+    @property
+    def b(self):
+        c, i = self._c, self._i
+        if c["imm_b"][i]:
+            return None
+        return self._rec("b", int(c["b_pv"][i]), _POS_B)
+
+    @property
+    def c(self):
+        c, i = self._c, self._i
+        if c["imm_c"][i]:
+            return None
+        return self._rec("c", int(c["c_pv"][i]), _POS_C)
+
+    @property
+    def hi(self):
+        c, i = self._c, self._i
+        if not c["hi_has"][i]:
+            return None
+        return _Rec(
+            int(c["hiw"][i]), self._shard, int(c["clk"][i]) + _POS_HI,
+            int(c["hp"][i]), int(c["hi_ps"][i]), int(c["hi_pt"][i]),
+        )
+
+    @property
+    def memory(self):
+        c, i = self._c, self._i
+        if not c["mem_has"][i]:
+            return None
+        return self._rec("mem", int(c["mem_val"][i]), _POS_MEMORY)
+
+    @property
+    def memory_addr(self):
+        return int(self._c["mem_addr"][self._i])
+
+
+class ArrayEvent:
+    """CpuEvent view over one row of the column struct."""
+
+    __slots__ = ("_c", "_i", "_program", "_shard")
+
+    def __init__(self, cols, i, program, shard):
+        self._c = cols
+        self._i = i
+        self._program = program
+        self._shard = shard
+
+    @property
+    def clk(self):
+        return int(self._c["clk"][self._i])
+
+    @property
+    def pc(self):
+        return int(self._c["pc"][self._i])
+
+    @property
+    def next_pc(self):
+        return int(self._c["next_pc"][self._i])
+
+    @property
+    def next_next_pc(self):
+        return int(self._c["nnpc"][self._i])
+
+    @property
+    def instruction(self):
+        return self._program.fetch(int(self._c["pc"][self._i]))
+
+    @property
+    def a(self):
+        return int(self._c["a"][self._i])
+
+    @property
+    def b(self):
+        return int(self._c["b"][self._i])
+
+    @property
+    def c(self):
+        return int(self._c["c"][self._i])
+
+    @property
+    def hi_or_prev_a(self):
+        return int(self._c["pa"][self._i])
+
+    @property
+    def syscall_code(self):
+        return int(self._c["syscall"][self._i])
+
+    @property
+    def access(self):
+        return _ArrayAccess(self._c, self._i, self._shard)
+
+    exit_code = 0
+    is_delay_slot = False
+
+
+class ArrayCpuEvents:
+    """Lazy sequence of ArrayEvent views (record.cpu_events stand-in)."""
+
+    __slots__ = ("cols", "program", "shard")
+
+    def __init__(self, cols, program, shard):
+        self.cols = cols
+        self.program = program
+        self.shard = shard
+
+    def __len__(self):
+        return len(self.cols["clk"])
+
+    def __bool__(self):
+        return len(self) > 0
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        return ArrayEvent(self.cols, i, self.program, self.shard)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield ArrayEvent(self.cols, i, self.program, self.shard)

@@ -1,0 +1,177 @@
+"""ctypes bridge to the native trace-mode executor (csrc/trace_executor.c).
+
+The native machine interprets MIPS32r2 emitting per-cycle event columns in
+the exact ``columnar.CPU_DTYPE`` layout, plus per-shard local memory chains
+and the whole-run init/finalize sets — replacing both the Python
+interpreter's event loop and the per-event attribute extraction during
+trace generation.  The Python interpreter stays the semantic reference;
+tests/test_native_trace.py compares the two column-for-column.
+
+Unsupported guests (precompile syscalls, hooks, unconstrained mode,
+cycle-tracker prints) raise NativeUnsupported; callers fall back to the
+Python ``Executor``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .columnar import CPU_DTYPE, ArrayCpuEvents, Columns
+from .events import ExecutionRecord, MemoryInitFinalEvent, MemoryLocalEvent, MemoryRecord
+from .native import NativeUnsupported, _Insn
+
+_LIB = None
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+    "trace_executor.c",
+)
+_SO = _SRC.replace("trace_executor.c", "libzkmtrace.so")
+
+_NCOLS = len(CPU_DTYPE.names)
+
+TR_OK, TR_DONE, TR_MAX_CYCLES, TR_UNSUPPORTED, TR_ERROR = 0, 1, 2, 3, 4
+
+
+def available() -> bool:
+    try:
+        return _lib() is not None
+    except Exception:
+        return False
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            subprocess.run(["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
+        _LIB = ctypes.CDLL(_SO)
+        _LIB.zkm_trace_new.restype = ctypes.c_void_p
+        _LIB.zkm_trace_new.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint32,
+        ]
+        _LIB.zkm_trace_shard.restype = ctypes.c_int
+        _LIB.zkm_trace_touched_len.restype = ctypes.c_uint64
+    return _LIB
+
+
+def _u32p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 << 40):
+    """Execute in trace mode natively.
+
+    Returns (records, info) where records are ExecutionRecords whose
+    ``cpu_events`` are array-backed views and whose ``_cpu_struct`` columns
+    are the C-filled buffers; info carries {global_clk, exit_code,
+    public_values, stdout, digest}.  Raises NativeUnsupported for guests the
+    native machine cannot run, ExecutionError on guest faults.
+    """
+    from .executor import ExecutionError
+
+    lib = _lib()
+    insns = (_Insn * len(program.instructions))()
+    for i, ins in enumerate(program.instructions):
+        insns[i] = _Insn(int(ins.opcode), ins.op_a, int(ins.imm_b), int(ins.imm_c), ins.op_b, ins.op_c)
+    image = program.image
+    addrs = np.fromiter(image.keys(), dtype=np.uint32, count=len(image))
+    vals = np.fromiter(image.values(), dtype=np.uint32, count=len(image))
+    bufs = [bytes(b) for b in stdin]
+    HintArr = ctypes.c_char_p * max(len(bufs), 1)
+    hints = HintArr(*[ctypes.c_char_p(b) for b in bufs]) if bufs else HintArr()
+    hint_lens = (ctypes.c_uint64 * max(len(bufs), 1))(*[len(b) for b in bufs])
+
+    tm = lib.zkm_trace_new(
+        insns, len(program.instructions), program.pc_base, program.pc_start,
+        _u32p(addrs), _u32p(vals), len(image),
+        ctypes.cast(hints, ctypes.POINTER(ctypes.c_char_p)), hint_lens, len(bufs),
+    )
+    records = []
+    try:
+        cap = shard_size + 8
+        while True:
+            cols = np.zeros((cap, _NCOLS), dtype=np.uint32)
+            cap_local = 5 * cap + 64
+            local7 = np.zeros((cap_local, 7), dtype=np.uint32)
+            meta = np.zeros(8, dtype=np.uint64)
+            digest = np.zeros(8, dtype=np.uint32)
+            st = lib.zkm_trace_shard(
+                ctypes.c_void_p(tm), ctypes.c_uint64(shard_size), ctypes.c_uint64(max_cycles),
+                _u32p(cols), ctypes.c_uint64(cap), _u32p(local7), ctypes.c_uint64(cap_local),
+                meta.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), _u32p(digest),
+            )
+            if st == TR_UNSUPPORTED:
+                raise NativeUnsupported("guest needs the Python trace executor")
+            if st == TR_ERROR:
+                raise ExecutionError("native trace executor: guest fault")
+            rows = int(meta[0])
+            # Python's final _bump_record(final=True) appends the current
+            # record even when empty (halt coinciding with a shard boundary)
+            if rows or st == TR_DONE:
+                shard = int(meta[2])
+                trimmed = np.ascontiguousarray(cols[:rows])
+                struct = trimmed.view(CPU_DTYPE).reshape(rows)
+                columns = Columns(
+                    {name: np.ascontiguousarray(struct[name]) for name in CPU_DTYPE.names}
+                )
+                rec = ExecutionRecord(shard=shard, program=program)
+                rec._cpu_struct = columns
+                rec.cpu_events = ArrayCpuEvents(columns, program, shard)
+                n_local = int(meta[1])
+                for j in range(n_local):
+                    a7 = local7[j]
+                    addr = int(a7[0])
+                    rec.local_memory_access[addr] = MemoryLocalEvent(
+                        addr,
+                        MemoryRecord(int(a7[1]), int(a7[2]), int(a7[3])),
+                        MemoryRecord(int(a7[4]), int(a7[5]), int(a7[6])),
+                    )
+                rec.public_values.shard = shard
+                rec.public_values.exit_code = int(meta[3])
+                rec.public_values.committed_value_digest = [int(x) for x in digest]
+                records.append(rec)
+            if st != TR_OK:
+                final_status = st
+                break
+
+        # whole-run touched set -> init/finalize events on first/last records
+        n_touched = int(lib.zkm_trace_touched_len(ctypes.c_void_p(tm)))
+        fin = np.zeros((max(n_touched, 1), 6), dtype=np.uint32)
+        lib.zkm_trace_finalize(ctypes.c_void_p(tm), _u32p(fin))
+        first, last = records[0], records[-1]
+        for j in range(n_touched):
+            addr, init_val, f_val, f_shard, f_ts = (int(x) for x in fin[j, :5])
+            first.global_memory_initialize_events.append(
+                MemoryInitFinalEvent(addr, init_val, 0, 0, 1)
+            )
+            last.global_memory_finalize_events.append(
+                MemoryInitFinalEvent(addr, f_val, f_shard, f_ts, 1)
+            )
+
+        pv_len, so_len = int(meta[4]), int(meta[5])
+        pv = np.zeros(max(pv_len, 1), dtype=np.uint8)
+        so = np.zeros(max(so_len, 1), dtype=np.uint8)
+        lib.zkm_trace_io(
+            ctypes.c_void_p(tm),
+            pv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            so.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _u32p(digest),
+        )
+        info = {
+            "global_clk": int(meta[6]) | (int(meta[7]) << 32),
+            "exit_code": int(meta[3]),
+            "public_values": bytes(pv[:pv_len].tobytes()),
+            "stdout": bytes(so[:so_len].tobytes()),
+            "digest": [int(x) for x in digest],
+            "hit_max_cycles": final_status == TR_MAX_CYCLES,
+        }
+        return records, info
+    finally:
+        lib.zkm_trace_free(ctypes.c_void_p(tm))
