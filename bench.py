@@ -62,9 +62,11 @@ def main():
         asm.nop(),
     ]
     program = asm.prog(body + asm.halt_sequence())
-    ex = Executor(program, shard_size=1 << 20)
-    records = ex.run()
-    cycles = ex.global_clk
+    from zkmips_tpu.executor import execute_for_proving
+
+    shard_size = int(os.environ.get("SHARD_SIZE", 1 << 20))
+    records, info = execute_for_proving(program, shard_size=shard_size)
+    cycles = info["global_clk"]
 
     config = StarkConfig.core() if os.environ.get("BENCH_CONFIG", "core") == "core" else StarkConfig.test()
     m = MipsMachine(config)
@@ -74,8 +76,7 @@ def main():
         # first pass compiles the stage kernels (persistently cached); the
         # measured pass reflects steady-state proving
         m.prove(pk, records, device=True)
-        ex_w = Executor(program, shard_size=1 << 20)
-        records = ex_w.run()
+        records, info = execute_for_proving(program, shard_size=shard_size)
     t0 = time.time()
     proofs = m.prove(pk, records, device=device)
     dt = time.time() - t0

@@ -676,3 +676,99 @@ void zkm_bn254_##G##_mul_batch(const u64 *base, int32_t base_inf,               
 
 DEFINE_FIXED(g1, g1_load, 8)
 DEFINE_FIXED(g2, g2_load, 16)
+
+/* ---- vectorized Fr ops (Montgomery domain unless noted) -----------------
+ * The PLONK prover's polynomial pipeline (snark/plonk.py) runs its pointwise
+ * rounds over packed (n,4) u64 arrays through these. */
+
+void zkm_bn254_fr_vec_mont(u64 *vals, int64_t n, int32_t to) {
+    fr *v = (fr *)vals;
+    if (to) {
+        fr r2; memcpy(r2.v, FR_R2, 32);
+        for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &r2);
+    } else {
+        fr one = {{1, 0, 0, 0}};
+        for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &one);
+    }
+}
+
+void zkm_bn254_fr_vec_addsub(const u64 *a, const u64 *b, u64 *out, int64_t n, int32_t sub) {
+    const fr *x = (const fr *)a, *y = (const fr *)b;
+    fr *o = (fr *)out;
+    if (sub) { for (int64_t i = 0; i < n; i++) fr_sub(&o[i], &x[i], &y[i]); }
+    else { for (int64_t i = 0; i < n; i++) fr_add(&o[i], &x[i], &y[i]); }
+}
+
+void zkm_bn254_fr_vec_mul(const u64 *a, const u64 *b, u64 *out, int64_t n) {
+    const fr *x = (const fr *)a, *y = (const fr *)b;
+    fr *o = (fr *)out;
+    for (int64_t i = 0; i < n; i++) fr_mul(&o[i], &x[i], &y[i]);
+}
+
+/* out[i] = a[i] * k + d  (all Montgomery) */
+void zkm_bn254_fr_vec_scale_add(const u64 *a, const u64 k_m[4], const u64 d_m[4],
+                                u64 *out, int64_t n) {
+    const fr *x = (const fr *)a;
+    fr *o = (fr *)out;
+    fr k, d;
+    memcpy(k.v, k_m, 32);
+    memcpy(d.v, d_m, 32);
+    for (int64_t i = 0; i < n; i++) {
+        fr t;
+        fr_mul(&t, &x[i], &k);
+        fr_add(&o[i], &t, &d);
+    }
+}
+
+/* batch inverse (Montgomery trick); zero inputs are mapped to zero */
+void zkm_bn254_fr_vec_inv(const u64 *a, u64 *out, int64_t n) {
+    const fr *x = (const fr *)a;
+    fr *o = (fr *)out;
+    fr acc; memcpy(acc.v, FR_ONE, 32);
+    /* forward: o[i] = prefix product before x[i] */
+    for (int64_t i = 0; i < n; i++) {
+        o[i] = acc;
+        int nz = x[i].v[0] | x[i].v[1] | x[i].v[2] | x[i].v[3] ? 1 : 0;
+        if (nz) fr_mul(&acc, &acc, &x[i]);
+    }
+    fr inv; fr_inv(&inv, &acc);
+    for (int64_t i = n - 1; i >= 0; i--) {
+        int nz = x[i].v[0] | x[i].v[1] | x[i].v[2] | x[i].v[3] ? 1 : 0;
+        if (!nz) { memset(o[i].v, 0, 32); continue; }
+        fr t;
+        fr_mul(&t, &o[i], &inv);
+        fr_mul(&inv, &inv, &x[i]);
+        o[i] = t;
+    }
+}
+
+/* out[i] = s * x^i (Montgomery) */
+void zkm_bn254_fr_vec_powers(const u64 x_m[4], const u64 s_m[4], u64 *out, int64_t n) {
+    fr x, acc;
+    memcpy(x.v, x_m, 32);
+    memcpy(acc.v, s_m, 32);
+    fr *o = (fr *)out;
+    for (int64_t i = 0; i < n; i++) {
+        o[i] = acc;
+        fr_mul(&acc, &acc, &x);
+    }
+}
+
+/* out = a / (X - z) (Montgomery, synthetic division); returns 0 iff the
+ * remainder is zero */
+int32_t zkm_bn254_fr_vec_div_linear(const u64 *a, const u64 z_m[4], u64 *out, int64_t n) {
+    const fr *p = (const fr *)a;
+    fr *o = (fr *)out;
+    fr z, acc;
+    memcpy(z.v, z_m, 32);
+    memset(acc.v, 0, 32);
+    for (int64_t i = n - 1; i >= 1; i--) {
+        fr_add(&acc, &acc, &p[i]);
+        o[i - 1] = acc;
+        fr t;
+        fr_mul(&t, &acc, &z);
+        acc = t;
+    }
+    fr_add(&acc, &acc, &p[0]);
+    return (acc.v[0] | acc.v[1] | acc.v[2] | acc.v[3]) ? 1 : 0;
+}

@@ -47,3 +47,27 @@ def test_groth16_mode_end_to_end():
     bad.proofs[0].wrap_public_values[0] = (bad.proofs[0].wrap_public_values[0] + 1) % 0x7F000001
     with pytest.raises(VerificationError):
         client.verify(vk, bad, p)
+
+
+def test_plonk_mode_end_to_end():
+    """Same ladder, PLONK/KZG wrap (reference .plonk() action)."""
+    from zkmips_tpu.executor import Opcode, Register, asm
+    from zkmips_tpu.sdk.client import ProverClient, ZKMStdin
+    from zkmips_tpu.stark.machine import StarkConfig
+
+    R, O = Register, Opcode
+    body = [
+        asm.addi(R.A0, 0, 9), asm.addi(R.T0, 0, 0), asm.addi(R.T1, 0, 1),
+        asm.alu(O.ADD, R.T2, R.T0, R.T1),
+        asm.alu(O.ADD, R.T0, R.T1, R.ZERO),
+        asm.alu(O.ADD, R.T1, R.T2, R.ZERO),
+        asm.addi(R.A0, R.A0, -1),
+        asm.branch(O.BNE, R.A0, R.ZERO, -5 * 4),
+        asm.nop(),
+    ]
+    p = asm.prog(body + asm.halt_sequence())
+    client = ProverClient(config=StarkConfig.test())
+    pk, vk = client.setup(p)
+    proof = client.prove(pk, p, ZKMStdin(), shard_size=128, mode="plonk")
+    assert proof.mode == "plonk"
+    assert client.verify(vk, proof, p)

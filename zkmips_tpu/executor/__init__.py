@@ -25,3 +25,47 @@ __all__ = [
     "SyscallCode",
     "decode_instruction",
 ]
+
+
+def execute_for_proving(program, stdin_bufs=(), proof_stream=(), shard_size: int = 1 << 20,
+                        max_cycles: int | None = None):
+    """Execute a program for the proving pipeline: (records, info).
+
+    Fast path: the native trace-mode executor (csrc/trace_executor.c) emits
+    array-backed records; guests it cannot run (precompile syscalls, hooks,
+    unconstrained mode, deferred proofs) fall back to the Python
+    interpreter.  ``info`` carries global_clk, exit_code, public_values,
+    stdout, and the committed digest.
+    """
+    if not proof_stream:
+        try:
+            from . import native_trace
+
+            if native_trace.available():
+                records, info = native_trace.run_trace(
+                    program, stdin=stdin_bufs, shard_size=shard_size,
+                    max_cycles=max_cycles if max_cycles is not None else 1 << 40,
+                )
+                if info["hit_max_cycles"]:
+                    raise ExecutionError(f"exceeded max_cycles {max_cycles}")
+                info["digest"] = list(info["digest"])
+                return records, info
+        except ExecutionError:
+            raise
+        except Exception:
+            pass  # NativeUnsupported / missing toolchain: Python path below
+
+    ex = Executor(program, shard_size=shard_size)
+    for buf in stdin_bufs:
+        ex.write_stdin(buf)
+    ex.proof_stream.extend(proof_stream)
+    records = ex.run(max_cycles)
+    info = {
+        "global_clk": ex.global_clk,
+        "exit_code": ex.exit_code,
+        "public_values": bytes(ex.public_values_stream),
+        "stdout": bytes(ex.stdout),
+        "digest": list(ex.committed_value_digest),
+        "hit_max_cycles": False,
+    }
+    return records, info

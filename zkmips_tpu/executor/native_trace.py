@@ -96,12 +96,14 @@ def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 
     records = []
     try:
         cap = shard_size + 8
+        cap_local = 5 * cap + 64
+        # one reusable buffer set per run: every row is (re)written by the C
+        # side, and each shard's data is copied out before the next call
+        cols = np.empty((cap, _NCOLS), dtype=np.uint32)
+        local7 = np.empty((cap_local, 7), dtype=np.uint32)
+        meta = np.zeros(8, dtype=np.uint64)
+        digest = np.zeros(8, dtype=np.uint32)
         while True:
-            cols = np.zeros((cap, _NCOLS), dtype=np.uint32)
-            cap_local = 5 * cap + 64
-            local7 = np.zeros((cap_local, 7), dtype=np.uint32)
-            meta = np.zeros(8, dtype=np.uint64)
-            digest = np.zeros(8, dtype=np.uint32)
             st = lib.zkm_trace_shard(
                 ctypes.c_void_p(tm), ctypes.c_uint64(shard_size), ctypes.c_uint64(max_cycles),
                 _u32p(cols), ctypes.c_uint64(cap), _u32p(local7), ctypes.c_uint64(cap_local),

@@ -118,10 +118,12 @@ class DivRemAir(InstrAir):
     # ------------------------------------------------------------ trace side
 
     def generate_dependencies(self, record, output):
-        for e in record.cpu_events:
+        from ..executor.columnar import indices_of
+
+        cpu = record.cpu_events
+        for i in indices_of(record, (O.DIV, O.DIVU, O.MOD, O.MODU)):
+            e = cpu[i]
             op = e.instruction.opcode
-            if op not in (O.DIV, O.DIVU, O.MOD, O.MODU):
-                continue
             bb, c = int(e.b), int(e.c)
             q, r = _qr(op, bb, c)
             signed = op in (O.DIV, O.MOD)

@@ -222,7 +222,11 @@ class MiscInstrAir(InstrAir):
             t[i, s.idx("k3")] = k3
 
     def generate_dependencies(self, record, output):
-        for e in record.cpu_events:
+        from ..executor.columnar import indices_of
+
+        cpu = record.cpu_events
+        for i in indices_of(record, (O.EXT, O.INS, O.MADD, O.MADDU, O.MSUB, O.MSUBU)):
+            e = cpu[i]
             op = e.instruction.opcode
             a, bb, c, pa = int(e.a), int(e.b), int(e.c), int(e.hi_or_prev_a or 0)
             if op == O.EXT:

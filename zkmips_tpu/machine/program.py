@@ -50,7 +50,10 @@ class ProgramAir(BaseAir):
         n = len(program.instructions)
         t = np.zeros((n, 1), dtype=np.uint32)
         if record.cpu_events:
-            pcs = np.array([e.pc for e in record.cpu_events], dtype=np.uint32)
+            from ..executor.columnar import cpu_struct
+
+            pcs = cpu_struct(record)["pc"]
             rows = (pcs - program.pc_base) >> 2
-            np.add.at(t, (rows.astype(np.int64), 0), 1)
+            counts = np.bincount(rows.astype(np.int64), minlength=n)
+            t[:, 0] = counts[:n]
         return t

@@ -154,18 +154,25 @@ class ProverClient:
 
     def prove(self, pk, program: Program, stdin: ZKMStdin | None = None, shard_size: int = 1 << 20, mode: str = "core") -> ProofWithPublicValues:
         """mode: "core" (one STARK per shard), "compressed" (shard proofs
-        recursively aggregated into a single recursion proof), or "groth16"
+        recursively aggregated into a single recursion proof), "groth16"
         (compressed -> shrink -> wrap under the BN254 outer config -> Groth16
-        over the outer circuit) — the reference's ``.compressed()`` /
-        ``.groth16()`` actions (sdk/src/action.rs:14-156)."""
+        over the outer circuit), or "plonk" (same ladder, PLONK/KZG over the
+        outer circuit) — the reference's ``.compressed()`` / ``.groth16()`` /
+        ``.plonk()`` actions (sdk/src/action.rs:14-156)."""
         if self.remote is not None:
             return self.remote.prove(pk, program, stdin, shard_size=shard_size, mode=mode)
-        ex = self._executor(program, stdin, shard_size)
-        records = ex.run()
+        from ..executor import execute_for_proving
+
+        records, info = execute_for_proving(
+            program,
+            stdin_bufs=stdin.buffers if stdin is not None else (),
+            proof_stream=stdin.proofs if stdin is not None else (),
+            shard_size=shard_size,
+        )
         if self.backend == "mock":
-            return ProofWithPublicValues([], bytes(ex.public_values_stream), list(ex.committed_value_digest), mode="mock")
+            return ProofWithPublicValues([], info["public_values"], info["digest"], mode="mock")
         proofs = self.machine.prove(pk, records, device=self.device)
-        if mode in ("compressed", "groth16"):
+        if mode in ("compressed", "groth16", "plonk"):
             rp = self._recursion_prover()
             cp = rp.compress(pk.vk, proofs)
             if mode == "groth16":
@@ -173,16 +180,22 @@ class ProverClient:
 
                 wg = wrap_groth16(rp, rp.wrap(rp.shrink(cp)))
                 return ProofWithPublicValues(
-                    [wg], bytes(ex.public_values_stream), list(ex.committed_value_digest),
+                    [wg], info["public_values"], info["digest"],
                     mode="groth16",
                 )
+            if mode == "plonk":
+                from ..snark.outer_circuit import wrap_plonk
+
+                wp = wrap_plonk(rp, rp.wrap(rp.shrink(cp)))
+                return ProofWithPublicValues(
+                    [wp], info["public_values"], info["digest"],
+                    mode="plonk",
+                )
             return ProofWithPublicValues(
-                [cp], bytes(ex.public_values_stream), list(ex.committed_value_digest),
+                [cp], info["public_values"], info["digest"],
                 mode="compressed",
             )
-        return ProofWithPublicValues(
-            proofs, bytes(ex.public_values_stream), list(ex.committed_value_digest)
-        )
+        return ProofWithPublicValues(proofs, info["public_values"], info["digest"])
 
     def verify(self, vk, proof: ProofWithPublicValues, program: Program) -> bool:
         if proof.mode == "mock":
@@ -195,6 +208,10 @@ class ProverClient:
             from ..snark.outer_circuit import verify_groth16
 
             return verify_groth16(vk, program, proof.proofs[0])
+        if proof.mode == "plonk":
+            from ..snark.outer_circuit import verify_plonk
+
+            return verify_plonk(vk, program, proof.proofs[0])
         return self.machine.verify(vk, proof.proofs, program)
 
     def _recursion_prover(self):

@@ -265,3 +265,89 @@ def g2_mul_batch(base, scalars) -> list:
         _cptr(out, ctypes.c_uint64), _cptr(out_inf, ctypes.c_int32),
     )
     return [_unpack_g2(out[i], out_inf[i]) for i in range(len(scalars))]
+
+
+# ---- vectorized Fr ops (Montgomery-domain packed (n,4) u64 arrays) ---------
+
+
+def fr_vec_mont(arr: np.ndarray, to: bool = True) -> np.ndarray:
+    """In-place Montgomery domain conversion of a packed Fr array."""
+    lib = _lib()
+    lib.zkm_bn254_fr_vec_mont(
+        _cptr(arr, ctypes.c_uint64), ctypes.c_int64(len(arr)), ctypes.c_int32(1 if to else 0)
+    )
+    return arr
+
+
+def _vec_addsub(a, b, sub):
+    lib = _lib()
+    out = np.empty_like(a)
+    lib.zkm_bn254_fr_vec_addsub(
+        _cptr(a, ctypes.c_uint64), _cptr(b, ctypes.c_uint64), _cptr(out, ctypes.c_uint64),
+        ctypes.c_int64(len(a)), ctypes.c_int32(sub),
+    )
+    return out
+
+
+def fr_vec_add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return _vec_addsub(a, b, 0)
+
+
+def fr_vec_sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return _vec_addsub(a, b, 1)
+
+
+def fr_vec_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pointwise product; inputs/outputs Montgomery."""
+    lib = _lib()
+    out = np.empty_like(a)
+    lib.zkm_bn254_fr_vec_mul(
+        _cptr(a, ctypes.c_uint64), _cptr(b, ctypes.c_uint64), _cptr(out, ctypes.c_uint64),
+        ctypes.c_int64(len(a)),
+    )
+    return out
+
+
+def fr_vec_scale_add(a: np.ndarray, k_m: np.ndarray, d_m: np.ndarray) -> np.ndarray:
+    """a * k + d with Montgomery scalars k_m/d_m ((4,) u64)."""
+    lib = _lib()
+    out = np.empty_like(a)
+    lib.zkm_bn254_fr_vec_scale_add(
+        _cptr(a, ctypes.c_uint64), _cptr(k_m, ctypes.c_uint64), _cptr(d_m, ctypes.c_uint64),
+        _cptr(out, ctypes.c_uint64), ctypes.c_int64(len(a)),
+    )
+    return out
+
+
+def fr_vec_inv(a: np.ndarray) -> np.ndarray:
+    """Pointwise batch inverse (Montgomery); zeros map to zero."""
+    lib = _lib()
+    out = np.empty_like(a)
+    lib.zkm_bn254_fr_vec_inv(
+        _cptr(a, ctypes.c_uint64), _cptr(out, ctypes.c_uint64), ctypes.c_int64(len(a))
+    )
+    return out
+
+
+def fr_vec_powers(x_m: np.ndarray, s_m: np.ndarray, n: int) -> np.ndarray:
+    """[s, s*x, s*x^2, ...] (Montgomery scalars in, packed array out)."""
+    lib = _lib()
+    out = np.empty((n, 4), dtype=np.uint64)
+    lib.zkm_bn254_fr_vec_powers(
+        _cptr(x_m, ctypes.c_uint64), _cptr(s_m, ctypes.c_uint64),
+        _cptr(out, ctypes.c_uint64), ctypes.c_int64(n),
+    )
+    return out
+
+
+def fr_vec_div_linear(a: np.ndarray, z_m: np.ndarray) -> np.ndarray:
+    """a(X) / (X - z) in Montgomery; raises if the remainder is nonzero."""
+    lib = _lib()
+    out = np.empty((len(a) - 1, 4), dtype=np.uint64)
+    rem = lib.zkm_bn254_fr_vec_div_linear(
+        _cptr(a, ctypes.c_uint64), _cptr(z_m, ctypes.c_uint64),
+        _cptr(out, ctypes.c_uint64), ctypes.c_int64(len(a)),
+    )
+    if rem:
+        raise AssertionError("division by (X - z) leaves a remainder")
+    return out

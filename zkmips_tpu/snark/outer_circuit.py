@@ -236,3 +236,94 @@ def verify_groth16(core_vk, program, wg: Groth16WrappedProof) -> bool:
     )
     RecursionProver._check_shard_chain(cp, program)
     return True
+
+
+# ---------------------------------------------------------------------------
+# PLONK wrap pipeline (the reference's .plonk() action / wrap_plonk_bn254)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PlonkWrappedProof:
+    """Final proof in PLONK mode: vanilla PLONK (KZG) over the same outer
+    circuit (prover/src/lib.rs:1062 wrap_plonk_bn254 analog)."""
+
+    proof: object  # plonk.PlonkProof
+    plonk_vk: object  # plonk.PlonkVerifyingKey
+    wrap_public_values: list
+    shard_public_values: list
+    shard_global_sums: list
+    num_shards: int
+
+
+def wrap_plonk(rp, wrapped, _setup_cache={}) -> PlonkWrappedProof:
+    """CompressedProof(stage="wrap") -> PLONK proof over the outer circuit.
+
+    The R1CS outer circuit is converted to a plonkish gate system
+    (snark/plonk.py gates_from_r1cs) and proven with vanilla PLONK; setup is
+    cached per (wrap vk, proof shape) like the Groth16 path."""
+    from . import plonk
+
+    assert wrapped.stage == "wrap"
+    vk = rp._find_final_vk(wrapped)
+    circ = OuterVerifierCircuit(rp.wrap_machine.machine, vk, wrapped.proof)
+    assert circ.cs.is_satisfied(), "outer circuit witness unsatisfied"
+    gates = plonk.gates_from_r1cs(circ.cs)
+
+    key = (
+        tuple(int(x) for x in np.asarray(vk.prep_root).reshape(-1)),
+        tuple(wrapped.proof.chip_names),
+        tuple(ov.log_degree for ov in wrapped.proof.opened),
+    )
+    entry = _setup_cache.get(key)
+    if entry is None:
+        entry = plonk.setup(gates)
+        _setup_cache[key] = entry
+    pk, p_vk = entry
+
+    proof = plonk.prove(pk, gates)
+    return PlonkWrappedProof(
+        proof=proof,
+        plonk_vk=p_vk,
+        wrap_public_values=[int(x) for x in wrapped.proof.public_values],
+        shard_public_values=wrapped.shard_public_values,
+        shard_global_sums=wrapped.shard_global_sums,
+        num_shards=wrapped.num_shards,
+    )
+
+
+def verify_plonk(core_vk, program, wp: PlonkWrappedProof) -> bool:
+    """PLONK analog of verify_groth16 (prover/src/verify.rs verify_plonk_bn254)."""
+    from . import plonk
+    from ..recursion.compress import CompressedProof, RecursionProver
+    from ..recursion.verifier import compress_digest, lift_digest_values
+    from ..stark.machine import VerificationError
+
+    publics = pack_public_values(wp.wrap_public_values)
+    if not plonk.verify(wp.plonk_vk, wp.proof, publics):
+        raise VerificationError("plonk pairing check failed")
+
+    digests = [
+        lift_digest_values(core_vk, pv, gs)
+        for pv, gs in zip(wp.shard_public_values, wp.shard_global_sums)
+    ]
+    while len(digests) > 1:
+        nxt = [
+            compress_digest(digests[i], digests[i + 1])
+            for i in range(0, len(digests) - 1, 2)
+        ]
+        if len(digests) % 2:
+            nxt.append(digests[-1])
+        digests = nxt
+    if wp.wrap_public_values != digests[0]:
+        raise VerificationError("plonk pv digest tree mismatch")
+
+    cp = CompressedProof(
+        proof=None,
+        final_vk_root=(),
+        shard_public_values=wp.shard_public_values,
+        shard_global_sums=wp.shard_global_sums,
+        num_shards=wp.num_shards,
+    )
+    RecursionProver._check_shard_chain(cp, program)
+    return True

@@ -159,3 +159,76 @@ def verify_groth16_wrapped(wg, core_vk, program) -> bool:
     from ..snark.outer_circuit import verify_groth16
 
     return verify_groth16(core_vk, program, wg)
+
+
+# ---------------------------------------------------------------------------
+# PLONK proof / vk codecs + verifier (crates/verifier PlonkVerifier analog)
+# ---------------------------------------------------------------------------
+
+
+def _fr_bytes(x: int) -> bytes:
+    return int(x % ec.R).to_bytes(32, "big")
+
+
+def _fr_from(b: bytes) -> int:
+    v = int.from_bytes(b, "big")
+    if v >= ec.R:
+        raise VerificationFailure("scalar out of range")
+    return v
+
+
+def encode_plonk_proof(proof) -> bytes:
+    pts = (proof.a_c, proof.b_c, proof.c_c, proof.z_c,
+           proof.tlo_c, proof.tmid_c, proof.thi_c, proof.wz_c, proof.wzw_c)
+    out = b"".join(encode_g1(p) for p in pts)
+    out += b"".join(_fr_bytes(s) for s in (
+        proof.a_bar, proof.b_bar, proof.c_bar, proof.s1_bar, proof.s2_bar, proof.zw_bar))
+    return out
+
+
+def decode_plonk_proof(b: bytes):
+    from ..snark.plonk import PlonkProof
+
+    if len(b) != 9 * 64 + 6 * 32:
+        raise VerificationFailure("bad plonk proof length")
+    pts = [decode_g1(b[64 * i : 64 * (i + 1)]) for i in range(9)]
+    off = 9 * 64
+    scalars = [_fr_from(b[off + 32 * i : off + 32 * (i + 1)]) for i in range(6)]
+    return PlonkProof(*pts, *scalars)
+
+
+def encode_plonk_vk(vk) -> bytes:
+    out = int(vk.n).to_bytes(8, "big") + int(vk.num_public).to_bytes(4, "big")
+    for p in (vk.qm_c, vk.ql_c, vk.qr_c, vk.qo_c, vk.qc_c, vk.s1_c, vk.s2_c, vk.s3_c):
+        out += encode_g1(p)
+    out += encode_g2(vk.x2)
+    return out
+
+
+def decode_plonk_vk(b: bytes):
+    from ..snark.plonk import PlonkVerifyingKey
+
+    if len(b) != 8 + 4 + 8 * 64 + 128:
+        raise VerificationFailure("bad plonk vk length")
+    n = int.from_bytes(b[:8], "big")
+    if n < 4 or n & (n - 1):
+        raise VerificationFailure("plonk vk domain size not a power of two")
+    num_public = int.from_bytes(b[8:12], "big")
+    pts = [decode_g1(b[12 + 64 * i : 12 + 64 * (i + 1)]) for i in range(8)]
+    x2 = decode_g2(b[12 + 8 * 64 :])
+    return PlonkVerifyingKey(n, num_public, *pts, x2=x2)
+
+
+class PlonkVerifier:
+    @staticmethod
+    def verify(proof: bytes, vk: bytes, public_inputs: bytes) -> bool:
+        """Verify PLONK proof bytes; raises VerificationFailure on malformed
+        inputs, returns the pairing-check result."""
+        from ..snark.plonk import verify as _verify_plonk
+
+        p = decode_plonk_proof(proof)
+        k = decode_plonk_vk(vk)
+        pubs = decode_public_inputs(public_inputs)
+        if len(pubs) != k.num_public:
+            raise VerificationFailure("public input count mismatch")
+        return _verify_plonk(k, p, pubs)
