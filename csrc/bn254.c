@@ -772,3 +772,126 @@ int32_t zkm_bn254_fr_vec_div_linear(const u64 *a, const u64 z_m[4], u64 *out, in
     fr_add(&acc, &acc, &p[0]);
     return (acc.v[0] | acc.v[1] | acc.v[2] | acc.v[3]) ? 1 : 0;
 }
+
+/* ---- Poseidon2 over Fr, width 3 (the outer config's Merkle hash) ---------
+ * 8 external + 56 internal rounds, x^5 sbox, external matrix circ(2,1,1),
+ * internal diag (1,1,2).  Round constants arrive canonical from Python
+ * (ops/_poseidon2_bn254_rc.py) and are converted to Montgomery here. */
+
+typedef struct { fr s0, s1, s2; } p2state;
+
+static inline void p2_sbox(fr *x) {
+    fr x2, x4;
+    fr_mul(&x2, x, x);
+    fr_mul(&x4, &x2, &x2);
+    fr_mul(x, &x4, x);
+}
+
+static inline void p2_ext_mat(p2state *st) {
+    fr t;
+    fr_add(&t, &st->s0, &st->s1);
+    fr_add(&t, &t, &st->s2);
+    fr_add(&st->s0, &st->s0, &t);
+    fr_add(&st->s1, &st->s1, &t);
+    fr_add(&st->s2, &st->s2, &t);
+}
+
+/* rc_m: 64 rounds x 3 Montgomery constants */
+static void p2_permute(p2state *st, const fr *rc_m) {
+    p2_ext_mat(st);
+    for (int r = 0; r < 4; r++) {
+        fr_add(&st->s0, &st->s0, &rc_m[3 * r]);
+        fr_add(&st->s1, &st->s1, &rc_m[3 * r + 1]);
+        fr_add(&st->s2, &st->s2, &rc_m[3 * r + 2]);
+        p2_sbox(&st->s0); p2_sbox(&st->s1); p2_sbox(&st->s2);
+        p2_ext_mat(st);
+    }
+    for (int r = 0; r < 56; r++) {
+        fr_add(&st->s0, &st->s0, &rc_m[3 * (4 + r)]);
+        p2_sbox(&st->s0);
+        fr t;
+        fr_add(&t, &st->s0, &st->s1);
+        fr_add(&t, &t, &st->s2);
+        fr_add(&st->s0, &st->s0, &t);
+        fr_add(&st->s1, &st->s1, &t);
+        fr_add(&st->s2, &st->s2, &st->s2); /* diag 2 */
+        fr_add(&st->s2, &st->s2, &t);
+    }
+    for (int r = 0; r < 4; r++) {
+        fr_add(&st->s0, &st->s0, &rc_m[3 * (60 + r)]);
+        fr_add(&st->s1, &st->s1, &rc_m[3 * (60 + r) + 1]);
+        fr_add(&st->s2, &st->s2, &rc_m[3 * (60 + r) + 2]);
+        p2_sbox(&st->s0); p2_sbox(&st->s1); p2_sbox(&st->s2);
+        p2_ext_mat(st);
+    }
+}
+
+static void p2_load_rc(fr *rc_m, const u64 *rc_canon) {
+    fr r2; memcpy(r2.v, FR_R2, 32);
+    for (int i = 0; i < 192; i++) {
+        memcpy(rc_m[i].v, &rc_canon[4 * i], 32);
+        fr_mul(&rc_m[i], &rc_m[i], &r2);
+    }
+}
+
+/* canonical reduction of a 256-bit packed value (< ~5.8 p) */
+static void fr_from_u256(fr *o, const u64 v[4]) {
+    memcpy(o->v, v, 32);
+    while (fr_geq_mod(o->v)) fr_sub_mod_raw(o->v);
+}
+
+/* MultiField32PaddingFreeSponge rows: each row of w canonical u32 KoalaBear
+ * felts is absorbed in blocks of 16 (packed 8-per-Fr at 32-bit stride),
+ * digest = state[0] (canonical out). */
+void zkm_bn254_hash_felts_rows(const uint32_t *rows, int64_t h, int64_t w,
+                               const u64 *rc_canon, u64 *out /* h*4 */) {
+    fr rc_m[192];
+    p2_load_rc(rc_m, rc_canon);
+    fr one = {{1, 0, 0, 0}};
+    fr r2; memcpy(r2.v, FR_R2, 32);
+    for (int64_t i = 0; i < h; i++) {
+        const uint32_t *row = &rows[i * w];
+        p2state st;
+        memset(&st, 0, sizeof(st));
+        for (int64_t b = 0; b < w; b += 16) {
+            int64_t blk = w - b < 16 ? w - b : 16;
+            for (int64_t c = 0; c < blk; c += 8) {
+                int64_t m = blk - c < 8 ? blk - c : 8;
+                u64 packed[4] = {0, 0, 0, 0};
+                for (int64_t j = 0; j < m; j++) {
+                    u64 v = row[b + c + j];
+                    int bit = (int)(32 * j);
+                    packed[bit / 64] |= v << (bit % 64);
+                    if (bit % 64 == 32 && (v >> 32)) { /* v < 2^31: no carry */ }
+                }
+                fr slot;
+                fr_from_u256(&slot, packed);
+                fr_mul(&slot, &slot, &r2); /* to Montgomery */
+                if (c / 8 == 0) st.s0 = slot; else st.s1 = slot;
+            }
+            p2_permute(&st, rc_m);
+        }
+        fr_mul(&st.s0, &st.s0, &one); /* from Montgomery */
+        memcpy(&out[4 * i], st.s0.v, 32);
+    }
+}
+
+/* TruncatedPermutation rows: digest = permute([l, r, 0])[0] */
+void zkm_bn254_compress_rows(const u64 *left, const u64 *right, int64_t n,
+                             const u64 *rc_canon, u64 *out) {
+    fr rc_m[192];
+    p2_load_rc(rc_m, rc_canon);
+    fr one = {{1, 0, 0, 0}};
+    fr r2; memcpy(r2.v, FR_R2, 32);
+    for (int64_t i = 0; i < n; i++) {
+        p2state st;
+        memcpy(st.s0.v, &left[4 * i], 32);
+        memcpy(st.s1.v, &right[4 * i], 32);
+        memset(st.s2.v, 0, 32);
+        fr_mul(&st.s0, &st.s0, &r2);
+        fr_mul(&st.s1, &st.s1, &r2);
+        p2_permute(&st, rc_m);
+        fr_mul(&st.s0, &st.s0, &one);
+        memcpy(&out[4 * i], st.s0.v, 32);
+    }
+}

@@ -119,3 +119,68 @@ def hash_felts(felts) -> int:
 
 def compress(left: int, right: int) -> int:
     return permute3([left, right, 0])[0]
+
+
+# ---------------------------------------------------------------------------
+# Native batch paths (csrc/bn254.c Poseidon2 kernels)
+# ---------------------------------------------------------------------------
+
+_RC_PACKED = None
+
+
+def _rc_packed():
+    global _RC_PACKED
+    if _RC_PACKED is None:
+        from ..snark import native as nv
+
+        _RC_PACKED = nv.pack_fr([c for row in RC3 for c in row])
+    return _RC_PACKED
+
+
+def _native():
+    try:
+        from ..snark import native as nv
+
+        return nv if nv.available() else None
+    except Exception:
+        return None
+
+
+def hash_felts_rows(rows: np.ndarray) -> list[int]:
+    """Batch hash_felts over the rows of a canonical uint32 matrix."""
+    nv = _native()
+    h, w = rows.shape
+    if nv is None or h == 0:
+        return [hash_felts(rows[i]) for i in range(h)]
+    import ctypes
+
+    lib = nv._lib()
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    out = np.empty((h, 4), dtype=np.uint64)
+    lib.zkm_bn254_hash_felts_rows(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(h), ctypes.c_int64(w),
+        nv._cptr(_rc_packed(), ctypes.c_uint64),
+        nv._cptr(out, ctypes.c_uint64),
+    )
+    return nv.unpack_fr(out)
+
+
+def compress_rows(left: list[int], right: list[int]) -> list[int]:
+    """Batch two-to-one compression over digest lists."""
+    nv = _native()
+    if nv is None or not left:
+        return [compress(l, r) for l, r in zip(left, right)]
+    import ctypes
+
+    lib = nv._lib()
+    lp = nv.pack_fr(list(left))
+    rp = nv.pack_fr(list(right))
+    out = np.empty((len(left), 4), dtype=np.uint64)
+    lib.zkm_bn254_compress_rows(
+        nv._cptr(lp, ctypes.c_uint64), nv._cptr(rp, ctypes.c_uint64),
+        ctypes.c_int64(len(left)),
+        nv._cptr(_rc_packed(), ctypes.c_uint64),
+        nv._cptr(out, ctypes.c_uint64),
+    )
+    return nv.unpack_fr(out)

@@ -29,14 +29,14 @@ def _digest_arr(vals: list[int]) -> np.ndarray:
 
 
 def _hash_rows(mat_monty: np.ndarray) -> np.ndarray:
-    """(H, w) monty uint32 -> (H, 1) object digests."""
+    """(H, w) monty uint32 -> (H, 1) object digests (native batch)."""
     canon = f.from_monty(np.ascontiguousarray(mat_monty, dtype=np.uint32))
-    return _digest_arr([bn254.hash_felts(row) for row in canon])
+    return _digest_arr(bn254.hash_felts_rows(canon))
 
 
 def _compress_rows(left: np.ndarray, right: np.ndarray) -> np.ndarray:
     return _digest_arr(
-        [bn254.compress(int(a[0]), int(b[0])) for a, b in zip(left, right)]
+        bn254.compress_rows([int(a[0]) for a in left], [int(b[0]) for b in right])
     )
 
 
