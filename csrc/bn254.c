@@ -276,13 +276,15 @@ static void fr_inv(fr *o, const fr *a) {
 }
 
 /* In-place radix-2 DIT FFT over Fr.  vals: n*4 canonical LE limbs;
- * root: canonical primitive n-th root; inverse also scales by 1/n. */
+ * root: canonical primitive n-th root; inverse also scales by 1/n.
+ * Twiddles are tabulated once; butterfly stages run OpenMP-parallel. */
 void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse) {
     fr r2; memcpy(r2.v, FR_R2, 32);
     fr root; memcpy(root.v, root_c, 32);
     fr_mul(&root, &root, &r2); /* to Montgomery */
     if (inverse) fr_inv(&root, &root);
     fr *v = (fr *)vals;
+    #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &r2);
     /* bit-reversal permutation */
     for (int64_t i = 1, j = 0; i < n; i++) {
@@ -291,21 +293,23 @@ void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse
         j |= bit;
         if (i < j) { fr t = v[i]; v[i] = v[j]; v[j] = t; }
     }
+    /* tw[j] = root^j for j < n/2 */
+    fr *tw = malloc(sizeof(fr) * (size_t)(n > 1 ? n / 2 : 1));
+    memcpy(tw[0].v, FR_ONE, 32);
+    for (int64_t j = 1; j < n / 2; j++) fr_mul(&tw[j], &tw[j - 1], &root);
     for (int64_t len = 2; len <= n; len <<= 1) {
-        /* step = root^(n/len) */
-        fr step = root;
-        for (int64_t m = n / len; m > 1; m >>= 1) fr_mul(&step, &step, &step);
-        for (int64_t start = 0; start < n; start += len) {
-            fr w; memcpy(w.v, FR_ONE, 32);
-            for (int64_t k = start; k < start + len / 2; k++) {
-                fr u = v[k], t;
-                fr_mul(&t, &v[k + len / 2], &w);
-                fr_add(&v[k], &u, &t);
-                fr_sub(&v[k + len / 2], &u, &t);
-                fr_mul(&w, &w, &step);
-            }
+        int64_t half = len / 2, stride = n / len;
+        #pragma omp parallel for schedule(static) if (n >= 4096)
+        for (int64_t idx = 0; idx < n / 2; idx++) {
+            int64_t blk = idx / half, off = idx % half;
+            int64_t k = blk * len + off;
+            fr u = v[k], t;
+            fr_mul(&t, &v[k + half], &tw[off * stride]);
+            fr_add(&v[k], &u, &t);
+            fr_sub(&v[k + half], &u, &t);
         }
     }
+    free(tw);
     fr scale; memcpy(scale.v, FR_ONE, 32);
     if (inverse) {
         /* 1/n: n fits one limb for any practical domain */
@@ -316,6 +320,7 @@ void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse
     /* out of Montgomery (and apply inverse scale) */
     fr one = {{1, 0, 0, 0}};
     fr_mul(&scale, &scale, &one);
+    #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &scale);
 }
 
@@ -553,15 +558,16 @@ void zkm_bn254_##G##_msm(const u64 *pts, const int32_t *infs,                   
     int window = n < 32 ? 4 : n < 1024 ? 8 : n < 65536 ? 12 : 14;               \
     int nbuckets = 1 << window;                                                 \
     G##p *points = malloc(sizeof(G##p) * (size_t)n);                            \
+    _Pragma("omp parallel for schedule(static)")                                \
     for (int64_t i = 0; i < n; i++)                                             \
         LOAD(&points[i], pts + (size_t)i * COORDS, infs ? infs[i] : 0);         \
-    G##p *buckets = malloc(sizeof(G##p) * (size_t)nbuckets);                    \
-    G##p acc;                                                                   \
-    G##p_set_inf(&acc);                                                         \
-    int top = ((254 + window - 1) / window) * window - window;                  \
-    for (int start = top; start >= 0; start -= window) {                        \
-        for (int k = 0; k < window; k++) G##p_dbl(&acc, &acc);                  \
+    int nwin = (254 + window - 1) / window;                                     \
+    G##p *win_sums = malloc(sizeof(G##p) * (size_t)nwin);                       \
+    _Pragma("omp parallel for schedule(dynamic)")                               \
+    for (int wi = 0; wi < nwin; wi++) {                                         \
+        G##p *buckets = malloc(sizeof(G##p) * (size_t)nbuckets);                \
         for (int b = 0; b < nbuckets; b++) G##p_set_inf(&buckets[b]);           \
+        int start = wi * window;                                                \
         for (int64_t i = 0; i < n; i++) {                                       \
             int b = scalar_window(scalars + (size_t)i * 32, start, window);     \
             if (b) G##p_add(&buckets[b], &buckets[b], &points[i]);              \
@@ -573,10 +579,18 @@ void zkm_bn254_##G##_msm(const u64 *pts, const int32_t *infs,                   
             G##p_add(&run, &run, &buckets[b]);                                  \
             G##p_add(&total, &total, &run);                                     \
         }                                                                       \
-        G##p_add(&acc, &acc, &total);                                           \
+        win_sums[wi] = total;                                                   \
+        free(buckets);                                                          \
+    }                                                                           \
+    G##p acc;                                                                   \
+    G##p_set_inf(&acc);                                                         \
+    for (int wi = nwin - 1; wi >= 0; wi--) {                                    \
+        if (wi != nwin - 1)                                                     \
+            for (int k = 0; k < window; k++) G##p_dbl(&acc, &acc);              \
+        G##p_add(&acc, &acc, &win_sums[wi]);                                    \
     }                                                                           \
     free(points);                                                               \
-    free(buckets);                                                              \
+    free(win_sums);                                                             \
     STORE(out, out_inf, &acc);                                                  \
 }
 
@@ -661,6 +675,7 @@ void zkm_bn254_##G##_mul_batch(const u64 *base, int32_t base_inf,               
         for (int k = 0; k < window; k++) G##p_dbl(&gen, &gen);                  \
     }                                                                           \
     G##p *accs = malloc(sizeof(G##p) * (size_t)n);                              \
+    _Pragma("omp parallel for schedule(static)")                                \
     for (int64_t i = 0; i < n; i++) {                                           \
         G##p_set_inf(&accs[i]);                                                 \
         const uint8_t *s = scalars + (size_t)i * 32;                            \
@@ -702,6 +717,7 @@ void zkm_bn254_fr_vec_addsub(const u64 *a, const u64 *b, u64 *out, int64_t n, in
 void zkm_bn254_fr_vec_mul(const u64 *a, const u64 *b, u64 *out, int64_t n) {
     const fr *x = (const fr *)a, *y = (const fr *)b;
     fr *o = (fr *)out;
+    #pragma omp parallel for schedule(static) if (n >= 8192)
     for (int64_t i = 0; i < n; i++) fr_mul(&o[i], &x[i], &y[i]);
 }
 
@@ -849,6 +865,7 @@ void zkm_bn254_hash_felts_rows(const uint32_t *rows, int64_t h, int64_t w,
     p2_load_rc(rc_m, rc_canon);
     fr one = {{1, 0, 0, 0}};
     fr r2; memcpy(r2.v, FR_R2, 32);
+    #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < h; i++) {
         const uint32_t *row = &rows[i * w];
         p2state st;
@@ -883,6 +900,7 @@ void zkm_bn254_compress_rows(const u64 *left, const u64 *right, int64_t n,
     p2_load_rc(rc_m, rc_canon);
     fr one = {{1, 0, 0, 0}};
     fr r2; memcpy(r2.v, FR_R2, 32);
+    #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         p2state st;
         memcpy(st.s0.v, &left[4 * i], 32);

@@ -36,7 +36,7 @@ def _lib():
     global _LIB
     if _LIB is None:
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
+            subprocess.run(["cc", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
         _LIB = ctypes.CDLL(_SO)
     return _LIB
 
