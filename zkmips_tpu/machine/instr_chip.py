@@ -153,12 +153,19 @@ class InstrAir(BaseAir):
         for op in self.OPCODES:
             t[:, s.idx(f"is_{op.name.lower()}")] = opv == int(op)
         ops = _OpcodeSeq(opv)
+        if self.fill_cols(t, cs, len(nested), opv, sink):
+            return t
         events = _LazyEvents(record, idx, nested)
         if self.fill_vec(t, events, ops, sink):
             return t
         for i in range(n):
             self.fill_op(t, i, events[i], ops[i], sink)
         return t
+
+    def fill_cols(self, t, cs, n_nested, opv, sink) -> bool:
+        """Column-driven vectorized fill over the sliced cpu struct (cs covers
+        rows [0, len(t) - n_nested)); return True if done."""
+        return False
 
     def fill_vec(self, t, events, ops, sink) -> bool:
         """Subclasses may implement a vectorized fill; return True if done."""

@@ -171,6 +171,59 @@ class MemoryInstrAir(InstrAir):
 
     # ------------------------------------------------------------ trace side
 
+    def fill_cols(self, t, cs, n_nested, opv, sink) -> bool:
+        assert n_nested == 0, "MemoryInstrs receives no nested events"
+        n = len(opv)
+        if n == 0:
+            return True
+        s = self.schema
+        bb = cs["b"].astype(np.uint64)
+        c = cs["c"].astype(np.uint64)
+        pa = cs["pa"]
+        full = bb + c
+        addr = (full & 0xFFFFFFFF).astype(np.uint32)
+        t[:, s.idx("addr")] = addr
+        t[:, s.idx("wrap")] = (full >> 32).astype(np.uint32)
+        pos = addr & 3
+        for k in range(4):
+            t[:, s.idx(f"p{k}")] = pos == k
+        a16 = addr & 0xFFFF
+        a15 = addr >> 16
+        t[:, s.idx("a16")] = a16
+        t[:, s.idx("a15")] = a15
+        sink.u16(a16)
+        sink.u16(a15 * 2)
+        assert cs["mem_has"].all(), "memory instruction without a memory access"
+        prev = cs["mem_pv"]
+        newv = cs["mem_val"]
+        t[:, s.idx("w_lo")] = newv & 0xFFFF
+        t[:, s.idx("w_hi")] = newv >> 16
+        populate_access(
+            t, s, np.arange(n), "m",
+            cs["mem_ps"], cs["mem_pt"], prev,
+            t[:, s.idx("shard")], cs["clk"], sink,
+        )
+        for j in range(4):
+            t[:, s.idx(f"mb{j}")] = (prev >> (8 * j)) & 0xFF
+            t[:, s.idx(f"pb{j}")] = (pa >> (8 * j)) & 0xFF
+        sink.u8pair(prev & 0xFF, (prev >> 8) & 0xFF)
+        sink.u8pair((prev >> 16) & 0xFF, prev >> 24)
+        sink.u8pair(pa & 0xFF, (pa >> 8) & 0xFF)
+        sink.u8pair((pa >> 16) & 0xFF, pa >> 24)
+        sb_v = (prev >> (8 * pos)) & 0xFF
+        t[:, s.idx("sb")] = sb_v
+        is_lb = opv == int(O.LB)
+        t[:, s.idx("msb_sb")] = np.where(is_lb, sb_v >> 7, 0)
+        if is_lb.any():
+            sink.msb((sb_v >> 7)[is_lb], sb_v[is_lb])
+        sh1_v = np.where(pos == 0, (prev >> 8) & 0xFF, np.where(pos == 2, prev >> 24, 0))
+        t[:, s.idx("sh1")] = sh1_v
+        is_lh = opv == int(O.LH)
+        t[:, s.idx("msb_sh")] = np.where(is_lh, sh1_v >> 7, 0)
+        if is_lh.any():
+            sink.msb((sh1_v >> 7)[is_lh], sh1_v[is_lh])
+        return True
+
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema
         bb, c, pa = int(e.b), int(e.c), int(e.hi_or_prev_a or 0)
