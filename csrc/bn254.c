@@ -278,14 +278,17 @@ static void fr_inv(fr *o, const fr *a) {
 /* In-place radix-2 DIT FFT over Fr.  vals: n*4 canonical LE limbs;
  * root: canonical primitive n-th root; inverse also scales by 1/n.
  * Twiddles are tabulated once; butterfly stages run OpenMP-parallel. */
-void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse) {
+void zkm_bn254_fr_fft2(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse,
+                       int32_t mont_io) {
     fr r2; memcpy(r2.v, FR_R2, 32);
     fr root; memcpy(root.v, root_c, 32);
     fr_mul(&root, &root, &r2); /* to Montgomery */
     if (inverse) fr_inv(&root, &root);
     fr *v = (fr *)vals;
-    #pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &r2);
+    if (!mont_io) {
+        #pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &r2);
+    }
     /* bit-reversal permutation */
     for (int64_t i = 1, j = 0; i < n; i++) {
         int64_t bit = n >> 1;
@@ -317,11 +320,20 @@ void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse
         fr_mul(&nf, &nf, &r2);
         fr_inv(&scale, &nf);
     }
-    /* out of Montgomery (and apply inverse scale) */
-    fr one = {{1, 0, 0, 0}};
-    fr_mul(&scale, &scale, &one);
-    #pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &scale);
+    /* out of Montgomery (unless staying in the Montgomery domain) and the
+     * inverse 1/n scale in one pass */
+    if (!mont_io) {
+        fr one = {{1, 0, 0, 0}};
+        fr_mul(&scale, &scale, &one);
+    }
+    if (!mont_io || inverse) {
+        #pragma omp parallel for schedule(static)
+        for (int64_t i = 0; i < n; i++) fr_mul(&v[i], &v[i], &scale);
+    }
+}
+
+void zkm_bn254_fr_fft(u64 *vals, int64_t n, const u64 root_c[4], int32_t inverse) {
+    zkm_bn254_fr_fft2(vals, n, root_c, inverse, 0);
 }
 
 /* Pointwise ops used by the coset-quotient step (groth16.prove). */

@@ -351,3 +351,14 @@ def fr_vec_div_linear(a: np.ndarray, z_m: np.ndarray) -> np.ndarray:
     if rem:
         raise AssertionError("division by (X - z) leaves a remainder")
     return out
+
+
+def fr_fft_mont(vals: np.ndarray, root: int, inverse: bool = False) -> np.ndarray:
+    """In-place FFT on a Montgomery-domain packed array (no domain flips)."""
+    lib = _lib()
+    rt = np.array(_limbs(root), dtype=np.uint64)
+    lib.zkm_bn254_fr_fft2(
+        _cptr(vals, ctypes.c_uint64), ctypes.c_int64(len(vals)),
+        _cptr(rt, ctypes.c_uint64), ctypes.c_int32(1 if inverse else 0), ctypes.c_int32(1),
+    )
+    return vals

@@ -698,9 +698,7 @@ def _pfft(arr: "np.ndarray", log_n: int, inverse: bool) -> "np.ndarray":
     n = 1 << log_n
     buf = np.zeros((n, 4), dtype=np.uint64)
     buf[: len(arr)] = arr
-    nv.fr_vec_mont(buf, to=False)
-    nv.fr_fft(buf, _domain_root(log_n), inverse=inverse)
-    nv.fr_vec_mont(buf)
+    nv.fr_fft_mont(buf, _domain_root(log_n), inverse=inverse)
     return buf
 
 
