@@ -303,131 +303,169 @@ class KeccakSpongeAir(BaseAir):
     # ---------------------------------------------------------------- trace
 
     def generate_trace(self, record, output):
+        """Vectorized across blocks: every Keccak round computes all blocks'
+        states at once; per-round column writes land via fancy row indexing.
+        The block list and absorb witnesses keep small Python loops (O(B)),
+        the O(B * 24 * width) work is numpy."""
         events = record.precompile_events.get("keccak_sponge", [])
         s = self.schema
         num_rows = sum(NUM_ROUNDS * (len(ev["xored_states"])) for ev in events)
         t = np.zeros((max(num_rows, 0), s.width), dtype=np.uint32)
         sink = ByteSink(record)
+        if not events:
+            return t
         z64 = np.arange(64, dtype=np.uint64)
+        j16 = 16 * np.arange(4, dtype=np.uint64)
+        j8 = 8 * np.arange(8, dtype=np.uint64)
+
+        # flat block list
+        blk_state, blk_meta = [], []
         row = 0
-        for ev in events:
+        for ei, ev in enumerate(events):
             blocks = ev["xored_states"]
             nb_total = len(blocks)
-            iptr0, rptr = ev["input_ptr"], ev["result_ptr"]
             for bi, state_in in enumerate(blocks):
-                iptr = (iptr0 + 144 * bi) & 0xFFFFFFFF
-                state = list(state_in)
-                for r in range(NUM_ROUNDS):
-                    i = row + NUM_ROUNDS * bi + r
-                    t[i, s.idx("is_real")] = 1
-                    t[i, s.idx("first")] = 1 if bi == 0 else 0
-                    t[i, s.idx("fin")] = 1 if bi == nb_total - 1 else 0
-                    t[i, s.idx("shard")] = ev["shard"]
-                    t[i, s.idx("clk")] = ev["clk"]
-                    t[i, s.idx("iptr_lo")], t[i, s.idx("iptr_hi")] = iptr & 0xFFFF, iptr >> 16
-                    t[i, s.idx("rptr_lo")], t[i, s.idx("rptr_hi")] = rptr & 0xFFFF, rptr >> 16
-                    nb = nb_total - bi
-                    t[i, s.idx("nb")] = nb
-                    sink.u16(np.array([nb], dtype=np.uint32))
-                    if nb != 1:
-                        t[i, s.idx("zi")] = ff.inv_int((nb - 1) % ff.P)
-                    t[i, self._base["s0"] + r] = 1
-                    av = np.array(state, dtype=np.uint64)
-                    t[i, self._base["a0_0"]:self._base["a0_0"] + 100] = (
-                        (av[:, None] >> (16 * np.arange(4, dtype=np.uint64))) & 0xFFFF
-                    ).reshape(-1).astype(np.uint32)
-                    # theta
-                    cvals = np.zeros(5, dtype=np.uint64)
-                    for x in range(5):
-                        cvals[x] = av[x] ^ av[x + 5] ^ av[x + 10] ^ av[x + 15] ^ av[x + 20]
-                    dvals = np.zeros(5, dtype=np.uint64)
-                    for x in range(5):
-                        cc = int(cvals[(x + 1) % 5])
-                        dvals[x] = cvals[(x + 4) % 5] ^ (((cc << 1) | (cc >> 63)) & 0xFFFFFFFFFFFFFFFF)
-                    cpvals = cvals ^ dvals
-                    apvals = np.array([av[n] ^ dvals[n % 5] for n in range(25)], dtype=np.uint64)
-                    t[i, self._base["c0_0"]:self._base["c0_0"] + 320] = (
-                        (cvals[:, None] >> z64) & 1).reshape(-1).astype(np.uint32)
-                    t[i, self._base["cp0_0"]:self._base["cp0_0"] + 320] = (
-                        (cpvals[:, None] >> z64) & 1).reshape(-1).astype(np.uint32)
-                    t[i, self._base["ap0_0"]:self._base["ap0_0"] + 1600] = (
-                        (apvals[:, None] >> z64) & 1).reshape(-1).astype(np.uint32)
-                    # rho/pi + chi
-                    bv = np.zeros(25, dtype=np.uint64)
-                    for x in range(5):
-                        for y in range(5):
-                            r_ = ROT[x][y]
-                            v = int(apvals[x + 5 * y])
-                            bv[y + 5 * ((2 * x + 3 * y) % 5)] = \
-                                ((v << r_) | (v >> (64 - r_))) & 0xFFFFFFFFFFFFFFFF if r_ else v
-                    appv = np.zeros(25, dtype=np.uint64)
-                    for x in range(5):
-                        for y in range(5):
-                            n = x + 5 * y
-                            appv[n] = bv[n] ^ ((~bv[(x + 1) % 5 + 5 * y]) & 0xFFFFFFFFFFFFFFFF
-                                               & bv[(x + 2) % 5 + 5 * y])
-                    t[i, self._base["app0_0"]:self._base["app0_0"] + 100] = (
-                        (appv[:, None] >> (16 * np.arange(4, dtype=np.uint64))) & 0xFFFF
-                    ).reshape(-1).astype(np.uint32)
-                    t[i, self._base["o0"]:self._base["o0"] + 64] = (
-                        (appv[0] >> z64) & 1).astype(np.uint32)
-                    out = list(appv)
-                    out[0] = int(appv[0]) ^ RC[r]
-                    if r == 0:
-                        # absorb witness: previous state, input bytes, xored bytes
-                        if bi == 0:
-                            prev_state = [0] * 25
-                        else:
-                            prev_state = prev_out
-                        pov = np.array(prev_state, dtype=np.uint64)
-                        t[i, self._base["po0_0"]:self._base["po0_0"] + 100] = (
-                            (pov[:, None] >> (16 * np.arange(4, dtype=np.uint64))) & 0xFFFF
-                        ).reshape(-1).astype(np.uint32)
-                        j8 = 8 * np.arange(8, dtype=np.uint64)
-                        pbb = ((pov[:BLOCK_U64, None] >> j8) & 0xFF).astype(np.uint32)
-                        ivals = np.array(
-                            [state_in[n] ^ prev_state[n] for n in range(BLOCK_U64)],
-                            dtype=np.uint64)
-                        ibb = ((ivals[:, None] >> j8) & 0xFF).astype(np.uint32)
-                        obb = pbb ^ ibb
-                        t[i, self._base["pb0_0"]:self._base["pb0_0"] + 144] = pbb.reshape(-1)
-                        t[i, self._base["ib0_0"]:self._base["ib0_0"] + 144] = ibb.reshape(-1)
-                        t[i, self._base["ob0_0"]:self._base["ob0_0"] + 144] = obb.reshape(-1)
-                        sink.byte_op(ByteOpcode.XOR, obb.reshape(-1), pbb.reshape(-1),
-                                     ibb.reshape(-1))
-                        # input word reads
-                        for wi in range(BLOCK_U32):
-                            rec = ev["reads"][BLOCK_U32 * bi + wi]
-                            populate_access(
-                                t, s, np.array([i]), f"mi{wi}",
-                                np.array([rec.prev_shard]), np.array([rec.prev_timestamp]),
-                                np.array([rec.value]),
-                                np.array([ev["shard"]]), np.array([rec.timestamp]), sink)
-                        if bi == 0:
-                            lrec = ev["len_record"]
-                            populate_access(
-                                t, s, np.array([i]), "ml",
-                                np.array([lrec.prev_shard]), np.array([lrec.prev_timestamp]),
-                                np.array([lrec.value]),
-                                np.array([ev["shard"]]), np.array([lrec.timestamp]), sink)
-                    if r == NUM_ROUNDS - 1 and bi == nb_total - 1:
-                        for wi in range(16):
-                            wrec = ev["writes"][wi]
-                            t[i, s.idx(f"w{wi}_lo")] = wrec.value & 0xFFFF
-                            t[i, s.idx(f"w{wi}_hi")] = wrec.value >> 16
-                            populate_access(
-                                t, s, np.array([i]), f"mo{wi}",
-                                np.array([wrec.prev_shard]), np.array([wrec.prev_timestamp]),
-                                np.array([wrec.prev_value]),
-                                np.array([ev["shard"]]), np.array([wrec.timestamp]), sink)
-                    state = out
-                prev_out = state
-                # carry for the pointer advance into the NEXT block
-                if bi + 1 < nb_total:
-                    lo = iptr & 0xFFFF
-                    t[row + NUM_ROUNDS * bi + NUM_ROUNDS - 1, s.idx("cy")] = \
-                        1 if lo + 144 >= 65536 else 0
-                if bi > 0:
-                    sink.u16(np.array([iptr & 0xFFFF], dtype=np.uint32))
+                iptr = (ev["input_ptr"] + 144 * bi) & 0xFFFFFFFF
+                blk_state.append(state_in)
+                blk_meta.append((ei, bi, nb_total, iptr, row + NUM_ROUNDS * bi))
             row += NUM_ROUNDS * nb_total
+        B = len(blk_state)
+        av0 = np.array(blk_state, dtype=np.uint64)  # (B, 25)
+        base_rows = np.array([m[4] for m in blk_meta], dtype=np.int64)
+        ei_arr = np.array([m[0] for m in blk_meta], dtype=np.int64)
+        bi_arr = np.array([m[1] for m in blk_meta], dtype=np.int64)
+        nbt_arr = np.array([m[2] for m in blk_meta], dtype=np.int64)
+        iptr_arr = np.array([m[3] for m in blk_meta], dtype=np.uint64)
+        nb_arr = (nbt_arr - bi_arr).astype(np.uint64)
+        shard_arr = np.array([events[e]["shard"] for e in ei_arr], dtype=np.uint32)
+        clk_arr = np.array([events[e]["clk"] for e in ei_arr], dtype=np.uint32)
+        rptr_arr = np.array([events[e]["result_ptr"] for e in ei_arr], dtype=np.uint64)
+
+        # per-block constant columns, repeated over the 24 rows
+        all_rows = (base_rows[:, None] + np.arange(NUM_ROUNDS)).reshape(-1)
+        rep = lambda a: np.repeat(a, NUM_ROUNDS)
+        t[all_rows, s.idx("is_real")] = 1
+        t[all_rows, s.idx("first")] = rep((bi_arr == 0).astype(np.uint32))
+        t[all_rows, s.idx("fin")] = rep((bi_arr == nbt_arr - 1).astype(np.uint32))
+        t[all_rows, s.idx("shard")] = rep(shard_arr)
+        t[all_rows, s.idx("clk")] = rep(clk_arr)
+        t[all_rows, s.idx("iptr_lo")] = rep((iptr_arr & 0xFFFF).astype(np.uint32))
+        t[all_rows, s.idx("iptr_hi")] = rep((iptr_arr >> 16).astype(np.uint32))
+        t[all_rows, s.idx("rptr_lo")] = rep((rptr_arr & 0xFFFF).astype(np.uint32))
+        t[all_rows, s.idx("rptr_hi")] = rep((rptr_arr >> 16).astype(np.uint32))
+        t[all_rows, s.idx("nb")] = rep(nb_arr.astype(np.uint32))
+        sink.u16(rep(nb_arr.astype(np.uint32)))
+        nz = nb_arr != 1
+        if nz.any():
+            zi = ff.from_monty(ff.inv(ff.to_monty(((nb_arr - 1) % ff.P).astype(np.uint32))))
+            t[all_rows, s.idx("zi")] = rep(np.where(nz, zi, 0).astype(np.uint32))
+
+        def put_limbs(rows, col0, vals64, nlimb=100):
+            t[rows, col0 : col0 + nlimb] = (
+                (vals64[:, :, None] >> j16) & np.uint64(0xFFFF)
+            ).reshape(len(rows), -1).astype(np.uint32)
+
+        def put_bits(rows, col0, vals64):
+            t[rows, col0 : col0 + vals64.shape[1] * 64] = (
+                (vals64[:, :, None] >> z64) & np.uint64(1)
+            ).reshape(len(rows), -1).astype(np.uint32)
+
+        XIDX = np.arange(25) % 5
+        PI_DST = np.empty(25, dtype=np.int64)
+        PI_ROT = np.empty(25, dtype=np.int64)
+        for x in range(5):
+            for y in range(5):
+                PI_DST[x + 5 * y] = y + 5 * ((2 * x + 3 * y) % 5)
+                PI_ROT[x + 5 * y] = ROT[x][y]
+        CHI_1 = (XIDX + 1) % 5 + 5 * (np.arange(25) // 5)
+        CHI_2 = (XIDX + 2) % 5 + 5 * (np.arange(25) // 5)
+
+        av = av0
+        M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for r in range(NUM_ROUNDS):
+            rows_r = base_rows + r
+            t[rows_r, self._base["s0"] + r] = 1
+            put_limbs(rows_r, self._base["a0_0"], av)
+            cvals = av[:, 0:5] ^ av[:, 5:10] ^ av[:, 10:15] ^ av[:, 15:20] ^ av[:, 20:25]
+            cnext = cvals[:, [1, 2, 3, 4, 0]]
+            dvals = cvals[:, [4, 0, 1, 2, 3]] ^ (
+                ((cnext << np.uint64(1)) | (cnext >> np.uint64(63))) & M64
+            )
+            cpvals = cvals ^ dvals
+            apvals = av ^ dvals[:, XIDX]
+            put_bits(rows_r, self._base["c0_0"], cvals)
+            put_bits(rows_r, self._base["cp0_0"], cpvals)
+            put_bits(rows_r, self._base["ap0_0"], apvals)
+            bv = np.empty_like(apvals)
+            src = apvals
+            # modular shift counts make rot == 0 a no-op (src | src)
+            lsh = PI_ROT.astype(np.uint64)
+            rsh = ((64 - PI_ROT) % 64).astype(np.uint64)
+            rotated = ((src << lsh) | (src >> rsh)) & M64
+            bv[:, PI_DST] = rotated
+            appv = bv ^ ((~bv[:, CHI_1]) & M64 & bv[:, CHI_2])
+            put_limbs(rows_r, self._base["app0_0"], appv)
+            put_bits(rows_r, self._base["o0"], appv[:, 0:1])
+            out = appv.copy()
+            out[:, 0] ^= np.uint64(RC[r])
+            av = out
+
+        # prev-state chain: within an event, block bi's prev output is block
+        # bi-1's permutation output (zeros for bi == 0)
+        prev = np.zeros_like(av0)
+        cont = bi_arr > 0
+        prev[cont] = av[np.flatnonzero(cont) - 1]
+
+        # absorb witness on the r == 0 rows
+        r0 = base_rows
+        put_limbs(r0, self._base["po0_0"], prev)
+        pbb = ((prev[:, :BLOCK_U64, None] >> j8) & np.uint64(0xFF)).reshape(B, -1).astype(np.uint32)
+        ivals = av0[:, :BLOCK_U64] ^ prev[:, :BLOCK_U64]
+        ibb = ((ivals[:, :, None] >> j8) & np.uint64(0xFF)).reshape(B, -1).astype(np.uint32)
+        obb = pbb ^ ibb
+        t[r0, self._base["pb0_0"] : self._base["pb0_0"] + 144] = pbb
+        t[r0, self._base["ib0_0"] : self._base["ib0_0"] + 144] = ibb
+        t[r0, self._base["ob0_0"] : self._base["ob0_0"] + 144] = obb
+        sink.byte_op(ByteOpcode.XOR, obb.reshape(-1), pbb.reshape(-1), ibb.reshape(-1))
+
+        # input word reads (per limb, batched over blocks)
+        for wi in range(BLOCK_U32):
+            recs = [events[m[0]]["reads"][BLOCK_U32 * m[1] + wi] for m in blk_meta]
+            populate_access(
+                t, s, r0, f"mi{wi}",
+                np.array([x.prev_shard for x in recs], dtype=np.uint32),
+                np.array([x.prev_timestamp for x in recs], dtype=np.uint32),
+                np.array([x.value for x in recs], dtype=np.uint32),
+                shard_arr, np.array([x.timestamp for x in recs], dtype=np.uint32), sink)
+        # length read on each event's first block
+        f0 = np.flatnonzero(bi_arr == 0)
+        lrecs = [events[int(ei_arr[i])]["len_record"] for i in f0]
+        populate_access(
+            t, s, r0[f0], "ml",
+            np.array([x.prev_shard for x in lrecs], dtype=np.uint32),
+            np.array([x.prev_timestamp for x in lrecs], dtype=np.uint32),
+            np.array([x.value for x in lrecs], dtype=np.uint32),
+            shard_arr[f0], np.array([x.timestamp for x in lrecs], dtype=np.uint32), sink)
+        # digest writes on each event's last block (last round row)
+        fl = np.flatnonzero(bi_arr == nbt_arr - 1)
+        rows_fin = base_rows[fl] + NUM_ROUNDS - 1
+        for wi in range(16):
+            wrecs = [events[int(ei_arr[i])]["writes"][wi] for i in fl]
+            wv = np.array([x.value for x in wrecs], dtype=np.uint32)
+            t[rows_fin, s.idx(f"w{wi}_lo")] = wv & 0xFFFF
+            t[rows_fin, s.idx(f"w{wi}_hi")] = wv >> 16
+            populate_access(
+                t, s, rows_fin, f"mo{wi}",
+                np.array([x.prev_shard for x in wrecs], dtype=np.uint32),
+                np.array([x.prev_timestamp for x in wrecs], dtype=np.uint32),
+                np.array([x.prev_value for x in wrecs], dtype=np.uint32),
+                shard_arr[fl], np.array([x.timestamp for x in wrecs], dtype=np.uint32), sink)
+        # pointer-advance carry into the next block (non-last blocks)
+        nl = np.flatnonzero(bi_arr != nbt_arr - 1)
+        if len(nl):
+            lo = (iptr_arr[nl] & 0xFFFF).astype(np.int64)
+            t[base_rows[nl] + NUM_ROUNDS - 1, s.idx("cy")] = (lo + 144 >= 65536)
+        nf = np.flatnonzero(bi_arr > 0)
+        if len(nf):
+            sink.u16((iptr_arr[nf] & 0xFFFF).astype(np.uint32))
         return t
