@@ -283,129 +283,170 @@ class ShaCompressAir(BaseAir):
     # ------------------------------------------------------------ trace side
 
     def generate_trace(self, record, output):
+        """Vectorized across events: the 64-round state replay runs as (E,)
+        u64 array recurrences, and each of the 80 (octet, phase) row
+        positions is written for every event at once."""
         events = record.precompile_events.get("sha_compress", [])
         s = self.schema
-        t = np.zeros((80 * len(events), s.width), dtype=np.uint32)
+        E = len(events)
+        t = np.zeros((80 * E, s.width), dtype=np.uint32)
         sink = ByteSink(record)
-        row = 0
-        for ev in events:
-            hx = [r.value for r in ev.h_reads]
-            # replay the rounds to get per-row states
-            states = []
-            a, bb, c, d, e, f_, g, h = hx
-            for i in range(64):
-                states.append((a, bb, c, d, e, f_, g, h))
-                w_i = ev.w_reads[i].value
-                s1 = _ror(e, 6) ^ _ror(e, 11) ^ _ror(e, 25)
-                ch = ((e & f_) ^ ((~e) & g)) & 0xFFFFFFFF
-                temp1 = (h + s1 + ch + K[i] + w_i) & 0xFFFFFFFF
-                s0 = _ror(a, 2) ^ _ror(a, 13) ^ _ror(a, 22)
-                maj = ((a & bb) ^ (a & c) ^ (bb & c)) & 0xFFFFFFFF
-                temp2 = (s0 + maj) & 0xFFFFFFFF
-                h, g, f_, e, d, c, bb, a = g, f_, e, (d + temp1) & 0xFFFFFFFF, c, bb, a, (temp1 + temp2) & 0xFFFFFFFF
-            final_state = (a, bb, c, d, e, f_, g, h)
-            for n in range(10):
-                for o in range(8):
-                    r = row + 8 * n + o
-                    t[r, s.idx("shard")] = ev.shard
-                    t[r, s.idx("clk")] = ev.clk
-                    t[r, s.idx("wp_lo")], t[r, s.idx("wp_hi")] = ev.w_ptr & 0xFFFF, ev.w_ptr >> 16
-                    t[r, s.idx("hp_lo")], t[r, s.idx("hp_hi")] = ev.h_ptr & 0xFFFF, ev.h_ptr >> 16
-                    t[r, s.idx("is_real")] = 1
-                    t[r, s.idx(f"oct{o}")] = 1
-                    t[r, s.idx(f"on{n}")] = 1
-                    if n == 0 and o == 0:
-                        t[r, s.idx("is_start")] = 1
-                    if n == 8 and o == 7:
-                        t[r, s.idx("is_lastcmp")] = 1
-                    if 1 <= n <= 8:
-                        kv = K[8 * (n - 1) + o]
-                        t[r, s.idx("kw_lo")], t[r, s.idx("kw_hi")] = kv & 0xFFFF, kv >> 16
-                    for i in range(8):
-                        t[r, s.idx(f"hi{i}_lo")] = hx[i] & 0xFFFF
-                        t[r, s.idx(f"hi{i}_hi")] = hx[i] >> 16
-                    sink.u16(np.array([ev.w_ptr & 0xFFFF], dtype=np.uint32))
-                    sink.u16(np.array([((ev.w_ptr >> 16) + 256) * 2], dtype=np.uint32))
-                    sink.u16(np.array([ev.h_ptr & 0xFFFF], dtype=np.uint32))
-                    sink.u16(np.array([((ev.h_ptr >> 16) + 256) * 2], dtype=np.uint32))
-                    # state on this row
-                    if 1 <= n <= 8:
-                        st = states[8 * (n - 1) + o]
-                    else:
-                        st = final_state if n == 9 else states[0]
-                    if n == 0:
-                        st = (hx[0], hx[1], hx[2], hx[3], hx[4], hx[5], hx[6], hx[7])
-                    av, bv, cv, dv, ev_, fv, gv, hv = st
-                    for vname, val in (("a", av), ("b", bv), ("c", cv), ("e", ev_), ("f", fv), ("g", gv)):
-                        for j in range(32):
-                            t[r, s.idx(f"{vname}{j}")] = (val >> j) & 1
-                    t[r, s.idx("d_lo")], t[r, s.idx("d_hi")] = dv & 0xFFFF, dv >> 16
-                    t[r, s.idx("h_lo")], t[r, s.idx("h_hi")] = hv & 0xFFFF, hv >> 16
-                    # memory access + value + carries
-                    if n == 0:
-                        rec = ev.h_reads[o]
-                        ts_v = ev.clk
-                    elif n <= 8:
-                        rec = ev.w_reads[8 * (n - 1) + o]
-                        ts_v = ev.clk
-                    else:
-                        rec = ev.h_writes[o]
-                        ts_v = ev.clk + 1
-                    val = rec.value
-                    t[r, s.idx("m_lo")], t[r, s.idx("m_hi")] = val & 0xFFFF, val >> 16
-                    populate_access(
-                        t, s, np.array([r]), "m",
-                        np.array([rec.prev_shard]), np.array([rec.prev_timestamp]),
-                        np.array([rec.prev_value]),
-                        np.array([ev.shard]), np.array([ts_v]), sink,
-                    )
-                    # witnessed sums + carries for the step into the NEXT row
-                    if 1 <= n <= 8:
-                        i = 8 * (n - 1) + o
-                        nxt = states[i + 1] if i + 1 < 64 else final_state
-                        w_i = ev.w_reads[i].value
-                        st_now = states[i]
-                        a0, b0, c0, d0, e0, f0, g0, h0 = st_now
-                        s1 = _ror(e0, 6) ^ _ror(e0, 11) ^ _ror(e0, 25)
-                        ch = ((e0 & f0) ^ ((~e0) & g0)) & 0xFFFFFFFF
-                        t1 = h0 + s1 + ch + K[i] + w_i
-                        s0v = _ror(a0, 2) ^ _ror(a0, 13) ^ _ror(a0, 22)
-                        maj = ((a0 & b0) ^ (a0 & c0) ^ (b0 & c0)) & 0xFFFFFFFF
-                        t2 = s0v + maj
-                        ne, na = nxt[4], nxt[0]
-                        t[r, s.idx("s1w_lo")], t[r, s.idx("s1w_hi")] = s1 & 0xFFFF, s1 >> 16
-                        t[r, s.idx("chw_lo")], t[r, s.idx("chw_hi")] = ch & 0xFFFF, ch >> 16
-                        t[r, s.idx("s0w_lo")], t[r, s.idx("s0w_hi")] = s0v & 0xFFFF, s0v >> 16
-                        t[r, s.idx("majw_lo")], t[r, s.idx("majw_hi")] = maj & 0xFFFF, maj >> 16
-                        t1_lo = (h0 & 0xFFFF) + (s1 & 0xFFFF) + (ch & 0xFFFF) + (K[i] & 0xFFFF) + (w_i & 0xFFFF)
-                        t1_hi = (h0 >> 16) + (s1 >> 16) + (ch >> 16) + (K[i] >> 16) + (w_i >> 16)
-                        t2_lo = (s0v & 0xFFFF) + (maj & 0xFFFF)
-                        t2_hi = (s0v >> 16) + (maj >> 16)
-                        car_e = ((d0 & 0xFFFF) + t1_lo - (ne & 0xFFFF)) >> 16
-                        car_e2 = ((d0 >> 16) + t1_hi + car_e - (ne >> 16)) >> 16
-                        car_a = (t1_lo + t2_lo - (na & 0xFFFF)) >> 16
-                        car_a2 = (t1_hi + t2_hi + car_a - (na >> 16)) >> 16
-                        t[r, s.idx("car_e")] = car_e
-                        t[r, s.idx("car_a")] = car_a
-                        t[r, s.idx("car_e2")] = car_e2
-                        t[r, s.idx("car_a2")] = car_a2
-                        sink.u8pair(np.array([car_e], dtype=np.uint32), np.array([car_a], dtype=np.uint32))
-                        sink.u8pair(np.array([car_e2], dtype=np.uint32), np.array([car_a2], dtype=np.uint32))
-                    elif n == 9:
-                        vcur = final_state[o]
-                        hsum_lo = (hx[o] & 0xFFFF) + (vcur & 0xFFFF)
-                        cf = (hsum_lo - (val & 0xFFFF)) >> 16
-                        cf2 = ((hx[o] >> 16) + (vcur >> 16) + cf - (val >> 16)) >> 16
-                        t[r, s.idx("car_e")] = cf
-                        t[r, s.idx("car_e2")] = cf2
-                        sink.u8pair(np.array([cf], dtype=np.uint32), np.array([t[r, s.idx('car_a')]], dtype=np.uint32))
-                        sink.u8pair(np.array([cf2], dtype=np.uint32), np.array([t[r, s.idx('car_a2')]], dtype=np.uint32))
-                        sink.u16(np.array([val & 0xFFFF], dtype=np.uint32))
-                        sink.u16(np.array([val >> 16], dtype=np.uint32))
-                    else:
-                        sink.u8pair(np.array([0], dtype=np.uint32), np.array([0], dtype=np.uint32))
-                        sink.u8pair(np.array([0], dtype=np.uint32), np.array([0], dtype=np.uint32))
-            row += 80
+        if E == 0:
+            return t
+        M32 = np.uint64(0xFFFFFFFF)
+        j32 = np.arange(32, dtype=np.uint64)
+
+        def rorv(x, r):
+            return ((x >> np.uint64(r)) | (x << np.uint64(32 - r))) & M32
+
+        hx = np.array([[r.value for r in ev.h_reads] for ev in events], dtype=np.uint64)
+        wv = np.array([[r.value for r in ev.w_reads] for ev in events], dtype=np.uint64)
+        shard = np.array([ev.shard for ev in events], dtype=np.uint32)
+        clk = np.array([ev.clk for ev in events], dtype=np.uint32)
+        wp = np.array([ev.w_ptr for ev in events], dtype=np.uint64)
+        hp = np.array([ev.h_ptr for ev in events], dtype=np.uint64)
+
+        # replay the 64 rounds over all events; states[i] = 8 x (E,) before round i
+        states = []
+        a, bb, c, d, e, f_, g, h = (hx[:, i].copy() for i in range(8))
+        for i in range(64):
+            states.append((a, bb, c, d, e, f_, g, h))
+            w_i = wv[:, i]
+            s1 = rorv(e, 6) ^ rorv(e, 11) ^ rorv(e, 25)
+            ch = ((e & f_) ^ (~e & g)) & M32
+            temp1 = (h + s1 + ch + np.uint64(K[i]) + w_i) & M32
+            s0 = rorv(a, 2) ^ rorv(a, 13) ^ rorv(a, 22)
+            maj = ((a & bb) ^ (a & c) ^ (bb & c)) & M32
+            temp2 = (s0 + maj) & M32
+            a, bb, c, d, e, f_, g, h = (
+                (temp1 + temp2) & M32, a, bb, c, (d + temp1) & M32, e, f_, g,
+            )
+        final_state = (a, bb, c, d, e, f_, g, h)
+        states.append(final_state)
+
+        base = 80 * np.arange(E, dtype=np.int64)
+        all_rows = (base[:, None] + np.arange(80)).reshape(-1)
+        rep = lambda arr: np.repeat(arr, 80)
+        t[all_rows, s.idx("shard")] = rep(shard)
+        t[all_rows, s.idx("clk")] = rep(clk)
+        t[all_rows, s.idx("wp_lo")] = rep((wp & 0xFFFF).astype(np.uint32))
+        t[all_rows, s.idx("wp_hi")] = rep((wp >> 16).astype(np.uint32))
+        t[all_rows, s.idx("hp_lo")] = rep((hp & 0xFFFF).astype(np.uint32))
+        t[all_rows, s.idx("hp_hi")] = rep((hp >> 16).astype(np.uint32))
+        t[all_rows, s.idx("is_real")] = 1
+        for i in range(8):
+            t[all_rows, s.idx(f"hi{i}_lo")] = rep((hx[:, i] & M32 & np.uint64(0xFFFF)).astype(np.uint32))
+            t[all_rows, s.idx(f"hi{i}_hi")] = rep((hx[:, i] >> 16).astype(np.uint32))
+        sink.u16(rep((wp & 0xFFFF).astype(np.uint32)))
+        sink.u16(rep((((wp >> 16) + 256) * 2).astype(np.uint32)))
+        sink.u16(rep((hp & 0xFFFF).astype(np.uint32)))
+        sink.u16(rep((((hp >> 16) + 256) * 2).astype(np.uint32)))
+
+        # record-field extraction for the one memory access per row
+        def rec_fields(get):
+            ps = np.array([[get(ev, o).prev_shard for o in range(8)] for ev in events], dtype=np.uint32)
+            pt = np.array([[get(ev, o).prev_timestamp for o in range(8)] for ev in events], dtype=np.uint32)
+            pv = np.array([[get(ev, o).prev_value for o in range(8)] for ev in events], dtype=np.uint32)
+            vv = np.array([[get(ev, o).value for o in range(8)] for ev in events], dtype=np.uint32)
+            return ps, pt, pv, vv
+
+        h_ps, h_pt, h_pv, h_vv = rec_fields(lambda ev, o: ev.h_reads[o])
+        hw_ps, hw_pt, hw_pv, hw_vv = rec_fields(lambda ev, o: ev.h_writes[o])
+        w_ps = np.array([[r.prev_shard for r in ev.w_reads] for ev in events], dtype=np.uint32)
+        w_pt = np.array([[r.prev_timestamp for r in ev.w_reads] for ev in events], dtype=np.uint32)
+        w_pv = np.array([[r.prev_value for r in ev.w_reads] for ev in events], dtype=np.uint32)
+        w_vv = np.array([[r.value for r in ev.w_reads] for ev in events], dtype=np.uint32)
+
+        bit_bases = {v: s.idx(f"{v}0") for v in ("a", "b", "c", "e", "f", "g")}
+
+        for n in range(10):
+            for o in range(8):
+                rows = base + 8 * n + o
+                t[rows, s.idx(f"oct{o}")] = 1
+                t[rows, s.idx(f"on{n}")] = 1
+                if n == 0 and o == 0:
+                    t[rows, s.idx("is_start")] = 1
+                if n == 8 and o == 7:
+                    t[rows, s.idx("is_lastcmp")] = 1
+                if 1 <= n <= 8:
+                    kv = K[8 * (n - 1) + o]
+                    t[rows, s.idx("kw_lo")] = kv & 0xFFFF
+                    t[rows, s.idx("kw_hi")] = kv >> 16
+                if n == 0:
+                    st = tuple(hx[:, i] for i in range(8))
+                elif n <= 8:
+                    st = states[8 * (n - 1) + o]
+                else:
+                    st = final_state
+                av, bv, cv, dv, ev_, fv, gv, hv = st
+                for vname, val in (("a", av), ("b", bv), ("c", cv), ("e", ev_), ("f", fv), ("g", gv)):
+                    b0 = bit_bases[vname]
+                    t[rows, b0 : b0 + 32] = ((val[:, None] >> j32) & np.uint64(1)).astype(np.uint32)
+                t[rows, s.idx("d_lo")] = (dv & np.uint64(0xFFFF)).astype(np.uint32)
+                t[rows, s.idx("d_hi")] = (dv >> 16).astype(np.uint32)
+                t[rows, s.idx("h_lo")] = (hv & np.uint64(0xFFFF)).astype(np.uint32)
+                t[rows, s.idx("h_hi")] = (hv >> 16).astype(np.uint32)
+                if n == 0:
+                    ps, pt, pv, vv = h_ps[:, o], h_pt[:, o], h_pv[:, o], h_vv[:, o]
+                    ts_v = clk
+                elif n <= 8:
+                    i = 8 * (n - 1) + o
+                    ps, pt, pv, vv = w_ps[:, i], w_pt[:, i], w_pv[:, i], w_vv[:, i]
+                    ts_v = clk
+                else:
+                    ps, pt, pv, vv = hw_ps[:, o], hw_pt[:, o], hw_pv[:, o], hw_vv[:, o]
+                    ts_v = clk + 1
+                t[rows, s.idx("m_lo")] = vv & 0xFFFF
+                t[rows, s.idx("m_hi")] = vv >> 16
+                populate_access(t, s, rows, "m", ps, pt, pv, shard, ts_v, sink)
+                if 1 <= n <= 8:
+                    i = 8 * (n - 1) + o
+                    nxt = states[i + 1]
+                    w_i = wv[:, i]
+                    a0, b0_, c0, d0, e0, f0, g0, h0 = states[i]
+                    s1 = rorv(e0, 6) ^ rorv(e0, 11) ^ rorv(e0, 25)
+                    ch = ((e0 & f0) ^ (~e0 & g0)) & M32
+                    s0v = rorv(a0, 2) ^ rorv(a0, 13) ^ rorv(a0, 22)
+                    maj = ((a0 & b0_) ^ (a0 & c0) ^ (b0_ & c0)) & M32
+                    ne, na = nxt[4], nxt[0]
+                    for name, valv in (("s1w", s1), ("chw", ch), ("s0w", s0v), ("majw", maj)):
+                        t[rows, s.idx(f"{name}_lo")] = (valv & np.uint64(0xFFFF)).astype(np.uint32)
+                        t[rows, s.idx(f"{name}_hi")] = (valv >> 16).astype(np.uint32)
+                    kv = np.uint64(K[i])
+                    t1_lo = (h0 & np.uint64(0xFFFF)) + (s1 & np.uint64(0xFFFF)) + (ch & np.uint64(0xFFFF)) + (kv & np.uint64(0xFFFF)) + (w_i & np.uint64(0xFFFF))
+                    t1_hi = (h0 >> 16) + (s1 >> 16) + (ch >> 16) + (kv >> 16) + (w_i >> 16)
+                    t2_lo = (s0v & np.uint64(0xFFFF)) + (maj & np.uint64(0xFFFF))
+                    t2_hi = (s0v >> 16) + (maj >> 16)
+                    car_e = ((d0 & np.uint64(0xFFFF)) + t1_lo - (ne & np.uint64(0xFFFF))) >> np.uint64(16)
+                    car_e2 = ((d0 >> 16) + t1_hi + car_e - (ne >> 16)) >> np.uint64(16)
+                    car_a = (t1_lo + t2_lo - (na & np.uint64(0xFFFF))) >> np.uint64(16)
+                    car_a2 = (t1_hi + t2_hi + car_a - (na >> 16)) >> np.uint64(16)
+                    car_e = car_e.astype(np.uint32); car_a = car_a.astype(np.uint32)
+                    car_e2 = car_e2.astype(np.uint32); car_a2 = car_a2.astype(np.uint32)
+                    t[rows, s.idx("car_e")] = car_e
+                    t[rows, s.idx("car_a")] = car_a
+                    t[rows, s.idx("car_e2")] = car_e2
+                    t[rows, s.idx("car_a2")] = car_a2
+                    sink.u8pair(car_e, car_a)
+                    sink.u8pair(car_e2, car_a2)
+                elif n == 9:
+                    vcur = final_state[o]
+                    hsum_lo = (hx[:, o] & np.uint64(0xFFFF)) + (vcur & np.uint64(0xFFFF))
+                    vv64 = vv.astype(np.uint64)
+                    cf = (hsum_lo - (vv64 & np.uint64(0xFFFF))) >> np.uint64(16)
+                    cf2 = ((hx[:, o] >> 16) + (vcur >> 16) + cf - (vv64 >> 16)) >> np.uint64(16)
+                    cf = cf.astype(np.uint32); cf2 = cf2.astype(np.uint32)
+                    t[rows, s.idx("car_e")] = cf
+                    t[rows, s.idx("car_e2")] = cf2
+                    zero = np.zeros(E, dtype=np.uint32)
+                    sink.u8pair(cf, zero)
+                    sink.u8pair(cf2, zero)
+                    sink.u16(vv & 0xFFFF)
+                    sink.u16(vv >> 16)
+                else:
+                    zero = np.zeros(E, dtype=np.uint32)
+                    sink.u8pair(zero, zero)
+                    sink.u8pair(zero, zero)
         return t
 
 

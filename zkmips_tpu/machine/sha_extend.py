@@ -168,58 +168,85 @@ class ShaExtendAir(BaseAir):
         return bool(record.precompile_events.get("sha_extend"))
 
     def generate_trace(self, record, output):
+        """Vectorized across events: each of the 48 iterations is written for
+        every event at once ((E,) u64 array math per iteration)."""
         events = record.precompile_events.get("sha_extend", [])
         s = self.schema
-        t = np.zeros((48 * len(events), s.width), dtype=np.uint32)
+        E = len(events)
+        t = np.zeros((48 * E, s.width), dtype=np.uint32)
         sink = ByteSink(record)
-        row = 0
-        for ev in events:
-            for k in range(48):
-                it = 16 + k
-                t[row, s.idx("shard")] = ev.shard
-                t[row, s.idx("clk")] = ev.clk
-                t[row, s.idx("wp_lo")] = ev.w_ptr & 0xFFFF
-                t[row, s.idx("wp_hi")] = ev.w_ptr >> 16
-                t[row, s.idx("iter")] = it
-                if k == 0:
-                    t[row, s.idx("is_start")] = 1
-                if it == 63:
-                    t[row, s.idx("is_lastiter")] = 1
-                else:
-                    t[row, s.idx("li_inv")] = ff.inv_int((it - 63) % ff.P)
-                t[row, s.idx("is_real")] = 1
-                sink.u16(np.array([ev.w_ptr & 0xFFFF], dtype=np.uint32))
-                sink.u16(np.array([((ev.w_ptr >> 16) + 256) * 2], dtype=np.uint32))
-                w15 = ev.reads_15[k].value
-                w2 = ev.reads_2[k].value
-                for j in range(32):
-                    t[row, s.idx(f"b15_{j}")] = (w15 >> j) & 1
-                    t[row, s.idx(f"b2_{j}")] = (w2 >> j) & 1
-                wv = ev.writes[k].value
-                t[row, s.idx("w_lo")] = wv & 0xFFFF
-                t[row, s.idx("w_hi")] = wv >> 16
-                sink.u16(np.array([wv & 0xFFFF], dtype=np.uint32))
-                sink.u16(np.array([wv >> 16], dtype=np.uint32))
-                s0 = _ror_i(w15, 7) ^ _ror_i(w15, 18) ^ (w15 >> 3)
-                s1 = _ror_i(w2, 17) ^ _ror_i(w2, 19) ^ (w2 >> 10)
-                w16v = ev.reads_16[k].value
-                w7v = ev.reads_7[k].value
-                c0 = ((s1 & 0xFFFF) + (w16v & 0xFFFF) + (s0 & 0xFFFF) + (w7v & 0xFFFF) - (wv & 0xFFFF)) >> 16
-                c1 = ((s1 >> 16) + (w16v >> 16) + (s0 >> 16) + (w7v >> 16) + c0 - (wv >> 16)) >> 16
-                t[row, s.idx("c0")] = c0
-                t[row, s.idx("c1")] = c1
-                ts = ev.clk + k
-                for p, rec in (
-                    ("r15", ev.reads_15[k]), ("r2", ev.reads_2[k]), ("r16", ev.reads_16[k]),
-                    ("r7", ev.reads_7[k]), ("wout", ev.writes[k]),
-                ):
-                    populate_access(
-                        t, s, np.array([row]), p,
-                        np.array([rec.prev_shard]), np.array([rec.prev_timestamp]),
-                        np.array([rec.prev_value]),
-                        np.array([ev.shard]), np.array([ts]), sink,
-                    )
-                row += 1
+        if E == 0:
+            return t
+        M32 = np.uint64(0xFFFFFFFF)
+        j32 = np.arange(32, dtype=np.uint64)
+
+        def rorv(x, r):
+            return ((x >> np.uint64(r)) | (x << np.uint64(32 - r))) & M32
+
+        shard = np.array([ev.shard for ev in events], dtype=np.uint32)
+        clk = np.array([ev.clk for ev in events], dtype=np.uint32)
+        wp = np.array([ev.w_ptr for ev in events], dtype=np.uint64)
+
+        def recs(getter):
+            ps = np.array([[getter(ev, k).prev_shard for k in range(48)] for ev in events], dtype=np.uint32)
+            pt = np.array([[getter(ev, k).prev_timestamp for k in range(48)] for ev in events], dtype=np.uint32)
+            pv = np.array([[getter(ev, k).prev_value for k in range(48)] for ev in events], dtype=np.uint32)
+            vv = np.array([[getter(ev, k).value for k in range(48)] for ev in events], dtype=np.uint64)
+            return ps, pt, pv, vv
+
+        r15 = recs(lambda ev, k: ev.reads_15[k])
+        r2 = recs(lambda ev, k: ev.reads_2[k])
+        r16 = recs(lambda ev, k: ev.reads_16[k])
+        r7 = recs(lambda ev, k: ev.reads_7[k])
+        wr = recs(lambda ev, k: ev.writes[k])
+
+        base = 48 * np.arange(E, dtype=np.int64)
+        all_rows = (base[:, None] + np.arange(48)).reshape(-1)
+        rep = lambda a: np.repeat(a, 48)
+        t[all_rows, s.idx("shard")] = rep(shard)
+        t[all_rows, s.idx("clk")] = rep(clk)
+        t[all_rows, s.idx("wp_lo")] = rep((wp & 0xFFFF).astype(np.uint32))
+        t[all_rows, s.idx("wp_hi")] = rep((wp >> 16).astype(np.uint32))
+        t[all_rows, s.idx("is_real")] = 1
+        sink.u16(rep((wp & 0xFFFF).astype(np.uint32)))
+        sink.u16(rep((((wp >> 16) + 256) * 2).astype(np.uint32)))
+
+        b15_0, b2_0 = s.idx("b15_0"), s.idx("b2_0")
+        for k in range(48):
+            it = 16 + k
+            rows = base + k
+            t[rows, s.idx("iter")] = it
+            if k == 0:
+                t[rows, s.idx("is_start")] = 1
+            if it == 63:
+                t[rows, s.idx("is_lastiter")] = 1
+            else:
+                t[rows, s.idx("li_inv")] = ff.inv_int((it - 63) % ff.P)
+            w15 = r15[3][:, k]
+            w2 = r2[3][:, k]
+            t[rows, b15_0 : b15_0 + 32] = ((w15[:, None] >> j32) & np.uint64(1)).astype(np.uint32)
+            t[rows, b2_0 : b2_0 + 32] = ((w2[:, None] >> j32) & np.uint64(1)).astype(np.uint32)
+            wv = wr[3][:, k]
+            wv_lo = (wv & np.uint64(0xFFFF)).astype(np.uint32)
+            wv_hi = (wv >> 16).astype(np.uint32)
+            t[rows, s.idx("w_lo")] = wv_lo
+            t[rows, s.idx("w_hi")] = wv_hi
+            sink.u16(wv_lo)
+            sink.u16(wv_hi)
+            s0 = rorv(w15, 7) ^ rorv(w15, 18) ^ (w15 >> np.uint64(3))
+            s1 = rorv(w2, 17) ^ rorv(w2, 19) ^ (w2 >> np.uint64(10))
+            w16v = r16[3][:, k]
+            w7v = r7[3][:, k]
+            lo16 = np.uint64(0xFFFF)
+            c0 = ((s1 & lo16) + (w16v & lo16) + (s0 & lo16) + (w7v & lo16) - (wv & lo16)) >> np.uint64(16)
+            c1 = ((s1 >> 16) + (w16v >> 16) + (s0 >> 16) + (w7v >> 16) + c0 - (wv >> 16)) >> np.uint64(16)
+            t[rows, s.idx("c0")] = c0.astype(np.uint32)
+            t[rows, s.idx("c1")] = c1.astype(np.uint32)
+            ts = clk + k
+            for p, (ps, pt, pv, vv) in (
+                ("r15", r15), ("r2", r2), ("r16", r16), ("r7", r7), ("wout", wr),
+            ):
+                populate_access(t, s, rows, p, ps[:, k], pt[:, k], pv[:, k], shard, ts, sink)
         return t
 
 
