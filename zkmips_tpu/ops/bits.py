@@ -27,15 +27,23 @@ def bitrev_indices(log_n: int) -> np.ndarray:
 
 
 def bitrev_rows(x):
-    """Permute rows of (n, ...) array into bit-reversed order (involution)."""
+    """Permute rows of (n, ...) array into bit-reversed order (involution).
+
+    Device path: reshape the row axis into log_n bit axes and reverse them —
+    a pure transpose, so no 8-byte-per-row index literal lands in the HLO
+    (the remote-compile transport rejects multi-MB constant payloads)."""
     n = x.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "bitrev needs power-of-two height"
-    idx = bitrev_indices(log_n)
     xp = f.xp_of(x)
     if xp is np:
-        return x[idx]
-    return xp.take(x, xp.asarray(idx), axis=0)
+        return x[bitrev_indices(log_n)]
+    if log_n == 0:
+        return x
+    tail = x.shape[1:]
+    y = x.reshape((2,) * log_n + tail)
+    perm = tuple(reversed(range(log_n))) + tuple(range(log_n, log_n + len(tail)))
+    return y.transpose(perm).reshape(x.shape)
 
 
 def sum_mod(x, axis: int = 0):
@@ -78,3 +86,19 @@ def powers_monty_np(base: int, n: int) -> np.ndarray:
     """[1, b, ..., b^(n-1)] in Montgomery form (uint32 numpy)."""
     can = powers_canonical_np(base, n)
     return (((can.astype(np.uint64)) << 32) % f.P).astype(np.uint32)
+
+
+def powers_monty(base: int, n: int, xp) -> "np.ndarray":
+    """[1, b, ..., b^(n-1)] Montgomery.  Device path builds the table by
+    log-doubling with scalar step constants (b^(2^j) precomputed as Python
+    ints), so traced kernels carry O(log n) scalars instead of an n-element
+    literal."""
+    if xp is np:
+        return powers_monty_np(base, n)
+    out = xp.full((1,), np.uint32(f.MONTY_ONE), dtype=np.uint32)
+    cur = base % f.P
+    while out.shape[0] < n:
+        step = np.uint32(f.to_monty_int(cur))
+        out = xp.concatenate([out, f.mul(out, step)])
+        cur = cur * cur % f.P
+    return out[:n]

@@ -52,8 +52,18 @@ def ntt(x, inverse: bool = False):
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return x[:, 0] if squeeze else x
+    xp = f.xp_of(x)
     x = bits.bitrev_rows(x)
-    for s, tw in enumerate(_stage_twiddles(log_n, inverse), start=1):
+    if xp is np:
+        twiddles = _stage_twiddles(log_n, inverse)
+    else:
+        twiddles = []
+        for s_ in range(1, log_n + 1):
+            w_m = f.two_adic_generator_int(s_)
+            if inverse:
+                w_m = f.inv_int(w_m)
+            twiddles.append(bits.powers_monty(w_m, 1 << (s_ - 1), xp))
+    for s, tw in enumerate(twiddles, start=1):
         m = 1 << s
         half = m // 2
         y = x.reshape(n // m, m, w)
@@ -89,7 +99,9 @@ def coset_lde(x, log_blowup: int = 1, shift: int = f.GENERATOR):
         x = x[:, None]
     n, w = x.shape
     coeffs = ntt(x, inverse=True)
-    coeffs = f.mul(coeffs, _shift_powers(shift, n)[:, None])
+    xp = f.xp_of(x)
+    sp = _shift_powers(shift, n) if xp is np else bits.powers_monty(shift, n, xp)
+    coeffs = f.mul(coeffs, sp[:, None])
     big_n = n << log_blowup
     xp = f.xp_of(x)
     if xp is np:

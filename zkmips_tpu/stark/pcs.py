@@ -109,7 +109,7 @@ def _commit_body(config: FriConfig, shapes, xp):
         for (log_n, shift, _w), evals in zip(shapes, mats):
             c = ntt.ntt(evals, inverse=True)
             rel_shift = f.GENERATOR * f.inv_int(shift) % f.P
-            scaled = f.mul(c, bits.powers_monty_np(rel_shift, 1 << log_n)[:, None])
+            scaled = f.mul(c, bits.powers_monty(rel_shift, 1 << log_n, xp)[:, None])
             big_n = (1 << log_n) << config.log_blowup
             if xp is np:
                 padded = np.zeros((big_n, scaled.shape[1]), dtype=np.uint32)
@@ -187,9 +187,15 @@ def _reduce_contrib_batch(parts, log_h: int, xp):
     zs = np.stack([np.asarray(sl[0][1]) for sl in slot_lists])
 
     def make():
-        x_vec = lde_points_bitrev_monty(log_h)
+        def x_points():
+            if xp is np:
+                return lde_points_bitrev_monty(log_h)
+            pts = f.mul(bits.powers_monty(f.two_adic_generator_int(log_h), 1 << log_h, xp),
+                        np.uint32(f.to_monty_int(f.GENERATOR)))
+            return bits.bitrev_rows(pts)
 
         def fn(zz, slot_args):
+            x_vec = x_points()
             acc = None
             for si, plist in enumerate(slot_args):
                 num = None
@@ -584,9 +590,15 @@ def _bitrev_int(i: int, nbits: int) -> int:
 
 
 def _reduce_contrib_body(log_h: int, xp):
-    x_vec = lde_points_bitrev_monty(log_h)  # closed-over constant
+    def x_points():
+        if xp is np:
+            return lde_points_bitrev_monty(log_h)
+        pts = f.mul(bits.powers_monty(f.two_adic_generator_int(log_h), 1 << log_h, xp),
+                    np.uint32(f.to_monty_int(f.GENERATOR)))
+        return bits.bitrev_rows(pts)
 
     def fn(lde, z, ys, apows):
+        x_vec = x_points()
         s_val = _ext_dot_ext(apows, ys)
         t_vec = _ext_dot_base(apows, lde, xp)
         num = ext4.sub(s_val[None, :], t_vec)
@@ -625,9 +637,15 @@ def _fold_commit(cur, log_h: int, xp, mk=merkle):
 
 
 def _fold_step_body(log_h: int, has_next: bool, xp):
-    inv2x = fold_inv_2x_monty(log_h)
+    def inv2x_dev():
+        if xp is np:
+            return fold_inv_2x_monty(log_h)
+        nat = bits.powers_monty(f.two_adic_generator_int(log_h), max(1 << (log_h - 1), 1), xp)
+        xs = bits.bitrev_rows(nat) if log_h > 1 else nat
+        return f.inv(f.mul(xs, np.uint32(f.to_monty_int(2))))
 
     def fn(cur, beta, nxt):
+        inv2x = inv2x_dev()
         evens, odds = cur[0::2], cur[1::2]
         half_sum = ext4.mul_base(ext4.add(evens, odds), np.uint32(f.HALF))
         half_diff = ext4.mul_base(ext4.sub(evens, odds), inv2x)

@@ -49,6 +49,28 @@ def coset_selectors(log_h: int, lqd: int):
     }
 
 
+def coset_selectors_dev(log_h: int, lqd: int, xp):
+    """coset_selectors computed with device ops (traced kernels would embed
+    the host tables as multi-MB HLO literals otherwise)."""
+    h = 1 << log_h
+    wpow = bits.powers_monty(f.two_adic_generator_int(log_h + lqd), 1 << (log_h + lqd), xp)
+    g_m = np.uint32(f.to_monty_int(f.GENERATOR))
+    pts = f.mul(wpow, g_m)  # monty, shift-g coset, natural order
+    one_m = np.uint32(f.MONTY_ONE)
+    zh = f.sub(f.pow_const(pts, h), one_m)  # g^H w^{iH} - 1 (monty)
+    g_h = f.two_adic_generator_int(log_h)
+    last = f.inv_int(g_h)
+    last_m = np.uint32(f.to_monty_int(last))
+    x_min_1 = f.sub(pts, one_m)
+    x_min_last = f.sub(pts, last_m)
+    return {
+        Selector.FIRST: f.mul(zh, f.inv(x_min_1)),
+        Selector.LAST: f.mul(zh, f.inv(x_min_last)),
+        Selector.TRANSITION: x_min_last,
+        "inv_zeroifier": f.inv(zh),
+    }
+
+
 def pow_mod_vec(x: np.ndarray, e: int) -> np.ndarray:
     """x**e mod P for uint64 canonical arrays (square-and-multiply)."""
     r = np.ones_like(x)
@@ -64,7 +86,7 @@ def pow_mod_vec(x: np.ndarray, e: int) -> np.ndarray:
 def lde_onto_quotient_domain(trace_monty, log_h: int, lqd: int, xp=np):
     """(H, w) evals on <w_H> -> (H<<lqd, w) evals on g*<w_N>, natural order."""
     coeffs = ntt.ntt(trace_monty, inverse=True)
-    scaled = f.mul(coeffs, bits.powers_monty_np(f.GENERATOR, coeffs.shape[0])[:, None])
+    scaled = f.mul(coeffs, bits.powers_monty(f.GENERATOR, coeffs.shape[0], xp)[:, None])
     big_n = coeffs.shape[0] << lqd
     if xp is np:
         padded = np.zeros((big_n, scaled.shape[1]), dtype=np.uint32)
@@ -119,7 +141,7 @@ def quotient_chunks(
             return arr[:, 4 * col : 4 * col + 4]
         raise ValueError(segment)
 
-    sels = coset_selectors(log_h, lqd)
+    sels = coset_selectors(log_h, lqd) if xp is np else coset_selectors_dev(log_h, lqd, xp)
     ctx = EvalContext(
         var_fn,
         selectors=sels,
