@@ -7,10 +7,11 @@ Baseline derivation (BASELINE.md): the reference proves fibonacci n=58218 in
 (≈35 cycles/iteration incl. loads + runtime overhead), giving a baseline of
 ~133,000 cycles proved per second per host.  vs_baseline = ours / 133000.
 
-Default run is the numpy prover (no compile latency).  BENCH_DEVICE=1 runs
-the TPU stage-kernel path instead: first pass compiles/loads the persistent
-kernel cache (minutes when cold), the measured pass is steady-state — warm
-it reaches ~11k cycles/s at fib20000 on one v5e chip vs ~420 c/s numpy.
+Default run proves fib200000 (1.2M MIPS cycles, two shards at the 2^20
+cycle budget) on the attached accelerator when present: the first pass
+compiles/loads the persistent kernel cache (minutes when cold), the measured
+pass is steady-state — ~60k cycles/s on one tunneled v5e chip (vs ~440 c/s
+for the numpy prover, BENCH_DEVICE=0).
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ def _device_available() -> bool:
 
 
 def main():
-    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "8000"))
+    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "200000"))
     from zkmips_tpu.executor import Executor, Instruction, Opcode, Register
     from zkmips_tpu.executor import asm
     from zkmips_tpu.machine.machine import MipsMachine
