@@ -96,7 +96,8 @@ class BranchAir(InstrAir):
         t[:, s.idx("msb_a")] = msb
         sink.msb(msb, a_h1)
         sa = np.where(a >> 31, a - (1 << 32), a)
-        opv = np.array([int(o) for o in ops], dtype=np.int64)
+        opv = (ops.array.astype(np.int64) if hasattr(ops, "array")
+               else np.array([int(o) for o in ops], dtype=np.int64))
         taken = np.select(
             [opv == int(O.BEQ), opv == int(O.BNE), opv == int(O.BGEZ),
              opv == int(O.BGTZ), opv == int(O.BLEZ), opv == int(O.BLTZ)],

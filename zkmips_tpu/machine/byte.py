@@ -71,6 +71,9 @@ class ByteAir(BaseAir):
         t = np.zeros((NUM_ROWS, len(_OPS)), dtype=np.uint32)
         entries = record.byte_lookups.get("arrays", [])
         col_of = {int(op): ci for ci, (op, _sel) in enumerate(_OPS)}
+        # accumulate per column with one bincount over the concatenated rows
+        # (np.add.at is an order of magnitude slower per element)
+        by_col: dict[int, list] = {}
         for op, a, bb, c in entries:
             if op == int(ByteOpcode.U16Range):
                 rows = a
@@ -78,7 +81,10 @@ class ByteAir(BaseAir):
                 rows = bb << 8
             else:
                 rows = (bb << 8) | c
-            np.add.at(t, (rows.astype(np.int64), col_of[op]), 1)
+            by_col.setdefault(col_of[op], []).append(rows.astype(np.int64, copy=False))
+        for ci, parts in by_col.items():
+            rows = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            t[:, ci] += np.bincount(rows, minlength=NUM_ROWS).astype(np.uint32)
         return t
 
     def num_rows(self, record):

@@ -307,17 +307,16 @@ def _syscall_full_id(e) -> int:
     return e.syscall_code
 
 
+_INV_LUT = None
+
+
 def _field_inv_nonzero(x: np.ndarray) -> np.ndarray:
-    """Field inverse for nonzero entries, 0 where x == 0 (register indices)."""
+    """Field inverse for nonzero entries, 0 where x == 0.
+
+    Inputs are register indices (< 64): one gather through a tiny LUT."""
     from ..ops import field as f
 
-    out = np.zeros_like(x)
-    cache = {}
-    for i, v in enumerate(x):
-        v = int(v)
-        if v == 0:
-            continue
-        if v not in cache:
-            cache[v] = f.inv_int(v)
-        out[i] = cache[v]
-    return out
+    global _INV_LUT
+    if _INV_LUT is None:
+        _INV_LUT = np.array([0] + [f.inv_int(v) for v in range(1, 64)], dtype=np.uint32)
+    return _INV_LUT[x]
