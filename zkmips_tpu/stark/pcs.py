@@ -391,10 +391,7 @@ def open_batches(
         rows, sibs = pdata.tree.open_many(idx_arr >> (log_max - batch_log_max))
         # one device->host transfer per tree; per-query assembly is host slicing
         per_round.append(([np.asarray(r) for r in rows], np.asarray(sibs)))
-    per_layer = []
-    for k, tree in enumerate(layer_trees):
-        rows, sibs = tree.open_many((idx_arr >> k) >> 1)
-        per_layer.append((np.asarray(rows[0]), np.asarray(sibs)))
+    per_layer = _open_fold_layers(layer_trees, idx_arr, xp)
 
     query_proofs = []
     for qi, idx in enumerate(indices):
@@ -411,6 +408,58 @@ def open_batches(
 
     _sp.__exit__(None, None, None)
     return opened_values, FriProof(commit_roots, np.asarray(final_poly), pow_witness, query_proofs)
+
+
+def _open_fold_layers(layer_trees, idx_arr: np.ndarray, xp):
+    """Query-open every FRI fold layer in one device dispatch.
+
+    Per-layer open_many costs a tunnel roundtrip each (~17 layers at 2^20
+    shards); this gathers all layers' rows + sibling paths in a single
+    jitted call and one flat transfer."""
+    q = len(idx_arr)
+    if not layer_trees:
+        return []
+    if isinstance(layer_trees[0].matrices[0], np.ndarray):
+        out = []
+        for k, tree in enumerate(layer_trees):
+            rows, sibs = tree.open_many((idx_arr >> k) >> 1)
+            out.append((np.asarray(rows[0]), np.asarray(sibs)))
+        return out
+    from .jit_util import cached_jit
+
+    log_hs = tuple(t.matrices[0].shape[0].bit_length() - 1 for t in layer_trees)
+
+    def make():
+        import jax.numpy as jnp
+
+        def body(idx, mats, layer_digests):
+            parts = []
+            for k, (mat, digests, log_h) in enumerate(zip(mats, layer_digests, log_hs)):
+                pair_idx = (idx >> k) >> 1
+                parts.append(mat[pair_idx].reshape(-1))
+                for lvl in range(log_h):
+                    parts.append(digests[lvl][(pair_idx >> lvl) ^ 1].reshape(-1))
+            return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint32)
+
+        return body
+
+    fn = cached_jit("pcs_fold_open", (log_hs, q), make)
+    flat = np.asarray(fn(
+        idx_arr,
+        tuple(t.matrices[0] for t in layer_trees),
+        tuple(tuple(t.digest_layers[:log_h]) for t, log_h in zip(layer_trees, log_hs)),
+    ))
+    out, off = [], 0
+    for t, log_h in zip(layer_trees, log_hs):
+        w = t.matrices[0].shape[1]
+        rows = flat[off : off + q * w].reshape(q, w)
+        off += q * w
+        sibs = (flat[off : off + log_h * q * merkle.DIGEST_SIZE]
+                .reshape(log_h, q, merkle.DIGEST_SIZE).transpose(1, 0, 2)
+                if log_h else np.zeros((q, 0, merkle.DIGEST_SIZE), dtype=np.uint32))
+        off += log_h * q * merkle.DIGEST_SIZE
+        out.append((rows, sibs))
+    return out
 
 
 def _alpha_powers(alpha: np.ndarray, start: int, count: int) -> np.ndarray:
