@@ -10,13 +10,11 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
 _LIB = None
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc", "executor.c")
-_SO = _SRC.replace("executor.c", "libzkmexec.so")
 
 
 class NativeUnsupported(Exception):
@@ -26,11 +24,9 @@ class NativeUnsupported(Exception):
 def _lib():
     global _LIB
     if _LIB is None:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True
-            )
-        _LIB = ctypes.CDLL(_SO)
+        from ..utils.cbuild import build
+
+        _LIB = ctypes.CDLL(build(_SRC))
         _LIB.zkm_run.restype = ctypes.c_int
     return _LIB
 

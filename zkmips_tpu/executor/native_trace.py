@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -30,7 +29,6 @@ _SRC = os.path.join(
     "csrc",
     "trace_executor.c",
 )
-_SO = _SRC.replace("trace_executor.c", "libzkmtrace.so")
 
 _NCOLS = len(CPU_DTYPE.names)
 
@@ -47,9 +45,9 @@ def available() -> bool:
 def _lib():
     global _LIB
     if _LIB is None:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
-        _LIB = ctypes.CDLL(_SO)
+        from ..utils.cbuild import build
+
+        _LIB = ctypes.CDLL(build(_SRC))
         _LIB.zkm_trace_new.restype = ctypes.c_void_p
         _LIB.zkm_trace_new.argtypes = [
             ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -22,7 +21,6 @@ _SRC = os.path.join(
     "csrc",
     "bn254.c",
 )
-_SO = _SRC.replace("bn254.c", "libzkmbn254.so")
 
 
 def available() -> bool:
@@ -35,9 +33,9 @@ def available() -> bool:
 def _lib():
     global _LIB
     if _LIB is None:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            subprocess.run(["cc", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC], check=True)
-        _LIB = ctypes.CDLL(_SO)
+        from ..utils.cbuild import build
+
+        _LIB = ctypes.CDLL(build(_SRC, ("-fopenmp",)))
     return _LIB
 
 
