@@ -138,6 +138,46 @@ def _prep_key(prep):
     return key
 
 
+def _upload_trace_monty(t: np.ndarray, xp):
+    """Upload a canonical u32 trace narrowed per column; device widens,
+    restores column order with a static gather, and converts to Montgomery.
+
+    The column partition is data-derived but structural in practice (the same
+    chip produces the same signature every shard), so the kernel cache keys
+    on it without churn."""
+    from .jit_util import cached_jit
+
+    h, w = t.shape
+    if h * w < (1 << 16) or w == 0:
+        fn = cached_jit("to_monty", t.shape, lambda: f.to_monty)
+        return fn(xp.asarray(t))
+    mx = t.max(axis=0)
+    cols8 = tuple(int(c) for c in np.nonzero(mx <= 0xFF)[0])
+    cols16 = tuple(int(c) for c in np.nonzero((mx > 0xFF) & (mx <= 0xFFFF))[0])
+    cols32 = tuple(int(c) for c in np.nonzero(mx > 0xFFFF)[0])
+    a8 = np.ascontiguousarray(t[:, cols8]).astype(np.uint8)
+    a16 = np.ascontiguousarray(t[:, cols16]).astype(np.uint16)
+    a32 = np.ascontiguousarray(t[:, cols32])
+    order = list(cols8) + list(cols16) + list(cols32)
+    inv = np.empty(w, dtype=np.int32)
+    inv[order] = np.arange(w, dtype=np.int32)
+    inv_t = tuple(int(i) for i in inv)
+
+    def make():
+        import jax.numpy as jnp
+
+        def fn(b8, b16, b32):
+            cat = jnp.concatenate(
+                [b8.astype(jnp.uint32), b16.astype(jnp.uint32), b32], axis=1
+            )
+            return f.to_monty(cat[:, jnp.array(inv_t, dtype=jnp.int32)])
+
+        return fn
+
+    fn = cached_jit("trace_pack_monty", (h, w, cols8, cols16), make)
+    return fn(xp.asarray(a8), xp.asarray(a16), xp.asarray(a32))
+
+
 class StarkMachine:
     def __init__(self, config: StarkConfig, chips: list[Chip], num_public_values: int = 0, shape_config=None):
         self.config = config
@@ -202,14 +242,11 @@ class StarkMachine:
             if xp is np:
                 traces[chip.name] = f.to_monty(t)
             else:
-                # upload CANONICAL values and convert on device: trace values
-                # are small ints that compress well on the transfer path,
-                # Montgomery form does not — and the numpy u64 modmul is
-                # slower than the fused device kernel
-                from .jit_util import cached_jit
-
-                fn = cached_jit("to_monty", t.shape, lambda: f.to_monty)
-                traces[chip.name] = fn(xp.asarray(t))
+                # upload CANONICAL values packed to the narrowest per-column
+                # dtype (flags/bytes as u8, 16-bit limbs as u16) and widen +
+                # convert to Montgomery on device: the tunnel transfer is the
+                # bottleneck, and most trace columns are limbs or selectors
+                traces[chip.name] = _upload_trace_monty(t, xp)
         _pad_span.__exit__(None, None, None)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
         names = [c.name for c in chips]

@@ -350,34 +350,45 @@ def open_batches(
     log_max = max(reduced)
     assert min(reduced) > config.log_blowup, "matrices at the minimum height are unsupported"
 
-    # 3. FRI commit phase (fused: fold k and commit k+1 in one dispatch)
+    # 3. FRI commit phase
     _sp = span("open.fold"); _sp.__enter__()
     mk = _mk(config)
-    cur = reduced[log_max]
-    commit_roots, betas, layer_trees = [], [], []
-    layer_mat, layers = _fold_commit(cur, log_max, xp, mk)
-    for log_h in range(log_max, config.log_blowup, -1):
-        tree = mk.MerkleTree([layer_mat], xp=xp, layers=layers)
-        layer_trees.append(tree)
-        root = tree.root
-        commit_roots.append(root)
-        challenger.observe_digest(root)
-        beta = challenger.sample_ext()
-        betas.append(beta)
-        nxt = reduced.get(log_h - 1)
-        use_next = nxt is not None and log_h - 1 > config.log_blowup
-        if log_h - 1 > config.log_blowup:
-            cur, layer_mat, layers = _fold_step_commit(
-                cur, beta, nxt if use_next else None, log_h, xp, mk
-            )
-        else:
-            cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
+    if xp is not np and config.hash_family == "kb":
+        # device-resident transcript: every fold layer's commit, the duplex
+        # challenger absorb/sample, and the next fold run inside ONE jitted
+        # dispatch — the per-layer host roundtrip (~19 layers x tunnel RTT at
+        # 2^20-cycle shards) collapses to a single transfer of the roots
+        commit_roots, final_poly, layer_trees = _fold_chain_device(
+            config, reduced, log_max, challenger, xp, mk
+        )
+    else:
+        cur = reduced[log_max]
+        commit_roots, layer_trees = [], []
+        layer_mat, layers = _fold_commit(cur, log_max, xp, mk)
+        for log_h in range(log_max, config.log_blowup, -1):
+            tree = mk.MerkleTree([layer_mat], xp=xp, layers=layers)
+            layer_trees.append(tree)
+            root = tree.root
+            commit_roots.append(root)
+            challenger.observe_digest(root)
+            beta = challenger.sample_ext()
+            nxt = reduced.get(log_h - 1)
+            use_next = nxt is not None and log_h - 1 > config.log_blowup
+            if log_h - 1 > config.log_blowup:
+                cur, layer_mat, layers = _fold_step_commit(
+                    cur, beta, nxt if use_next else None, log_h, xp, mk
+                )
+            else:
+                cur = _fold_step(cur, beta, nxt if use_next else None, log_h, xp)
+        final_poly = np.asarray(cur[0])
 
     _sp.__exit__(None, None, None)
-    final_poly = np.asarray(cur[0])
     challenger.observe_slice(ext4.to_canonical(final_poly))
     with span("open.grind"):
-        pow_witness = challenger.grind(config.proof_of_work_bits)
+        if xp is not np and config.hash_family == "kb":
+            pow_witness = _grind_device(challenger, config.proof_of_work_bits, xp)
+        else:
+            pow_witness = challenger.grind(config.proof_of_work_bits)
     assert challenger.check_witness(config.proof_of_work_bits, pow_witness)
 
     indices = [challenger.sample_bits(log_max) for _ in range(config.num_queries)]
@@ -716,6 +727,118 @@ def _fold_step(cur, beta, nxt, log_h: int, xp):
     if nxt is None:
         return fn(cur, beta, xp.zeros((0, 4), dtype=np.uint32))
     return fn(cur, beta, nxt)
+
+
+def _fold_chain_device(config: FriConfig, reduced: dict, log_max: int, challenger, xp, mk):
+    """Run the whole FRI commit phase in one dispatch with an in-kernel
+    duplex challenger.
+
+    The transcript at this point is a fixed pattern per layer: observe one
+    8-felt digest (exactly one duplex, since RATE == 8) then sample one ext4
+    challenge (4 pops).  Absorb overwrite semantics put the Montgomery-form
+    root directly into the rate lanes, and ``sample() -> ext4.scalar`` is the
+    identity on Montgomery lanes, so beta == state[[7,6,5,4]].  The host
+    challenger is resynchronized from the returned sponge state.
+
+    Returns (commit_roots: list[(8,) np], final_poly: (4,) np, layer_trees).
+    """
+    assert not challenger.input_buffer, "fold chain entered with pending absorbs"
+    heights = tuple(sorted(reduced.keys(), reverse=True))
+    log_blowup = config.log_blowup
+
+    def make():
+        import jax.numpy as jnp
+
+        from ..ops import poseidon2 as p2
+
+        def body(reds, state):
+            by_h = dict(zip(heights, reds))
+            cur = by_h[log_max]
+            mats, digs, roots = [], [], []
+            for log_h in range(log_max, log_blowup, -1):
+                evens, odds = cur[0::2], cur[1::2]
+                layer_mat = jnp.concatenate([evens, odds], axis=1)
+                layers = mk.build_layers([layer_mat], jnp)
+                root = layers[-1][0]
+                mats.append(layer_mat)
+                digs.append(layers)
+                roots.append(root)
+                state = p2.permute(jnp.concatenate([root, state[8:]]))
+                beta = state[jnp.array([7, 6, 5, 4])]
+                nxt = by_h.get(log_h - 1) if log_h - 1 > log_blowup else None
+                step = _fold_step_body(log_h, nxt is not None, jnp)
+                cur = step(cur, beta, nxt if nxt is not None else jnp.zeros((0, 4), jnp.uint32))
+            return mats, digs, jnp.stack(roots), cur[0], state
+
+        return body
+
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_fold_chain", (log_max, log_blowup, heights), make)
+    mats, digs, roots_dev, final_dev, state_dev = fn(
+        [reduced[h] for h in heights], xp.asarray(challenger.state)
+    )
+    # one transfer for everything the host transcript needs
+    roots, final_poly, state = (np.asarray(roots_dev), np.asarray(final_dev), np.asarray(state_dev))
+    challenger.state = state.copy()  # np.asarray of a device array is read-only
+    challenger.input_buffer = []
+    # after the final sample_ext, 4 unread outputs remain (pops come from the
+    # end): [out0..out3] where out = from_monty(state[:RATE])
+    challenger.output_buffer = [int(v) for v in f.from_monty(state[:4])]
+    layer_trees = [mk.MerkleTree([m], xp=xp, layers=l) for m, l in zip(mats, digs)]
+    return [roots[i] for i in range(roots.shape[0])], final_poly, layer_trees
+
+
+def _grind_device(challenger, bits: int, xp) -> int:
+    """FRI proof-of-work search on the device (one dispatch per window).
+
+    Mirrors DuplexChallenger.grind: clone the sponge, absorb the pending
+    inputs plus a candidate witness (overwrite semantics keep the remaining
+    rate lanes), permute, and require sample() & mask == 0.  The search is
+    embarrassingly parallel; the host only re-runs the winning witness
+    through the real transcript (challenger.check_witness).
+    """
+    if bits == 0:
+        return 0
+    from .challenger import RATE, WIDTH
+
+    pending = [int(v) for v in challenger.input_buffer]
+    assert len(pending) < RATE
+    npend = len(pending)
+    batch = 1 << 19
+
+    def make():
+        import jax.numpy as jnp
+
+        from ..ops import poseidon2 as p2
+
+        def body(state, pending_monty, start):
+            states = jnp.broadcast_to(state, (batch, WIDTH))
+            if npend:
+                states = jnp.concatenate(
+                    [jnp.broadcast_to(pending_monty, (batch, npend)), states[:, npend:]], axis=1
+                )
+            wit = (start + jnp.arange(batch, dtype=jnp.uint32))
+            col = f.to_monty(wit)[:, None]
+            states = jnp.concatenate([states[:, :npend], col, states[:, npend + 1 :]], axis=1)
+            out = p2.permute(states)
+            sampled = f.from_monty(out[:, RATE - 1])
+            hits = (sampled & np.uint32((1 << bits) - 1)) == 0
+            i = jnp.argmax(hits)
+            return i, hits[i]
+
+        return body
+
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_grind", (bits, npend, batch), make)
+    pending_monty = f.to_monty(np.asarray(pending, dtype=np.uint32))
+    start = 0
+    while True:
+        i, found = fn(xp.asarray(challenger.state), xp.asarray(pending_monty), np.uint32(start))
+        if bool(found):
+            return start + int(i)
+        start += batch
 
 
 def _fold_step_commit(cur, beta, nxt, log_h: int, xp, mk=merkle):
