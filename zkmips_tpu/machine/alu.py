@@ -78,6 +78,28 @@ class BitwiseAir(InstrAir):
         for j in range(4):
             send_byte_op(b, byte_op, col(f"a_b{j}"), col(f"b_b{j}"), col(f"c_b{j}"), is_real)
 
+    def fill_vec(self, t, events, ops, sink: ByteSink) -> bool:
+        s = self.schema
+        words = {}
+        for w in ("a", "b", "c"):
+            words[w] = t[:, s.idx(f"{w}_lo")].astype(np.uint32) | (
+                t[:, s.idx(f"{w}_hi")].astype(np.uint32) << 16
+            )
+            for j in range(4):
+                t[:, s.idx(f"{w}_b{j}")] = (words[w] >> (8 * j)) & 0xFF
+        for j in range(4):
+            for op in self.OPCODES:
+                m = (ops.array == int(op))
+                if not m.any():
+                    continue
+                sink.byte_op(
+                    _BW_BYTEOP[op],
+                    (words["a"][m] >> (8 * j)) & 0xFF,
+                    (words["b"][m] >> (8 * j)) & 0xFF,
+                    (words["c"][m] >> (8 * j)) & 0xFF,
+                )
+        return True
+
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema
         vals = {"a": int(e.a), "b": int(e.b), "c": int(e.c)}
@@ -140,6 +162,41 @@ class LtAir(InstrAir):
     def nested_of(self, record):
         ops = set(self.OPCODES)
         return [e for e in record.nested_alu_events if e.opcode in ops]
+
+    def fill_vec(self, t, events, ops, sink: ByteSink) -> bool:
+        s = self.schema
+        bb = t[:, s.idx("b_lo")].astype(np.int64) | (t[:, s.idx("b_hi")].astype(np.int64) << 16)
+        c = t[:, s.idx("c_lo")].astype(np.int64) | (t[:, s.idx("c_hi")].astype(np.int64) << 16)
+        b_hi, c_hi = bb >> 16, c >> 16
+        b_h0, b_h1 = (b_hi & 0xFF).astype(np.uint32), (b_hi >> 8).astype(np.uint32)
+        c_h0, c_h1 = (c_hi & 0xFF).astype(np.uint32), (c_hi >> 8).astype(np.uint32)
+        t[:, s.idx("b_h0")], t[:, s.idx("b_h1")] = b_h0, b_h1
+        t[:, s.idx("c_h0")], t[:, s.idx("c_h1")] = c_h0, c_h1
+        msb_b, msb_c = (b_hi >> 15).astype(np.uint32), (c_hi >> 15).astype(np.uint32)
+        t[:, s.idx("msb_b")], t[:, s.idx("msb_c")] = msb_b, msb_c
+        sink.u8pair(b_h0, b_h1)
+        sink.u8pair(c_h0, c_h1)
+        sink.msb(msb_b, b_h1)
+        sink.msb(msb_c, c_h1)
+        signed = ops.array == int(O.SLT)
+        fb = np.where(signed, b_hi ^ 0x8000, b_hi)
+        fc = np.where(signed, c_hi ^ 0x8000, c_hi)
+        lt_h, eq_h = fb < fc, fb == fc
+        t[:, s.idx("lt_hi")] = lt_h
+        t[:, s.idx("eq_hi")] = eq_h
+        t[:, s.idx("gt_hi")] = ~lt_h & ~eq_h
+        d_hi = np.where(lt_h, fc - fb - 1, np.where(eq_h, 0, fb - fc - 1)).astype(np.uint32)
+        b_lo, c_lo = bb & 0xFFFF, c & 0xFFFF
+        lt_l, eq_l = b_lo < c_lo, b_lo == c_lo
+        t[:, s.idx("lt_lo")] = lt_l
+        t[:, s.idx("eq_lo")] = eq_l
+        t[:, s.idx("gt_lo")] = ~lt_l & ~eq_l
+        d_lo = np.where(lt_l, c_lo - b_lo - 1, np.where(eq_l, 0, b_lo - c_lo - 1)).astype(np.uint32)
+        t[:, s.idx("d_hi")] = d_hi
+        t[:, s.idx("d_lo")] = d_lo
+        sink.u16(d_hi)
+        sink.u16(d_lo)
+        return True
 
     def fill_op(self, t, i, e, op, sink: ByteSink):
         s = self.schema
