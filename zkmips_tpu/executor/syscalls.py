@@ -549,17 +549,19 @@ MIPS_EBADF = 9
 FD_STDIN = 0
 
 
-def _linux_event(ex, code, a0, a1, v0, a3):
-    ex._mw(int(Register.A3), a3, ex.clk)
+def _linux_event(ex, code, a0, a1, v0, a3, io=None):
+    out = ex._mw(int(Register.A3), a3, ex.clk)
     ex.record.precompile_events.setdefault("sys_linux", []).append(
-        {"shard": ex.shard, "clk": ex.clk, "code": int(code), "a0": a0, "a1": a1, "v0": v0}
+        {"shard": ex.shard, "clk": ex.clk, "code": int(code), "a0": a0, "a1": a1,
+         "v0": v0, "a3": a3, "out": out, "io": io}
     )
 
 
 def _sys_brk(ex, code, a0, a1):
-    brk = ex.register(Register.BRK)
+    io = ex._mr(int(Register.BRK), ex.clk)
+    brk = io.value
     v0 = a0 if a0 > brk else brk
-    _linux_event(ex, code, a0, a1, v0, a3=0)
+    _linux_event(ex, code, a0, a1, v0, a3=0, io=io)
     return v0
 
 
@@ -570,12 +572,13 @@ def _sys_mmap(ex, code, a0, a1):
     size = a1
     if size & (_SYS_PAGE - 1):
         size = (size + _SYS_PAGE - (size & (_SYS_PAGE - 1))) & 0xFFFFFFFF
+    io = None
     if a0 == 0:
         v0 = ex.register(Register.HEAP)
-        ex._mw(int(Register.HEAP), (v0 + size) & 0xFFFFFFFF, ex.clk)
+        io = ex._mw(int(Register.HEAP), (v0 + size) & 0xFFFFFFFF, ex.clk)
     else:
         v0 = a0
-    _linux_event(ex, code, a0, a1, v0, a3=0)
+    _linux_event(ex, code, a0, a1, v0, a3=0, io=io)
     return v0
 
 
@@ -593,9 +596,10 @@ def _sys_read(ex, code, a0, a1):
 
 
 def _sys_write(ex, code, a0, a1):
-    v0 = ex.register(Register.A2)
+    io = ex._mr(int(Register.A2), ex.clk)
+    v0 = io.value
     _write(ex, a0, a1)
-    _linux_event(ex, code, a0, a1, v0, a3=0)
+    _linux_event(ex, code, a0, a1, v0, a3=0, io=io)
     return v0
 
 

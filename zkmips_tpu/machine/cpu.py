@@ -226,6 +226,8 @@ class CpuAir(BaseAir):
             sc = cs["syscall"]
             lut = _extra_cycles_lut()
             is_halt[is_syscall & (sc == 0)] = 1
+            # Linux exit_group halts exactly like HALT (executor dispatch)
+            is_halt[is_syscall & (sc == int(SyscallCode.SYS_EXT_GROUP))] = 1
             num_extra = np.where(is_syscall, lut[sc & 0xFFFF], 0).astype(np.uint32)
         t[:, s.idx("num_extra")] = num_extra
         t[:, s.idx("is_write_hi")] = fl[:, 0]

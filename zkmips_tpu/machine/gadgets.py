@@ -138,27 +138,31 @@ class ByteSink:
         self.record = record
 
     def _add(self, op: ByteOpcode, a, b, c):
+        # fields the Byte chip's multiplicity bincount never reads are None
+        # (the send-side message values come from each chip's own AIR exprs)
+        cv = lambda x: None if x is None else np.asarray(x, dtype=np.uint32).ravel()
         self.record.byte_lookups.setdefault("arrays", []).append(
-            (int(op), np.asarray(a, dtype=np.uint32).ravel(), np.asarray(b, dtype=np.uint32).ravel(), np.asarray(c, dtype=np.uint32).ravel())
+            (int(op), cv(a), cv(b), cv(c))
         )
 
     def u16(self, v):
-        self._add(ByteOpcode.U16Range, v, np.zeros_like(v), np.zeros_like(v))
+        self._add(ByteOpcode.U16Range, v, None, None)
 
     def u8pair(self, b, c):
-        self._add(ByteOpcode.U8Pair, np.zeros_like(b), b, c)
+        self._add(ByteOpcode.U8Pair, None, b, c)
 
     def byte_op(self, op, a, b, c):
-        self._add(op, a, b, c)
+        assert op != ByteOpcode.U16Range
+        self._add(op, None, b, c)
 
     def msb(self, msb, b):
-        self._add(ByteOpcode.MSB, msb, b, np.zeros_like(b))
+        self._add(ByteOpcode.MSB, None, b, None)
 
     def ltu(self, lt, b, c):
-        self._add(ByteOpcode.LTU, lt, b, c)
+        self._add(ByteOpcode.LTU, None, b, c)
 
     def pow2(self, m, s):
-        self._add(ByteOpcode.POW2, m, s, np.zeros_like(s))
+        self._add(ByteOpcode.POW2, None, s, None)
 
 
 def pad_height(n: int, min_rows: int = 16) -> int:

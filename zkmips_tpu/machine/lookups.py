@@ -102,6 +102,15 @@ def syscall_msg(shard, clk, id_lo, id_hi, arg1, arg2):
     return [shard, clk, id_lo, id_hi, *_limbs(arg1), *_limbs(arg2)]
 
 
+def linux_syscall_msg(shard, clk, id_lo, id_hi, a0, a1, res):
+    """Linux-o32 syscall bridge (SyscallInstrs -> SysLinux chip): the plain
+    syscall fields plus the result word, binding the value the CPU wrote to
+    $v0 to the SysLinux chip's per-syscall result constraints.  Linux ids
+    (4000-4338) are disjoint from precompile ids, so the two Syscall-kind
+    layouts can never be claimed by the wrong receiver."""
+    return [shard, clk, id_lo, id_hi, *_limbs(a0), *_limbs(a1), *_limbs(res)]
+
+
 def global_msg(m, is_send, is_receive, kind):
     assert len(m) == 7
     return [*m, is_send, is_receive, kind]

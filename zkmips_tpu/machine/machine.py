@@ -45,6 +45,7 @@ def core_chip_airs() -> list:
     from .keccak_chip import KeccakSpongeAir
     from .precompiles_ec import ec_precompile_airs
     from .syscall_chip import SyscallCoreAir, SyscallPrecompileAir
+    from .sys_linux import SysLinuxAir
 
     return [
         CpuAir(),
@@ -68,6 +69,7 @@ def core_chip_airs() -> list:
         ShaCompressAir(),
         Poseidon2ChipAir(),
         KeccakSpongeAir(),
+        SysLinuxAir(),
         *ec_precompile_airs(),
         MemoryLocalAir(),
         MemoryGlobalInitAir(),

@@ -64,10 +64,15 @@ PRECOMPILE_FLAGS = {
 class SyscallInstrAir(InstrAir):
     name = "SyscallInstrs"
     OPCODES = [Opcode.SYSCALL]
-    EXTRA_COLS = [n for n, _ in SYS_FLAGS] + [f"digest_idx{i}" for i in range(8)]
+    EXTRA_COLS = (
+        [n for n, _ in SYS_FLAGS]
+        + ["is_linux_sc", "is_extgroup_sc"]
+        + [f"digest_idx{i}" for i in range(8)]
+    )
 
     def control_flags(self, col, is_real, flag):
-        is_halt = col("is_halt_sc")
+        # exit_group (Linux) halts exactly like HALT (executor.rs dispatch)
+        is_halt = col("is_halt_sc") + col("is_extgroup_sc")
         return is_halt, is_real - is_halt
 
     def num_extra_expr(self, col):
@@ -80,23 +85,33 @@ class SyscallInstrAir(InstrAir):
     def eval_op(self, b: AirBuilder, col: ColView, sels):
         is_real = col("is_real")
         pa = col.word("pa")  # previous $v0 = syscall id
+        is_linux = col("is_linux_sc")
+        b.assert_bool(is_linux)
         flags = [col(n) for n, _ in SYS_FLAGS]
-        total = flags[0]
-        for f_ in flags[1:]:
+        total = is_linux
+        for f_ in flags:
             total = total + f_
         b.when(is_real).assert_eq(total, 1)
         for f_, (_n, code) in zip(flags, SYS_FLAGS):
             b.assert_bool(f_)
             b.when(f_).assert_eq(pa.lo, int(code) & 0xFFFF)
             b.when(f_).assert_eq(pa.hi, int(code) >> 16)
+        # exit_group: a Linux syscall that halts; the SysLinux chip pins the
+        # id set, this flag only routes the halt semantics
+        is_extgroup = col("is_extgroup_sc")
+        b.assert_bool(is_extgroup)
+        b.when(is_extgroup).assert_eq(pa.lo, int(SyscallCode.SYS_EXT_GROUP))
+        b.when(is_extgroup).assert_zero(pa.hi)
+        b.when(is_extgroup).assert_one(is_linux)
         # result register: keep the syscall id, except hint-len (host data)
+        # and Linux syscalls (result bound via the SysLinux bridge message)
         a = col.word("a")
-        keep = is_real - col("is_hintlen_sc")
+        keep = is_real - col("is_hintlen_sc") - is_linux
         b.when(keep).assert_eq(a.lo, pa.lo)
         b.when(keep).assert_eq(a.hi, pa.hi)
         # halt: exit code (checked against pv by the CPU) must be a clean u32
         bw = col.word("b")
-        b.when(col("is_halt_sc")).assert_zero(bw.hi)
+        b.when(col("is_halt_sc") + is_extgroup).assert_zero(bw.hi)
         # commit: bind the public-values digest word at index b
         idx_flags = [col(f"digest_idx{i}") for i in range(8)]
         isum = 0
@@ -114,7 +129,7 @@ class SyscallInstrAir(InstrAir):
             b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i), cw.lo)
             b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i + 1), cw.hi)
         # hand precompile syscalls to their chips
-        from .lookups import syscall_msg
+        from .lookups import linux_syscall_msg, syscall_msg
 
         pre_mult = 0
         for n, _code in SYS_FLAGS:
@@ -124,6 +139,13 @@ class SyscallInstrAir(InstrAir):
             LookupKind.Syscall,
             syscall_msg(col("shard"), col("clk"), pa.lo, pa.hi, bw, cw),
             pre_mult,
+        )
+        # Linux o32 syscalls go to the SysLinux chip with the result word
+        # (the value the CPU wrote to $v0) bound into the message
+        b.send(
+            LookupKind.Syscall,
+            linux_syscall_msg(col("shard"), col("clk"), pa.lo, pa.hi, bw, cw, a),
+            is_linux,
         )
 
     def fill_op(self, t, i, e, op, sink):
@@ -136,4 +158,10 @@ class SyscallInstrAir(InstrAir):
                     t[i, s.idx(f"digest_idx{int(e.b)}")] = 1
                 break
         else:
-            raise AssertionError(f"unsupported syscall id {sid:#x} in trace")
+            from .sys_linux import LINUX_IDS
+
+            if sid not in LINUX_IDS:
+                raise AssertionError(f"unsupported syscall id {sid:#x} in trace")
+            t[i, s.idx("is_linux_sc")] = 1
+            if sid == int(SyscallCode.SYS_EXT_GROUP):
+                t[i, s.idx("is_extgroup_sc")] = 1
