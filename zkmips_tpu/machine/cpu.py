@@ -175,7 +175,7 @@ class CpuAir(BaseAir):
         cs = cpu_struct(record)
         n = len(events)
         s = SCHEMA
-        t = np.zeros((n, s.width), dtype=np.uint32)
+        t = np.zeros((n, s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         shard = record.shard
 

@@ -190,7 +190,7 @@ class GlobalAir(BaseAir):
         events = record.global_lookup_events
         s = self.schema
         n = len(events)
-        t = np.zeros((max(n, 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(n, 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         cum = ([int(c) for c in START[0]], [int(c) for c in START[1]])
         for i, ev in enumerate(events):

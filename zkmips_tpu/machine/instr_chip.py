@@ -119,7 +119,7 @@ class InstrAir(BaseAir):
         nested = self.nested_of(record)
         k, n = len(idx), len(idx) + len(nested)
         s = self.schema
-        t = np.zeros((n, s.width), dtype=np.uint32)
+        t = np.zeros((n, s.width), dtype=np.uint32, order="F")
         if n == 0:
             return t
         sink = ByteSink(record)

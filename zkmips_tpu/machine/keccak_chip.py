@@ -310,7 +310,7 @@ class KeccakSpongeAir(BaseAir):
         events = record.precompile_events.get("keccak_sponge", [])
         s = self.schema
         num_rows = sum(NUM_ROUNDS * (len(ev["xored_states"])) for ev in events)
-        t = np.zeros((max(num_rows, 0), s.width), dtype=np.uint32)
+        t = np.zeros((max(num_rows, 0), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         if not events:
             return t

@@ -94,7 +94,7 @@ class MemoryLocalAir(BaseAir):
     def generate_trace(self, record, output):
         events = sorted(record.all_local_memory_events(), key=lambda e: e.addr)
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32)
+        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
         for i, ev in enumerate(events):
             i_lo, i_hi = split_u32(ev.initial.value)
             f_lo, f_hi = split_u32(ev.final.value)
@@ -179,7 +179,7 @@ class _MemoryEndpointAir(BaseAir):
     def generate_trace(self, record, output):
         events = self._events(record)
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32)
+        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for i, ev in enumerate(events):
             lo, hi = split_u32(ev.value)

@@ -113,7 +113,7 @@ class Poseidon2ChipAir(BaseAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get("poseidon2", [])
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32)
+        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for i, ev in enumerate(events):
             t[i, s.idx("shard")] = ev["shard"]

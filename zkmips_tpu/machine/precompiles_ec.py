@@ -193,7 +193,7 @@ class WeierstrassAddAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s, k, nw, p = self.schema, self.k, self.curve.nwords, self.curve.p
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink,
@@ -287,7 +287,7 @@ class WeierstrassDoubleAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s, k, nw, p = self.schema, self.k, self.curve.nwords, self.curve.p
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink, [("pp", ev["p_ptr"])])
@@ -382,7 +382,7 @@ class WeierstrassDecompressAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s, k, nw, p = self.schema, self.k, self.curve.nwords, self.curve.p
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink, [("pp", ev["ptr"])])
@@ -490,7 +490,7 @@ class FpOpAir(_PrecompileRowAir):
                 rows.append((op, ev))
         rows.sort(key=lambda oe: (oe[1]["shard"], oe[1]["clk"]))
         s, k, nw, p = self.schema, self.k, self.nw, self.p
-        t = np.zeros((max(len(rows), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(rows), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, (op, ev) in enumerate(rows):
             self._fill_common(t, s, row, ev, sink,
@@ -590,7 +590,7 @@ class Fp2AddSubAir(_PrecompileRowAir):
                 rows.append((op, ev))
         rows.sort(key=lambda oe: (oe[1]["shard"], oe[1]["clk"]))
         s, k, nw, p = self.schema, self.k, self.nw, self.p
-        t = np.zeros((max(len(rows), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(rows), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, (op, ev) in enumerate(rows):
             self._fill_common(t, s, row, ev, sink,
@@ -674,7 +674,7 @@ class Fp2MulAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s, k, nw, p = self.schema, self.k, self.nw, self.p
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink,
@@ -858,7 +858,7 @@ class Uint256MulAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s = self.schema
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         from ..ops import field as ff
 
@@ -954,7 +954,7 @@ class U256x2048MulAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s = self.schema
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink,
@@ -1057,7 +1057,7 @@ class EdAddAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s, k, p = self.schema, self.k, cv.ED_P
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink,
@@ -1157,7 +1157,7 @@ class EdDecompressAir(_PrecompileRowAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get(self.EVENT_KEY, [])
         s, k, p = self.schema, self.k, cv.ED_P
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for row, ev in enumerate(events):
             self._fill_common(t, s, row, ev, sink, [("pp", ev["ptr"])])

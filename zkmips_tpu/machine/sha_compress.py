@@ -289,7 +289,7 @@ class ShaCompressAir(BaseAir):
         events = record.precompile_events.get("sha_compress", [])
         s = self.schema
         E = len(events)
-        t = np.zeros((80 * E, s.width), dtype=np.uint32)
+        t = np.zeros((80 * E, s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         if E == 0:
             return t

@@ -173,7 +173,7 @@ class ShaExtendAir(BaseAir):
         events = record.precompile_events.get("sha_extend", [])
         s = self.schema
         E = len(events)
-        t = np.zeros((48 * E, s.width), dtype=np.uint32)
+        t = np.zeros((48 * E, s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         if E == 0:
             return t

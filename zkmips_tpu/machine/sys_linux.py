@@ -110,7 +110,10 @@ class SysLinuxAir(BaseAir):
             b.when(f_).assert_eq(sid, int(code))
             total = total + f_
         b.assert_bool(is_nop)
-        b.when(ir).assert_eq(total, 1)
+        # unconditional (reference InstrAir form): padding rows must zero all
+        # flags, else a fake row with ir=0, is_mmap=1 could perform a live
+        # HEAP read-modify-write through io_mult with no incoming message
+        b.assert_eq(total, ir)
         nsum = 0
         for k, code in enumerate(NOP_CODES):
             nk = col(f"nop{k}")
@@ -253,7 +256,7 @@ class SysLinuxAir(BaseAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get("sys_linux", [])
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32)
+        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         code_to_flag = {int(c): n for n, c in MAIN_FLAGS}
         nop_idx = {int(c): k for k, c in enumerate(NOP_CODES)}

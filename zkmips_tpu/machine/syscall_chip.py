@@ -99,7 +99,7 @@ class _SyscallBridgeAir(BaseAir):
     def generate_trace(self, record, output):
         events = self._events(record)
         s = self.schema
-        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32)
+        t = np.zeros((max(len(events), 1), s.width), dtype=np.uint32, order="F")
         for i, ev in enumerate(events):
             t[i] = (
                 ev.shard, ev.clk, ev.syscall_id & 0xFFFF, ev.syscall_id >> 16,

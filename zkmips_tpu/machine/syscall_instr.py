@@ -66,7 +66,7 @@ class SyscallInstrAir(InstrAir):
     OPCODES = [Opcode.SYSCALL]
     EXTRA_COLS = (
         [n for n, _ in SYS_FLAGS]
-        + ["is_linux_sc", "is_extgroup_sc"]
+        + ["is_linux_sc", "is_extgroup_sc", "extgroup_inv"]
         + [f"digest_idx{i}" for i in range(8)]
     )
 
@@ -91,18 +91,28 @@ class SyscallInstrAir(InstrAir):
         total = is_linux
         for f_ in flags:
             total = total + f_
-        b.when(is_real).assert_eq(total, 1)
+        # unconditional: padding rows are forced all-zero, so no flag can
+        # fire a bridge send / precompile send with is_real = 0
+        # (reference syscall/instructions/air.rs one-hot over is_real)
+        b.assert_eq(total, is_real)
         for f_, (_n, code) in zip(flags, SYS_FLAGS):
             b.assert_bool(f_)
             b.when(f_).assert_eq(pa.lo, int(code) & 0xFFFF)
             b.when(f_).assert_eq(pa.hi, int(code) >> 16)
         # exit_group: a Linux syscall that halts; the SysLinux chip pins the
-        # id set, this flag only routes the halt semantics
+        # id set, this flag only routes the halt semantics.  Biconditional
+        # (reference eval_is_halt_syscall IsZeroOperation, syscall/
+        # instructions/air.rs:339-376): under is_linux the inverse witness
+        # forces is_extgroup = 1 exactly when pa.lo == SYS_EXT_GROUP (pa.hi
+        # is pinned to 0 by the SysLinux bridge message), so a prover cannot
+        # suppress the halt on an exit_group row.
         is_extgroup = col("is_extgroup_sc")
         b.assert_bool(is_extgroup)
         b.when(is_extgroup).assert_eq(pa.lo, int(SyscallCode.SYS_EXT_GROUP))
         b.when(is_extgroup).assert_zero(pa.hi)
         b.when(is_extgroup).assert_one(is_linux)
+        eg_diff = pa.lo - int(SyscallCode.SYS_EXT_GROUP)
+        b.when(is_linux).assert_zero(1 - is_extgroup - eg_diff * col("extgroup_inv"))
         # result register: keep the syscall id, except hint-len (host data)
         # and Linux syscalls (result bound via the SysLinux bridge message)
         a = col.word("a")
@@ -121,7 +131,7 @@ class SyscallInstrAir(InstrAir):
             isum = isum + f_
             wsum = wsum + f_ * i
         is_commit = col("is_commit_sc")
-        b.when(is_real).assert_eq(isum, is_commit)
+        b.assert_eq(isum, is_commit)
         b.when(is_commit).assert_eq(wsum, bw.lo)
         b.when(is_commit).assert_zero(bw.hi)
         cw = col.word("c")
@@ -165,3 +175,8 @@ class SyscallInstrAir(InstrAir):
             t[i, s.idx("is_linux_sc")] = 1
             if sid == int(SyscallCode.SYS_EXT_GROUP):
                 t[i, s.idx("is_extgroup_sc")] = 1
+            else:
+                from ..ops import field as ff
+
+                d = ((sid & 0xFFFF) - int(SyscallCode.SYS_EXT_GROUP)) % ff.P
+                t[i, s.idx("extgroup_inv")] = ff.inv_int(d)

@@ -99,5 +99,9 @@ def pad_to_power_of_two(trace: np.ndarray, min_rows: int = 16, fixed_rows: int |
             target = h
     if h == target:
         return trace
-    pad = np.zeros((target - h, trace.shape[1]), dtype=trace.dtype)
-    return np.concatenate([trace, pad], axis=0)
+    # traces are built column-major (one contiguous write per column); keep
+    # that layout through padding so the copy stays column-contiguous
+    f_order = trace.ndim == 2 and trace.flags.f_contiguous and not trace.flags.c_contiguous
+    out = np.zeros((target, trace.shape[1]), dtype=trace.dtype, order="F" if f_order else "C")
+    out[:h] = trace
+    return out

@@ -155,9 +155,13 @@ def _upload_trace_monty(t: np.ndarray, xp):
     cols8 = tuple(int(c) for c in np.nonzero(mx <= 0xFF)[0])
     cols16 = tuple(int(c) for c in np.nonzero((mx > 0xFF) & (mx <= 0xFFFF))[0])
     cols32 = tuple(int(c) for c in np.nonzero(mx > 0xFFFF)[0])
-    a8 = np.ascontiguousarray(t[:, cols8]).astype(np.uint8)
-    a16 = np.ascontiguousarray(t[:, cols16]).astype(np.uint16)
-    a32 = np.ascontiguousarray(t[:, cols32])
+    # slice column groups through the transpose: traces are built F-order, so
+    # tT row-gathers are contiguous copies (the (n, cols) gather on a
+    # row-major trace cost more than the transfer it fed)
+    tT = t.T
+    a8 = tT[list(cols8)].astype(np.uint8)
+    a16 = tT[list(cols16)].astype(np.uint16)
+    a32 = np.ascontiguousarray(tT[list(cols32)])
     order = list(cols8) + list(cols16) + list(cols32)
     inv = np.empty(w, dtype=np.int32)
     inv[order] = np.arange(w, dtype=np.int32)
@@ -168,13 +172,13 @@ def _upload_trace_monty(t: np.ndarray, xp):
 
         def fn(b8, b16, b32):
             cat = jnp.concatenate(
-                [b8.astype(jnp.uint32), b16.astype(jnp.uint32), b32], axis=1
+                [b8.astype(jnp.uint32), b16.astype(jnp.uint32), b32], axis=0
             )
-            return f.to_monty(cat[:, jnp.array(inv_t, dtype=jnp.int32)])
+            return f.to_monty(cat[jnp.array(inv_t, dtype=jnp.int32)].T)
 
         return fn
 
-    fn = cached_jit("trace_pack_monty", (h, w, cols8, cols16), make)
+    fn = cached_jit("trace_pack_monty_t", (h, w, cols8, cols16), make)
     return fn(xp.asarray(a8), xp.asarray(a16), xp.asarray(a32))
 
 
