@@ -38,6 +38,13 @@ class JumpAir(InstrAir):
         b.when(is_jump + is_jumpi).assert_eq(nnpc, bw.value_expr())
         b.when(is_jdirect).assert_eq(nnpc + wrap * TWO32, next_pc + bw.value_expr())
 
-    def fill_op(self, t, i, e, op, sink: ByteSink):
-        if op == O.JumpDirect and (e.next_pc + int(e.b)) >= (1 << 32):
-            t[i, self.schema.idx("wrap")] = 1
+    def fill_vec(self, t, events, ops, sink: ByteSink) -> bool:
+        s = self.schema
+        bb = t[:, s.idx("b_lo")].astype(np.uint64) | (
+            t[:, s.idx("b_hi")].astype(np.uint64) << np.uint64(16)
+        )
+        wrap = (ops.array == int(O.JumpDirect)) & (
+            t[:, s.idx("next_pc")].astype(np.uint64) + bb >= (1 << 32)
+        )
+        t[:, s.idx("wrap")] = wrap
+        return True

@@ -75,6 +75,21 @@ class ShiftGadget:
             t[i, schema.idx(f"{p}_hi{j}")] = hi
             sink.u8pair(np.array([lo], dtype=np.uint32), np.array([hi], dtype=np.uint32))
 
+    def fill_vec(self, t, schema, rows, value, s, sink: ByteSink):
+        """Vectorized fill over row indices; value/s are uint32 arrays."""
+        p = self.p
+        s = s.astype(np.uint32)
+        m = (np.uint32(1) << (s & np.uint32(7))).astype(np.uint32)
+        t[rows, schema.idx(f"{p}_m")] = m
+        sink.pow2(m, s & np.uint32(7))
+        for j in range(4):
+            byte = (value >> np.uint32(8 * j)) & np.uint32(0xFF)
+            prod = byte * m
+            lo, hi = prod & np.uint32(0xFF), prod >> np.uint32(8)
+            t[rows, schema.idx(f"{p}_lo{j}")] = lo
+            t[rows, schema.idx(f"{p}_hi{j}")] = hi
+            sink.u8pair(lo, hi)
+
 
 def _sbit_cols(prefix):
     return [f"{prefix}{i}" for i in range(5)]
@@ -116,20 +131,23 @@ class ShiftLeftAir(InstrAir):
         b.when(is_real).assert_eq(a.lo, out[0] + out[1] * 256)
         b.when(is_real).assert_eq(a.hi, out[2] + out[3] * 256)
 
-    def fill_op(self, t, i, e, op, sink: ByteSink):
+    def fill_vec(self, t, events, ops, sink: ByteSink) -> bool:
         s = self.schema
-        bb, c = int(e.b), int(e.c)
-        sh = c & 31
+        rows = np.arange(t.shape[0])
+        bb = t[:, s.idx("b_lo")] | (t[:, s.idx("b_hi")] << np.uint32(16))
+        c = t[:, s.idx("c_lo")]
+        sh = c & np.uint32(31)
         for j in range(5):
-            t[i, s.idx(f"s{j}")] = (sh >> j) & 1
-        rest = (c & 0xFFFF) >> 5
-        t[i, s.idx("c_rest")] = rest
-        sink.u16(np.array([rest * 32], dtype=np.uint32))
+            t[:, s.idx(f"s{j}")] = (sh >> np.uint32(j)) & 1
+        rest = c >> np.uint32(5)
+        t[:, s.idx("c_rest")] = rest
+        sink.u16(rest * 32)
         for j in range(4):
-            t[i, s.idx(f"bb{j}")] = (bb >> (8 * j)) & 0xFF
-        sink.u8pair(np.array([bb & 0xFF], dtype=np.uint32), np.array([(bb >> 8) & 0xFF], dtype=np.uint32))
-        sink.u8pair(np.array([(bb >> 16) & 0xFF], dtype=np.uint32), np.array([(bb >> 24) & 0xFF], dtype=np.uint32))
-        self.gadget.fill(t, s, i, bb, sh, sink)
+            t[:, s.idx(f"bb{j}")] = (bb >> np.uint32(8 * j)) & np.uint32(0xFF)
+        sink.u8pair(bb & 0xFF, (bb >> np.uint32(8)) & 0xFF)
+        sink.u8pair((bb >> np.uint32(16)) & 0xFF, bb >> np.uint32(24))
+        self.gadget.fill_vec(t, s, rows, bb, sh, sink)
+        return True
 
     def nested_of(self, record):
         ops = set(self.OPCODES)
@@ -218,53 +236,60 @@ class ShiftRightAir(InstrAir):
         ops = set(self.OPCODES)
         return [e for e in record.nested_alu_events if e.opcode in ops]
 
-    def fill_op(self, t, i, e, op, sink: ByteSink):
-        s = self.schema
-        a, bb, c = int(e.a), int(e.b), int(e.c)
-        sh = c & 31
-        for j in range(5):
-            t[i, s.idx(f"s{j}")] = (sh >> j) & 1
-        rest = (c & 0xFFFF) >> 5
-        t[i, s.idx("c_rest")] = rest
-        sink.u16(np.array([rest * 32], dtype=np.uint32))
+    def fill_vec(self, t, events, ops, sink: ByteSink) -> bool:
         from ..ops import field as ff
 
-        if sh == 0:
-            t[i, s.idx("s_zero")] = 1
-        else:
-            t[i, s.idx("s_inv")] = ff.inv_int(sh)
-        b_hi = bb >> 16
-        t[i, s.idx("b_h0")], t[i, s.idx("b_h1")] = b_hi & 0xFF, b_hi >> 8
-        sink.u8pair(np.array([b_hi & 0xFF], dtype=np.uint32), np.array([b_hi >> 8], dtype=np.uint32))
-        msb = bb >> 31
-        t[i, s.idx("msb_b")] = msb
-        sink.msb(np.array([msb], dtype=np.uint32), np.array([b_hi >> 8], dtype=np.uint32))
-        flip = op == O.SRA and msb == 1
-        t[i, s.idx("f")] = int(flip)
-        inv = (~bb) & 0xFFFFFFFF
-        in_v = inv if flip else bb
-        out_v = ((~a) & 0xFFFFFFFF) if flip else a
-        if op == O.ROR:
-            q_v = bb >> sh
-            r_v = bb & ((1 << sh) - 1)
-        else:
-            q_v = out_v
-            r_v = in_v - ((q_v << sh) & 0xFFFFFFFF)
-        t[i, s.idx("q_lo")], t[i, s.idx("q_hi")] = q_v & 0xFFFF, q_v >> 16
-        t[i, s.idx("r_lo")], t[i, s.idx("r_hi")] = r_v & 0xFFFF, r_v >> 16
+        s = self.schema
+        n = t.shape[0]
+        a = t[:, s.idx("a_lo")] | (t[:, s.idx("a_hi")] << np.uint32(16))
+        bb = t[:, s.idx("b_lo")] | (t[:, s.idx("b_hi")] << np.uint32(16))
+        c = t[:, s.idx("c_lo")]
+        sh = c & np.uint32(31)
+        for j in range(5):
+            t[:, s.idx(f"s{j}")] = (sh >> np.uint32(j)) & 1
+        rest = c >> np.uint32(5)
+        t[:, s.idx("c_rest")] = rest
+        sink.u16(rest * 32)
+        global _SH_INV_LUT
+        if _SH_INV_LUT is None:
+            _SH_INV_LUT = np.array([0] + [ff.inv_int(v) for v in range(1, 32)], dtype=np.uint32)
+        zero = sh == 0
+        t[:, s.idx("s_zero")] = zero
+        t[:, s.idx("s_inv")] = _SH_INV_LUT[sh]
+        b_hi = bb >> np.uint32(16)
+        h0, h1 = b_hi & np.uint32(0xFF), b_hi >> np.uint32(8)
+        t[:, s.idx("b_h0")], t[:, s.idx("b_h1")] = h0, h1
+        sink.u8pair(h0, h1)
+        msb = bb >> np.uint32(31)
+        t[:, s.idx("msb_b")] = msb
+        sink.msb(msb, h1)
+        flip = (ops.array == int(O.SRA)) & (msb == 1)
+        t[:, s.idx("f")] = flip
+        in_v = np.where(flip, ~bb, bb)
+        out_v = np.where(flip, ~a, a)
+        is_ror = ops.array == int(O.ROR)
+        q_v = np.where(is_ror, bb >> sh, out_v)
+        shifted = ((q_v.astype(np.uint64) << sh) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        r_v = np.where(is_ror, bb & ((np.uint32(1) << sh) - np.uint32(1)), in_v - shifted)
+        shifted = ((q_v.astype(np.uint64) << sh) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        t[:, s.idx("q_lo")], t[:, s.idx("q_hi")] = q_v & 0xFFFF, q_v >> np.uint32(16)
+        t[:, s.idx("r_lo")], t[:, s.idx("r_hi")] = r_v & 0xFFFF, r_v >> np.uint32(16)
         for j in range(4):
-            t[i, s.idx(f"qb{j}")] = (q_v >> (8 * j)) & 0xFF
-            t[i, s.idx(f"rb{j}")] = (r_v >> (8 * j)) & 0xFF
-        sink.u8pair(np.array([q_v & 0xFF], dtype=np.uint32), np.array([(q_v >> 8) & 0xFF], dtype=np.uint32))
-        sink.u8pair(np.array([(q_v >> 16) & 0xFF], dtype=np.uint32), np.array([(q_v >> 24) & 0xFF], dtype=np.uint32))
-        sink.u8pair(np.array([r_v & 0xFF], dtype=np.uint32), np.array([(r_v >> 8) & 0xFF], dtype=np.uint32))
-        sink.u8pair(np.array([(r_v >> 16) & 0xFF], dtype=np.uint32), np.array([(r_v >> 24) & 0xFF], dtype=np.uint32))
-        self.gq.fill(t, s, i, q_v, sh, sink)
-        v1 = (q_v << sh) & 0xFFFFFFFF
-        carry = 1 if ((v1 & 0xFFFF) + (r_v & 0xFFFF)) >= 65536 else 0
-        t[i, s.idx("carry")] = carry
-        if sh != 0:
-            tv = 32 - sh
+            t[:, s.idx(f"qb{j}")] = (q_v >> np.uint32(8 * j)) & np.uint32(0xFF)
+            t[:, s.idx(f"rb{j}")] = (r_v >> np.uint32(8 * j)) & np.uint32(0xFF)
+        sink.u8pair(q_v & 0xFF, (q_v >> np.uint32(8)) & 0xFF)
+        sink.u8pair((q_v >> np.uint32(16)) & 0xFF, q_v >> np.uint32(24))
+        sink.u8pair(r_v & 0xFF, (r_v >> np.uint32(8)) & 0xFF)
+        sink.u8pair((r_v >> np.uint32(16)) & 0xFF, r_v >> np.uint32(24))
+        self.gq.fill_vec(t, s, np.arange(n), q_v, sh, sink)
+        t[:, s.idx("carry")] = ((shifted & np.uint32(0xFFFF)) + (r_v & np.uint32(0xFFFF))) >= 65536
+        nz = np.nonzero(~zero)[0]
+        if nz.size:
+            tv = (np.uint32(32) - sh[nz]).astype(np.uint32)
             for j in range(5):
-                t[i, s.idx(f"t{j}")] = (tv >> j) & 1
-            self.gr.fill(t, s, i, r_v, tv, sink)
+                t[nz, s.idx(f"t{j}")] = (tv >> np.uint32(j)) & 1
+            self.gr.fill_vec(t, s, nz, r_v[nz], tv, sink)
+        return True
+
+
+_SH_INV_LUT = None

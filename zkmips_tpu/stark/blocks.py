@@ -1,0 +1,262 @@
+"""Block-stationary device kernels for the per-chip DAG stages.
+
+The constraint-DAG stages (LogUp permutation trace, quotient evaluation)
+compile to large XLA programs — O(100s) of compile time per chip.  Jitting
+them over full-height arrays keys every compile on the trace height, so a
+workload with shards at several heights pays the DAG compile once *per
+height* (and once more per height for every program shape).
+
+Instead, the DAG kernels here take fixed-size row blocks (B = 2^16 rows):
+the expensive compile happens once per chip EVER (persisted by the XLA
+compilation cache), and any trace height dispatches the same executable
+H/B times.  Height-dependent work is confined to trivially-compiled
+split/assemble kernels (static slices, concats, a log-depth prefix scan).
+
+The reference has no analog (rayon threads re-run scalar Rust row loops);
+this is the TPU-native answer to its "trace areas change per shard" problem
+(reference shapes system: crates/core/machine/src/shape/mod.rs).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..ops import ext4, field as f
+from . import air
+from .air import EvalContext, Selector, fold_constraints
+from .domain import Domain
+from .jit_util import cached_jit
+
+BLOCK_ROWS = int(os.environ.get("ZKMIPS_BLOCK_ROWS", str(1 << 16)))
+
+
+def _block_size(h: int) -> int:
+    return min(BLOCK_ROWS, h)
+
+
+# ---------------------------------------------------------------------------
+# split / assemble helpers (trivial compiles, keyed per height)
+# ---------------------------------------------------------------------------
+
+
+def split_rows(arr, b: int, roll_step: int, xp, tag: str):
+    """(H, w) -> tuple of (B, w) blocks; roll_step > 0 additionally returns
+    the blocks of roll(arr, -roll_step) (for next-row constraint access)."""
+    h, w = arr.shape
+    nb = h // b
+
+    def make():
+        def fn(x):
+            outs = [x[i * b : (i + 1) * b] for i in range(nb)]
+            if roll_step:
+                r = xp.roll(x, -roll_step, axis=0)
+                outs += [r[i * b : (i + 1) * b] for i in range(nb)]
+            return outs
+
+        return fn
+
+    fn = cached_jit(f"blk_split_{tag}", (h, w, b, roll_step), make)
+    outs = fn(arr)
+    if roll_step:
+        return outs[:nb], outs[nb:]
+    return outs, None
+
+
+def _assemble_perm(cols_blocks, sum_blocks, xp):
+    """Blocks of batch columns + row sums -> (perm_flat (H, 4W), cumsum (4,))."""
+    nb = len(cols_blocks)
+    b, wc = cols_blocks[0].shape
+
+    def make():
+        def fn(cols, sums):
+            flat_cols = xp.concatenate(cols, axis=0)  # (H, wc)
+            row_sum = xp.concatenate(sums, axis=0)  # (H, 4)
+            h = row_sum.shape[0]
+            phi = row_sum
+            shift = 1
+            while shift < h:
+                shifted = xp.concatenate(
+                    [xp.zeros((shift, 4), dtype=np.uint32), phi[:-shift]], axis=0
+                )
+                phi = f.add(phi, shifted)
+                shift *= 2
+            return xp.concatenate([flat_cols, phi], axis=1), phi[-1]
+
+        return fn
+
+    fn = cached_jit("blk_perm_asm", (nb, b, wc), make)
+    return fn(list(cols_blocks), list(sum_blocks))
+
+
+def _assemble_quotient(q_blocks, step: int, xp):
+    """Blocks of (B, 4) qvals -> ``step`` stride-interleaved chunk matrices."""
+    nb = len(q_blocks)
+    b = q_blocks[0].shape[0]
+
+    def make():
+        def fn(blocks):
+            qv = xp.concatenate(blocks, axis=0)
+            return [qv[i::step] for i in range(step)]
+
+        return fn
+
+    fn = cached_jit("blk_q_asm", (nb, b, step), make)
+    return fn(list(q_blocks))
+
+
+# ---------------------------------------------------------------------------
+# permutation trace, blocked
+# ---------------------------------------------------------------------------
+
+
+def perm_trace_blocked(chip, prep, main, alpha, beta, batch_size, xp, prep_key=None):
+    """Device analog of permutation.generate_permutation_trace with the
+    row-local fraction DAG compiled once per (chip, block) — see module doc."""
+    from . import permutation
+
+    sends, receives = permutation.local_lookups(chip)
+    n = len(sends) + len(receives)
+    h = main.shape[0]
+    if n == 0:
+        return xp.zeros((h, 0), dtype=np.uint32), ext4.ZERO.astype(np.uint32)
+    b = _block_size(h)
+
+    main_blocks, _ = split_rows(main, b, 0, xp, "main")
+    prep_blocks = [None] * len(main_blocks)
+    if prep is not None:
+        prep_blocks, _ = split_rows(xp.asarray(prep), b, 0, xp, "prep")
+
+    def make():
+        def fn(main_blk, prep_blk, a, bt):
+            cols_sum = permutation.generate_permutation_trace(
+                chip, prep_blk, main_blk, a, bt, batch_size, xp=xp, _row_local=True
+            )
+            return cols_sum
+
+        return fn
+
+    has_prep = prep is not None
+    fn = cached_jit("blk_perm", (chip.name, b, batch_size, has_prep, prep_key), make)
+    cols_blocks, sum_blocks = [], []
+    for mb, pb in zip(main_blocks, prep_blocks):
+        cols, rsum = fn(mb, pb if has_prep else xp.zeros((b, 0), np.uint32), alpha, beta)
+        cols_blocks.append(cols)
+        sum_blocks.append(rsum)
+    return _assemble_perm(cols_blocks, sum_blocks, xp)
+
+
+# ---------------------------------------------------------------------------
+# quotient, blocked
+# ---------------------------------------------------------------------------
+
+
+def quotient_chunks_blocked(
+    chip, main_monty, prep_monty, perm_flat, publics_monty, challenges,
+    cum_sum, global_sum, alpha, xp,
+):
+    """Device analog of quotient.quotient_chunks; the constraint fold runs on
+    row blocks of the quotient coset with selectors sliced per block."""
+    from . import quotient as qmod
+
+    h, _w = main_monty.shape
+    log_h = h.bit_length() - 1
+    lqd = chip.log_quotient_degree
+    step = 1 << lqd
+    big_h = h << lqd
+    b = _block_size(big_h)
+
+    main_q = _lde_dev(main_monty, log_h, lqd, xp, "main")
+    prep_q = _lde_dev(xp.asarray(prep_monty), log_h, lqd, xp, "prep") if prep_monty is not None else None
+    perm_q = _lde_dev(perm_flat, log_h, lqd, xp, "perm") if perm_flat.shape[1] else None
+
+    sels = _selectors_dev(log_h, lqd, xp)
+    sel_blocks, _ = split_rows(sels, b, 0, xp, "sel")
+
+    mb, mbr = split_rows(main_q, b, step, xp, "mainq")
+    pb = pbr = None
+    if prep_q is not None:
+        pb, pbr = split_rows(prep_q, b, step, xp, "prepq")
+    eb = ebr = None
+    if perm_q is not None:
+        eb, ebr = split_rows(perm_q, b, step, xp, "permq")
+
+    has_prep, has_perm, has_g = prep_q is not None, perm_q is not None, global_sum is not None
+
+    def make():
+        def fn(m, mr, p, pr, e, er, sel, pubs, ch0, ch1, cum, g, al):
+            def var_fn(segment, col, offset):
+                if segment == air.MAIN:
+                    return (m if offset == 0 else mr)[:, col]
+                if segment == air.PREPROCESSED:
+                    return (p if offset == 0 else pr)[:, col]
+                if segment == air.PERM:
+                    return (e if offset == 0 else er)[:, 4 * col : 4 * col + 4]
+                raise ValueError(segment)
+
+            ctx = EvalContext(
+                var_fn,
+                selectors={
+                    Selector.FIRST: sel[:, 0],
+                    Selector.LAST: sel[:, 1],
+                    Selector.TRANSITION: sel[:, 2],
+                },
+                publics=pubs,
+                challenges=[ch0, ch1],
+                cum_sum=cum,
+                global_sum=g if has_g else None,
+                xp=xp,
+            )
+            folded = fold_constraints(chip.constraints, al, ctx)
+            return f.mul(folded, sel[:, 3][:, None])
+
+        return fn
+
+    fn = cached_jit("blk_quot", (chip.name, b, has_prep, has_perm, has_g), make)
+    z = xp.zeros((b, 0), np.uint32)
+    g_in = global_sum if has_g else np.zeros(14, dtype=np.uint32)
+    q_blocks = []
+    for i in range(big_h // b):
+        q_blocks.append(
+            fn(
+                mb[i], mbr[i],
+                pb[i] if has_prep else z, pbr[i] if has_prep else z,
+                eb[i] if has_perm else z, ebr[i] if has_perm else z,
+                sel_blocks[i], publics_monty, challenges[0], challenges[1],
+                cum_sum, g_in, alpha,
+            )
+        )
+    chunks = _assemble_quotient(q_blocks, step, xp)
+    tdom = Domain(log_h, 1)
+    doms = tdom.create_disjoint_domain(big_h).split_domains(step)
+    return doms, chunks
+
+
+def _lde_dev(mat, log_h: int, lqd: int, xp, tag: str):
+    """Jitted LDE onto the quotient coset (regular structure, fast compile)."""
+    from . import quotient as qmod
+
+    def make():
+        return lambda x: qmod.lde_onto_quotient_domain(x, log_h, lqd, xp)
+
+    fn = cached_jit(f"blk_lde_{tag}", (mat.shape, lqd), make)
+    return fn(mat)
+
+
+def _selectors_dev(log_h: int, lqd: int, xp):
+    """Selector arrays stacked (N, 4): first, last, transition, 1/Z_H."""
+    from . import quotient as qmod
+
+    def make():
+        def fn():
+            s = qmod.coset_selectors_dev(log_h, lqd, xp)
+            return xp.stack(
+                [s[Selector.FIRST], s[Selector.LAST], s[Selector.TRANSITION], s["inv_zeroifier"]],
+                axis=1,
+            )
+
+        return fn
+
+    fn = cached_jit("blk_sels", (log_h, lqd), make)
+    return fn()

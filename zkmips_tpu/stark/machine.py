@@ -283,18 +283,14 @@ class StarkMachine:
                     perm_challenges[1], chip.batch_size, xp=np,
                 )
             else:
-                from .jit_util import cached_jit
+                # block-stationary kernel: the fraction DAG compiles once per
+                # chip (any height); see stark/blocks.py
+                from . import blocks
 
-                h = traces[chip.name].shape[0]
-                fn = cached_jit(
-                    "perm_trace", (chip.name, h, chip.batch_size, _prep_key(prep)),
-                    lambda chip=chip, prep=prep: (
-                        lambda main, a, b: permutation.generate_permutation_trace(
-                            chip, prep, main, a, b, chip.batch_size, xp=xp
-                        )
-                    ),
+                flat, cum = blocks.perm_trace_blocked(
+                    chip, prep, traces[chip.name], perm_challenges[0],
+                    perm_challenges[1], chip.batch_size, xp,
                 )
-                flat, cum = fn(traces[chip.name], perm_challenges[0], perm_challenges[1])
             perm_flats[chip.name] = flat
             cum_sums[chip.name] = np.asarray(cum)
         _perm_span.__exit__(None, None, None)
@@ -336,26 +332,13 @@ class StarkMachine:
                 )
                 doms, chunks = quotient_mod.quotient_chunks(chip, *host_args, xp=np)
             else:
-                from .jit_util import cached_jit
+                from . import blocks
 
-                h = traces[chip.name].shape[0]
-                prep = pk.prep_traces.get(chip.name)
-                fn = cached_jit(
-                    "quotient", (chip.name, h, _prep_key(prep), gs is None),
-                    lambda chip=chip, prep=prep: (
-                        lambda main, perm, pubs, ch0, ch1, cum, g, al: quotient_mod.quotient_chunks(
-                            chip, main, prep, perm, pubs, [ch0, ch1], cum, g, al, xp=xp
-                        )[1]
-                    ),
+                doms, chunks = blocks.quotient_chunks_blocked(
+                    chip, traces[chip.name], pk.prep_traces.get(chip.name),
+                    perm_flats[chip.name], publics_monty, perm_challenges,
+                    cum_sums[chip.name], gsm, alpha, xp,
                 )
-                chunks = fn(
-                    traces[chip.name], perm_flats[chip.name], publics_monty,
-                    perm_challenges[0], perm_challenges[1], cum_sums[chip.name],
-                    gsm if gsm is not None else np.zeros(14, dtype=np.uint32), alpha,
-                )
-                lqd = chip.log_quotient_degree
-                tdom = Domain(traces[chip.name].shape[0].bit_length() - 1, 1)
-                doms = tdom.create_disjoint_domain(tdom.size << lqd).split_domains(1 << lqd)
             for d, c in zip(doms, chunks):
                 q_doms.append(d)
                 q_mats.append(c.reshape(c.shape[0], 4))

@@ -67,8 +67,13 @@ def generate_permutation_trace(
     beta: np.ndarray,
     batch_size: int = BATCH_SIZE,
     xp=np,
+    _row_local: bool = False,
 ):
-    """Returns (perm_flat (H, 4*width) base monty, local_cumulative_sum (4,))."""
+    """Returns (perm_flat (H, 4*width) base monty, local_cumulative_sum (4,)).
+
+    With ``_row_local=True`` the prefix sum is skipped and the return is
+    (batch columns (H, 4*(width-1)), row_sum (H, 4)) — the block-stationary
+    kernel form (stark/blocks.py) where rows may be any block of the trace."""
     sends, receives = local_lookups(chip)
     n = len(sends) + len(receives)
     h = main.shape[0]
@@ -119,10 +124,12 @@ def generate_permutation_trace(
     row_sum = cols[0]
     for c in cols[1:]:
         row_sum = ext4.add(row_sum, c)
+    concat = xp.concatenate
+    if _row_local:
+        return concat([c.reshape(h, 4) for c in cols], axis=1), row_sum.reshape(h, 4)
     phi = _prefix_sum(row_sum, xp)
     local_cumulative_sum = phi[-1]
 
-    concat = xp.concatenate
     flat = concat([c.reshape(h, 4) for c in cols] + [phi.reshape(h, 4)], axis=1)
     return flat, local_cumulative_sum
 

@@ -35,3 +35,9 @@ def span(name: str):
 
 def spans_report() -> dict:
     return {k: (_TOTALS[k], _COUNTS[k]) for k in sorted(_TOTALS)}
+
+
+def spans_reset():
+    """Clear aggregated span totals (e.g. between warm-up and measurement)."""
+    _TOTALS.clear()
+    _COUNTS.clear()
