@@ -33,7 +33,7 @@ BLOCK_ROWS = int(os.environ.get("ZKMIPS_BLOCK_ROWS", str(1 << 16)))
 
 
 def _block_size(h: int) -> int:
-    return min(BLOCK_ROWS, h)
+    return BLOCK_ROWS
 
 
 # ---------------------------------------------------------------------------
@@ -43,12 +43,24 @@ def _block_size(h: int) -> int:
 
 def split_rows(arr, b: int, roll_step: int, xp, tag: str):
     """(H, w) -> tuple of (B, w) blocks; roll_step > 0 additionally returns
-    the blocks of roll(arr, -roll_step) (for next-row constraint access)."""
+    the blocks of roll(arr, -roll_step) (for next-row constraint access).
+
+    Heights below the block size are zero-padded up to it (after the roll),
+    so every height shares one stationary block kernel; assemble truncates.
+    Padding rows produce zero lookup fractions (zero multiplicities) and
+    truncated-away quotient rows."""
     h, w = arr.shape
-    nb = h // b
+    nb = max(h // b, 1)
 
     def make():
         def fn(x):
+            if h < b:
+                pad = xp.zeros((b - h, w), dtype=np.uint32)
+                outs = [xp.concatenate([x, pad], axis=0)]
+                if roll_step:
+                    r = xp.roll(x, -roll_step, axis=0)
+                    outs.append(xp.concatenate([r, pad], axis=0))
+                return outs
             outs = [x[i * b : (i + 1) * b] for i in range(nb)]
             if roll_step:
                 r = xp.roll(x, -roll_step, axis=0)
@@ -64,19 +76,18 @@ def split_rows(arr, b: int, roll_step: int, xp, tag: str):
     return outs, None
 
 
-def _assemble_perm(cols_blocks, sum_blocks, xp):
+def _assemble_perm(cols_blocks, sum_blocks, real_h: int, xp):
     """Blocks of batch columns + row sums -> (perm_flat (H, 4W), cumsum (4,))."""
     nb = len(cols_blocks)
     b, wc = cols_blocks[0].shape
 
     def make():
         def fn(cols, sums):
-            flat_cols = xp.concatenate(cols, axis=0)  # (H, wc)
-            row_sum = xp.concatenate(sums, axis=0)  # (H, 4)
-            h = row_sum.shape[0]
+            flat_cols = xp.concatenate(cols, axis=0)[:real_h]  # (H, wc)
+            row_sum = xp.concatenate(sums, axis=0)[:real_h]  # (H, 4)
             phi = row_sum
             shift = 1
-            while shift < h:
+            while shift < real_h:
                 shifted = xp.concatenate(
                     [xp.zeros((shift, 4), dtype=np.uint32), phi[:-shift]], axis=0
                 )
@@ -86,23 +97,23 @@ def _assemble_perm(cols_blocks, sum_blocks, xp):
 
         return fn
 
-    fn = cached_jit("blk_perm_asm", (nb, b, wc), make)
+    fn = cached_jit("blk_perm_asm", (nb, b, wc, real_h), make)
     return fn(list(cols_blocks), list(sum_blocks))
 
 
-def _assemble_quotient(q_blocks, step: int, xp):
+def _assemble_quotient(q_blocks, step: int, real_h: int, xp):
     """Blocks of (B, 4) qvals -> ``step`` stride-interleaved chunk matrices."""
     nb = len(q_blocks)
     b = q_blocks[0].shape[0]
 
     def make():
         def fn(blocks):
-            qv = xp.concatenate(blocks, axis=0)
+            qv = xp.concatenate(blocks, axis=0)[:real_h]
             return [qv[i::step] for i in range(step)]
 
         return fn
 
-    fn = cached_jit("blk_q_asm", (nb, b, step), make)
+    fn = cached_jit("blk_q_asm", (nb, b, step, real_h), make)
     return fn(list(q_blocks))
 
 
@@ -144,7 +155,7 @@ def perm_trace_blocked(chip, prep, main, alpha, beta, batch_size, xp, prep_key=N
         cols, rsum = fn(mb, pb if has_prep else xp.zeros((b, 0), np.uint32), alpha, beta)
         cols_blocks.append(cols)
         sum_blocks.append(rsum)
-    return _assemble_perm(cols_blocks, sum_blocks, xp)
+    return _assemble_perm(cols_blocks, sum_blocks, h, xp)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +228,7 @@ def quotient_chunks_blocked(
     z = xp.zeros((b, 0), np.uint32)
     g_in = global_sum if has_g else np.zeros(14, dtype=np.uint32)
     q_blocks = []
-    for i in range(big_h // b):
+    for i in range(max(big_h // b, 1)):
         q_blocks.append(
             fn(
                 mb[i], mbr[i],
@@ -227,10 +238,110 @@ def quotient_chunks_blocked(
                 cum_sum, g_in, alpha,
             )
         )
-    chunks = _assemble_quotient(q_blocks, step, xp)
+    chunks = _assemble_quotient(q_blocks, step, big_h, xp)
     tdom = Domain(log_h, 1)
     doms = tdom.create_disjoint_domain(big_h).split_domains(step)
     return doms, chunks
+
+
+# ---------------------------------------------------------------------------
+# staged batch commit (per-matrix LDE + blocked row hash + per-size levels)
+# ---------------------------------------------------------------------------
+
+
+def commit_staged(config, domains_and_matrices, xp):
+    """Device MMCS commit decomposed into reusable kernels.
+
+    The monolithic commit kernel keyed on the whole batch signature
+    recompiled for every new (shard shape, stage); staging it as per-matrix
+    LDE kernels (keyed (log_n, w)), block-stationary row hashing (keyed
+    (B, w)) and per-size Merkle level kernels (keyed by level size — a
+    universal set of powers of two) makes every piece shared across batch
+    compositions, stages, shards and programs.  Layout identical to
+    ops/merkle.build_layers."""
+    from ..ops import bits as bops, ntt, poseidon2 as p2
+
+    log_blowup = config.log_blowup
+    coeffs, ldes = [], []
+    for dom, m in domains_and_matrices:
+        log_n, shift, w = dom.log_n, dom.shift, m.shape[1]
+
+        def make(log_n=log_n, shift=shift, w=w):
+            def fn(evals):
+                c = ntt.ntt(evals, inverse=True)
+                rel_shift = f.GENERATOR * f.inv_int(shift) % f.P
+                scaled = f.mul(c, bops.powers_monty(rel_shift, 1 << log_n, xp)[:, None])
+                big_n = (1 << log_n) << log_blowup
+                padded = xp.zeros((big_n, w), dtype=np.uint32).at[: 1 << log_n].set(scaled)
+                return c, bops.bitrev_rows(ntt.ntt(padded))
+
+            return fn
+
+        fn = cached_jit("pcs_lde_mat", (log_n, shift, w, log_blowup), make)
+        c, l = fn(xp.asarray(m))
+        coeffs.append(c)
+        ldes.append(l)
+
+    by_height: dict[int, list] = {}
+    for l in ldes:
+        by_height.setdefault(l.shape[0], []).append(l)
+    size = max(by_height)
+    cur = _hash_rows_blocked(by_height[size], xp)
+    layers = [cur]
+    while size > 1:
+        size //= 2
+        inj = _hash_rows_blocked(by_height[size], xp) if size in by_height else None
+        cur = _mk_level(cur, inj, xp)
+        layers.append(cur)
+    return coeffs, ldes, layers
+
+
+def _hash_rows_blocked(mats_same_h, xp):
+    """Poseidon2 row digests of same-height matrices (widths concatenated)."""
+    from ..ops import poseidon2 as p2
+
+    h = mats_same_h[0].shape[0]
+    widths = tuple(m.shape[1] for m in mats_same_h)
+    if len(mats_same_h) > 1:
+        cat_fn = cached_jit(
+            "blk_cat", (h, widths), lambda: lambda ms: xp.concatenate(ms, axis=1)
+        )
+        cat = cat_fn(list(mats_same_h))
+    else:
+        cat = mats_same_h[0]
+    w = sum(widths)
+    b = BLOCK_ROWS
+    if h <= b:
+        fn = cached_jit("blk_rowhash", (h, w), lambda: p2.hash_matrix_rows)
+        return fn(cat)
+    blks, _ = split_rows(cat, b, 0, xp, "hash")
+    fn = cached_jit("blk_rowhash", (b, w), lambda: p2.hash_matrix_rows)
+    digs = [fn(blk) for blk in blks]
+    cat_fn = cached_jit(
+        "blk_digcat", (len(digs), b), lambda: lambda ds: xp.concatenate(ds, axis=0)
+    )
+    return cat_fn(digs)
+
+
+def _mk_level(cur, inj, xp):
+    """One Merkle level: compress adjacent pairs, then fold in any injected
+    row digests whose matrix height equals the new level size."""
+    from ..ops import poseidon2 as p2
+
+    size = cur.shape[0] // 2
+    has_inj = inj is not None
+
+    def make():
+        def fn(c, i):
+            nxt = p2.compress(c[0::2], c[1::2])
+            if has_inj:
+                nxt = p2.compress(nxt, i)
+            return nxt
+
+        return fn
+
+    fn = cached_jit("blk_mklevel", (size, has_inj), make)
+    return fn(cur, inj if has_inj else xp.zeros((size, 8), np.uint32))
 
 
 def _lde_dev(mat, log_h: int, lqd: int, xp, tag: str):

@@ -133,6 +133,11 @@ def commit(config: FriConfig, domains_and_matrices, xp=np) -> ProverData:
     shapes = tuple((d.log_n, d.shift, m.shape[1]) for d, m in domains_and_matrices)
     if xp is np:
         coeffs, ldes, layers = _commit_body(config, shapes, np)(mats)
+    elif config.hash_family == "kb":
+        # staged kernels reusable across batch signatures (stark/blocks.py)
+        from . import blocks
+
+        coeffs, ldes, layers = blocks.commit_staged(config, domains_and_matrices, xp)
     else:
         from .jit_util import cached_jit
 
