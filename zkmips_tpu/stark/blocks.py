@@ -266,19 +266,22 @@ def commit_staged(config, domains_and_matrices, xp):
     for dom, m in domains_and_matrices:
         log_n, shift, w = dom.log_n, dom.shift, m.shape[1]
 
-        def make(log_n=log_n, shift=shift, w=w):
-            def fn(evals):
+        # the coset shift enters as a traced scalar (in-kernel power ladder),
+        # so all domains of one size share a kernel — quotient-chunk domains
+        # have per-chunk shifts that would otherwise each key a compile
+        def make(log_n=log_n, w=w):
+            def fn(evals, rel_shift_m):
                 c = ntt.ntt(evals, inverse=True)
-                rel_shift = f.GENERATOR * f.inv_int(shift) % f.P
-                scaled = f.mul(c, bops.powers_monty(rel_shift, 1 << log_n, xp)[:, None])
+                scaled = f.mul(c, powers_traced(rel_shift_m, 1 << log_n, xp)[:, None])
                 big_n = (1 << log_n) << log_blowup
                 padded = xp.zeros((big_n, w), dtype=np.uint32).at[: 1 << log_n].set(scaled)
                 return c, bops.bitrev_rows(ntt.ntt(padded))
 
             return fn
 
-        fn = cached_jit("pcs_lde_mat", (log_n, shift, w, log_blowup), make)
-        c, l = fn(xp.asarray(m))
+        fn = cached_jit("pcs_lde_mat", (log_n, w, log_blowup), make)
+        rel = np.uint32(f.to_monty_int(f.GENERATOR * f.inv_int(shift) % f.P))
+        c, l = fn(xp.asarray(m), rel)
         coeffs.append(c)
         ldes.append(l)
 
@@ -294,6 +297,16 @@ def commit_staged(config, domains_and_matrices, xp):
         cur = _mk_level(cur, inj, xp)
         layers.append(cur)
     return coeffs, ldes, layers
+
+
+def powers_traced(base_m, n: int, xp):
+    """[1, b, b^2, ...] (monty) for a TRACED scalar base via log-doubling."""
+    out = xp.full((1,), np.uint32(f.MONTY_ONE), dtype=np.uint32)
+    cur = base_m
+    while out.shape[0] < n:
+        out = xp.concatenate([out, f.mul(out, cur)])
+        cur = f.mul(cur, cur)
+    return out[:n]
 
 
 def _hash_rows_blocked(mats_same_h, xp):
