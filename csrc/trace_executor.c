@@ -105,6 +105,7 @@ typedef struct {
   const u64 *hint_lens;
   u32 num_hints, hint_ptr;
   u32 digest[8];
+  u32 def_digest[8]; /* COMMIT_DEFERRED_PROOFS words */
   u8 *pv_stream;
   u64 pv_len, pv_cap;
   u8 *stdout_buf;
@@ -361,6 +362,12 @@ static int do_syscall(TM *m, u32 id, u32 b, u32 c, u32 *res, int *has_res,
       if (b >= 8) return TR_ERROR;
       m->digest[b] = c;
       return TR_OK;
+    case 0x0000001A: /* COMMIT_DEFERRED_PROOFS */
+      if (b >= 8) return TR_ERROR;
+      m->def_digest[b] = c;
+      return TR_OK;
+    case 0x0000001B: /* VERIFY_ZKM_PROOF needs the host proof stream */
+      return TR_UNSUPPORTED;
     case 0x000000F0: /* SYSHINTLEN */
       if (m->hint_ptr >= m->num_hints) return TR_ERROR;
       *res = (u32)m->hint_lens[m->hint_ptr];
@@ -710,6 +717,7 @@ done:
   out_meta[6] = (u32)(m->global_clk & MASK32);
   out_meta[7] = (u32)(m->global_clk >> 32);
   memcpy(out_digest8, m->digest, 32);
+  memcpy(out_digest8 + 8, m->def_digest, 32);
   if (status == TR_OK || status == TR_DONE) {
     m->shard += 1;
   }
@@ -738,5 +746,8 @@ void zkm_trace_finalize(TM *m, u32 *out6) {
 void zkm_trace_io(TM *m, u8 *pv_out, u8 *stdout_out, u32 *digest_out) {
   if (pv_out) memcpy(pv_out, m->pv_stream, m->pv_len);
   if (stdout_out) memcpy(stdout_out, m->stdout_buf, m->so_len);
-  if (digest_out) memcpy(digest_out, m->digest, 32);
+  if (digest_out) {
+    memcpy(digest_out, m->digest, 32);
+    memcpy(digest_out + 8, m->def_digest, 32);
+  }
 }

@@ -56,6 +56,27 @@ def test_sys_linux_prove_verify():
 
 
 def test_exit_group_prove_verify():
+    body = [*_sys(4246, 0), asm.nop()]
+    p = asm.prog(body)
+    from zkmips_tpu.executor import Executor
+
+    ex = Executor(p)
+    records = ex.run()
+    assert ex.exit_code == 0
+    m = mips_machine(StarkConfig.test())
+    _debug_machine(m, p, records)
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    assert m.verify(pk.vk, proofs, p)
+
+
+def test_exit_group_nonzero_rejected():
+    """A nonzero exit code proves but fails verification (reference
+    verify.rs:171-180: exit_code must be zero in every shard)."""
+    import pytest
+
+    from zkmips_tpu.stark.machine import VerificationError
+
     body = [*_sys(4246, 7), asm.nop()]
     p = asm.prog(body)
     from zkmips_tpu.executor import Executor
@@ -64,10 +85,10 @@ def test_exit_group_prove_verify():
     records = ex.run()
     assert ex.exit_code == 7
     m = mips_machine(StarkConfig.test())
-    _debug_machine(m, p, records)
     pk = m.setup(p)
     proofs = m.prove(pk, records)
-    assert m.verify(pk.vk, proofs, p)
     from zkmips_tpu.machine.pv import PV_EXIT_CODE
 
     assert int(proofs[-1].public_values[PV_EXIT_CODE]) == 7
+    with pytest.raises(VerificationError, match="exit code"):
+        m.verify(pk.vk, proofs, p)

@@ -106,13 +106,22 @@ class MemoryInitFinalEvent:
 
 @dataclass(slots=True)
 class PublicValues:
-    """Shard public values (subset of air/public_values.rs:11-56 for now)."""
+    """Shard public values (full analog of air/public_values.rs:11-56)."""
 
     committed_value_digest: list = field(default_factory=lambda: [0] * 8)
+    deferred_proofs_digest: list = field(default_factory=lambda: [0] * 8)
     shard: int = 1
+    execution_shard: int = 1
     start_pc: int = 0
     next_pc: int = 0
     exit_code: int = 0
+    # previous/last global memory init/finalize address endpoints (u32 each;
+    # reference carries them as 32 bit columns, we carry 16-bit limb pairs
+    # in the PV vector — see machine/pv.py)
+    prev_init_addr: int = 0
+    last_init_addr: int = 0
+    prev_finalize_addr: int = 0
+    last_finalize_addr: int = 0
 
 
 @dataclass

@@ -159,6 +159,8 @@ class Executor:
         # during a precompile syscall the accesses form their own chain,
         # recorded with the event so it can move to a deferred shard
         # (reference syscalls/context.rs:28,128)
+        if self.unconstrained:
+            return  # rolled back wholesale at exit_unconstrained
         target = self._syscall_local if self._syscall_local is not None else self.record.local_memory_access
         ev = target.get(addr)
         if ev is None:
@@ -247,14 +249,19 @@ class Executor:
     def enter_unconstrained(self):
         """Fork the architectural state (reference ENTER_UNCONSTRAINED,
         syscalls/unconstrained.rs + ForkState): memory/registers diffs are
-        rolled back on exit; no events are recorded meanwhile."""
+        rolled back on exit; no events are recorded meanwhile.  The ENTER
+        row's own access record is stashed so the merged row emitted at exit
+        carries the ENTER row's b/c register reads."""
         assert not self.unconstrained, "already unconstrained"
         self._fork = self.checkpoint()
+        self._fork["access"] = self.access
         self.unconstrained = True
 
     def exit_unconstrained(self):
         assert self.unconstrained, "not in unconstrained mode"
+        access = self._fork.get("access")
         self.restore(self._fork)
+        self.access = access
         self._fork = None
         self.unconstrained = False
 
@@ -272,6 +279,7 @@ class Executor:
             "input_stream_ptr": self.input_stream_ptr,
             "exit_code": self.exit_code, "exited": self.exited,
             "committed_value_digest": list(self.committed_value_digest),
+            "deferred_proofs_digest": list(self.deferred_proofs_digest),
         }
 
     def restore(self, snap: dict):
@@ -288,6 +296,7 @@ class Executor:
         self.exit_code = snap["exit_code"]
         self.exited = snap["exited"]
         self.committed_value_digest = list(snap["committed_value_digest"])
+        self.deferred_proofs_digest = list(snap["deferred_proofs_digest"])
 
     # ------------------------------------------------------------ running
 
@@ -338,8 +347,10 @@ class Executor:
         self._shard_group_counts = {}
         pv = self.record.public_values
         pv.shard = self.shard
+        pv.execution_shard = self.shard
         pv.exit_code = self.exit_code
         pv.committed_value_digest = list(self.committed_value_digest)
+        pv.deferred_proofs_digest = list(self.deferred_proofs_digest)
         if self.record.cpu_events or final:
             self.records.append(self.record)
         if not final:
@@ -353,6 +364,15 @@ class Executor:
         last = self.records[-1] if self.records else None
         if first is None:
             return
+        if 0 not in self.memory:
+            # the init/finalize chain must open at address 0 (register ZERO;
+            # memory_bridge chain-opener rule mirrors reference global.rs:393)
+            first.global_memory_initialize_events.append(
+                MemoryInitFinalEvent(0, 0, 0, 0, 1)
+            )
+            last.global_memory_finalize_events.append(
+                MemoryInitFinalEvent(0, 0, 0, 0, 1)
+            )
         for addr in self.touched_order:
             rec = self.memory[addr]
             if addr in self.uninitialized_memory:
@@ -365,6 +385,17 @@ class Executor:
             last.global_memory_finalize_events.append(
                 MemoryInitFinalEvent(addr, rec.value, rec.shard, rec.timestamp, 1)
             )
+        # init/finalize address endpoints (public_values.rs:47-57 chaining):
+        # all init events live in the first record, all finalize events in the
+        # last, so shards in between carry prev == last unchanged
+        max_init = max((a for a in self.touched_order), default=0)
+        max_fin = max_init
+        for i, r in enumerate(self.records):
+            pv = r.public_values
+            pv.prev_init_addr = 0 if i == 0 else max_init
+            pv.last_init_addr = max_init
+            pv.prev_finalize_addr = 0
+            pv.last_finalize_addr = max_fin if r is last else 0
 
     # ----------------------------------------------------- the cycle body
 
@@ -417,6 +448,12 @@ class Executor:
                 code = SyscallCode(syscall_id)
             except ValueError as e:
                 raise ExecutionError(f"unsupported syscall {syscall_id:#x}") from e
+            if self.unconstrained and code not in (
+                SyscallCode.EXIT_UNCONSTRAINED, SyscallCode.WRITE
+            ):
+                raise ExecutionError(
+                    f"syscall {syscall_id:#x} not allowed in unconstrained mode"
+                )
             syscall_code = code.syscall_id
             scoped = (
                 self.mode == ExecutorMode.Trace
@@ -433,6 +470,15 @@ class Executor:
                     sc_local, self._syscall_local = self._syscall_local, None
             if scoped:
                 self._postprocess_precompile_syscall(code, clk, b, c, before, sc_local)
+            if code == SyscallCode.EXIT_UNCONSTRAINED:
+                # the merged row is the ENTER row returning 0: pc/clk and the
+                # operand registers are re-read from the restored state
+                # (reference executor.rs:1634-1643)
+                b = self.register(Register.A0)
+                c = self.register(Register.A1)
+                prev_a = self.register(Register.V0)
+                clk = self.clk
+                pc = self.pc
             a = res if res is not None else syscall_id
             if code == SyscallCode.HALT:
                 if returned_exit_code != 0:
@@ -447,7 +493,7 @@ class Executor:
             self.clk += extra_cycles
             exit_code = returned_exit_code
             hi_or_prev_a = prev_a
-            if self.mode == ExecutorMode.Trace and code.should_send:
+            if self.mode == ExecutorMode.Trace and code.should_send and not self.unconstrained:
                 # store the full raw code word ($v0): the Syscall lookup
                 # message carries both 16-bit limbs of it
                 self.record.syscall_events.append(
@@ -752,6 +798,8 @@ class Executor:
 
     def _emit_events(self, clk, pc, next_pc, next_next_pc, instruction, a, b, c,
                      hi_or_prev_a, access, exit_code, syscall_code, in_delay_slot):
+        if self.unconstrained:
+            return  # the whole block is rolled back at exit_unconstrained
         ev = CpuEvent(
             clk, pc, next_pc, next_next_pc, instruction, a, b, c,
             hi_or_prev_a, access, exit_code, syscall_code, in_delay_slot,

@@ -100,7 +100,7 @@ def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 
         cols = np.empty((cap, _NCOLS), dtype=np.uint32)
         local7 = np.empty((cap_local, 7), dtype=np.uint32)
         meta = np.zeros(8, dtype=np.uint64)
-        digest = np.zeros(8, dtype=np.uint32)
+        digest = np.zeros(16, dtype=np.uint32)  # committed (8) + deferred (8)
         while True:
             st = lib.zkm_trace_shard(
                 ctypes.c_void_p(tm), ctypes.c_uint64(shard_size), ctypes.c_uint64(max_cycles),
@@ -134,8 +134,10 @@ def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 
                         MemoryRecord(int(a7[4]), int(a7[5]), int(a7[6])),
                     )
                 rec.public_values.shard = shard
+                rec.public_values.execution_shard = shard
                 rec.public_values.exit_code = int(meta[3])
-                rec.public_values.committed_value_digest = [int(x) for x in digest]
+                rec.public_values.committed_value_digest = [int(x) for x in digest[:8]]
+                rec.public_values.deferred_proofs_digest = [int(x) for x in digest[8:]]
                 records.append(rec)
             if st != TR_OK:
                 final_status = st
@@ -146,6 +148,8 @@ def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 
         fin = np.zeros((max(n_touched, 1), 6), dtype=np.uint32)
         lib.zkm_trace_finalize(ctypes.c_void_p(tm), _u32p(fin))
         first, last = records[0], records[-1]
+        max_addr = 0
+        saw_zero = False
         for j in range(n_touched):
             addr, init_val, f_val, f_shard, f_ts = (int(x) for x in fin[j, :5])
             first.global_memory_initialize_events.append(
@@ -154,6 +158,23 @@ def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 
             last.global_memory_finalize_events.append(
                 MemoryInitFinalEvent(addr, f_val, f_shard, f_ts, 1)
             )
+            max_addr = max(max_addr, addr)
+            saw_zero = saw_zero or addr == 0
+        if not saw_zero:
+            # the init/finalize chain must open at address 0 (register ZERO)
+            # — see Executor._postprocess / memory_bridge chain-opener rule
+            first.global_memory_initialize_events.append(
+                MemoryInitFinalEvent(0, 0, 0, 0, 1)
+            )
+            last.global_memory_finalize_events.append(
+                MemoryInitFinalEvent(0, 0, 0, 0, 1)
+            )
+        for i, rec in enumerate(records):
+            rpv = rec.public_values
+            rpv.prev_init_addr = 0 if i == 0 else max_addr
+            rpv.last_init_addr = max_addr
+            rpv.prev_finalize_addr = 0
+            rpv.last_finalize_addr = max_addr if rec is last else 0
 
         pv_len, so_len = int(meta[4]), int(meta[5])
         pv = np.zeros(max(pv_len, 1), dtype=np.uint8)
@@ -169,7 +190,8 @@ def run_trace(program, stdin=(), shard_size: int = 1 << 20, max_cycles: int = 1 
             "exit_code": int(meta[3]),
             "public_values": bytes(pv[:pv_len].tobytes()),
             "stdout": bytes(so[:so_len].tobytes()),
-            "digest": [int(x) for x in digest],
+            "digest": [int(x) for x in digest[:8]],
+            "deferred_digest": [int(x) for x in digest[8:]],
             "hit_max_cycles": final_status == TR_MAX_CYCLES,
         }
         return records, info

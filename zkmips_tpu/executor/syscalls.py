@@ -61,8 +61,11 @@ def dispatch(ex, code: SyscallCode, b: int, c: int):
         ex.enter_unconstrained()
         return 1, next_pc, extra, exit_code
     if code == SyscallCode.EXIT_UNCONSTRAINED:
+        # the whole enter..exit block collapses to a single constrained row
+        # at the ENTER pc returning 0 (reference syscalls/unconstrained.rs:
+        # pc is rewound and next_pc re-derived from the restored state)
         ex.exit_unconstrained()
-        return 0, next_pc, extra, exit_code
+        return 0, (ex.pc + 4) & 0xFFFFFFFF, extra, exit_code
     if code == SyscallCode.COMMIT_DEFERRED_PROOFS:
         if b >= 8:
             raise _err(f"deferred digest word index {b} out of range")

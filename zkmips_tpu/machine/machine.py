@@ -25,7 +25,24 @@ from .cpu import CpuAir
 from .global_chip import START, GlobalAir
 from .memory_bridge import MemoryGlobalFinalizeAir, MemoryGlobalInitAir, MemoryLocalAir
 from .program import ProgramAir
-from .pv import NUM_PV, PV_EXIT_CODE, PV_NEXT_PC, PV_SHARD, PV_START_PC, PV_DIGEST
+from .pv import (
+    NUM_PV,
+    PV_DEFERRED_DIGEST,
+    PV_DIGEST,
+    PV_EXECUTION_SHARD,
+    PV_EXIT_CODE,
+    PV_LAST_FINALIZE_ADDR,
+    PV_LAST_INIT_ADDR,
+    PV_NEXT_PC,
+    PV_PREV_FINALIZE_ADDR,
+    PV_PREV_INIT_ADDR,
+    PV_SHARD,
+    PV_START_PC,
+)
+
+# lookup-multiplicity overflow bound on the Cpu trace height
+# (reference crates/core/machine/src/lib.rs MAX_CPU_LOG_DEGREE)
+MAX_CPU_LOG_DEGREE = 22
 from .syscall_instr import SyscallInstrAir
 
 
@@ -111,13 +128,25 @@ class MipsMachine:
     def shard_public_values(self, record: ExecutionRecord, executor: Executor | None = None) -> np.ndarray:
         pv = np.zeros(NUM_PV, dtype=np.uint32)
         events = record.cpu_events
+        rpv = record.public_values
         pv[PV_SHARD] = record.shard
+        pv[PV_EXECUTION_SHARD] = rpv.execution_shard
         pv[PV_START_PC] = events[0].pc if events else 0
         pv[PV_NEXT_PC] = events[-1].next_pc if events else 0
-        pv[PV_EXIT_CODE] = record.public_values.exit_code
-        for i, word in enumerate(record.public_values.committed_value_digest[:8]):
+        pv[PV_EXIT_CODE] = rpv.exit_code
+        for i, word in enumerate(rpv.committed_value_digest[:8]):
             pv[PV_DIGEST + 2 * i] = word & 0xFFFF
             pv[PV_DIGEST + 2 * i + 1] = (word >> 16) & 0xFFFF
+        for i, elt in enumerate(rpv.deferred_proofs_digest[:8]):
+            pv[PV_DEFERRED_DIGEST + i] = elt % ff.P
+        for base, addr in (
+            (PV_PREV_INIT_ADDR, rpv.prev_init_addr),
+            (PV_LAST_INIT_ADDR, rpv.last_init_addr),
+            (PV_PREV_FINALIZE_ADDR, rpv.prev_finalize_addr),
+            (PV_LAST_FINALIZE_ADDR, rpv.last_finalize_addr),
+        ):
+            pv[base] = addr & 0xFFFF
+            pv[base + 1] = (addr >> 16) & 0xFFFF
         return pv
 
     def prove_record(self, pk, record: ExecutionRecord, xp=np):
@@ -141,9 +170,20 @@ class MipsMachine:
         deferred = []
         for r in records:
             deferred.extend(r.split(False, split_threshold))
+        # deferred shards are appended after the final execution shard: their
+        # chained public values (digests, addr endpoints) must carry the final
+        # shard's values unchanged (verify.rs non-cpu-shard transition rules)
+        tail = records[-1].public_values
         for j, d in enumerate(deferred):
             d.shard = len(records) + 1 + j
-            d.public_values.shard = d.shard
+            pv = d.public_values
+            pv.shard = d.shard
+            pv.execution_shard = tail.execution_shard
+            pv.exit_code = tail.exit_code
+            pv.committed_value_digest = list(tail.committed_value_digest)
+            pv.deferred_proofs_digest = list(tail.deferred_proofs_digest)
+            pv.prev_init_addr = pv.last_init_addr = tail.last_init_addr
+            pv.prev_finalize_addr = pv.last_finalize_addr = tail.last_finalize_addr
         return records + deferred
 
     def prove(self, pk, records: list, device: bool = False, workers: int | None = None) -> list:
@@ -172,30 +212,87 @@ class MipsMachine:
     # ----------------------------------------------------------------- verify
 
     def verify(self, vk, proofs: list, program) -> bool:
-        """Shard proofs + cross-shard chain + global septic digest sum."""
+        """Shard proofs + cross-shard chain + global septic digest sum.
+
+        The chain rules are the full analog of the reference verifier
+        (crates/prover/src/verify.rs:56-290): shard/execution-shard counting,
+        the Cpu log-degree cap, pc chaining, committed/deferred digest
+        set-once rules, and init/finalize address-endpoint chaining.
+        """
         if not proofs:
             raise VerificationError("no shard proofs")
+        if len(proofs) > 1 << 16:
+            raise VerificationError("too many shards")
         for proof in proofs:
             self.machine.verify_shard(vk, proof)
 
-        # shard chaining (reference verify.rs:62-290 subset); shards without
-        # a Cpu chip (deferred precompile shards) must pass the pc through
-        # unchanged (verify.rs: contains_cpu => start_pc == next_pc rule)
         prev_next_pc = None
+        execution_shard = 0
+        zero16 = [0] * 16
+        zero8 = [0] * 8
+        prev_commit = zero16
+        prev_deferred = zero8
+        prev_last_init = (0, 0)
+        prev_last_fin = (0, 0)
         for i, proof in enumerate(proofs):
-            pv = proof.public_values
+            pv = [int(x) for x in proof.public_values]
             has_cpu = "Cpu" in proof.chip_names
             if i == 0 and not has_cpu:
                 raise VerificationError("first shard has no Cpu chip")
-            if int(pv[PV_SHARD]) != i + 1:
+            if has_cpu:
+                ld = self._chip_log_degree(proof, "Cpu")
+                if ld > MAX_CPU_LOG_DEGREE:
+                    raise VerificationError(f"cpu log degree {ld} exceeds cap")
+            # shard / execution-shard counting
+            if pv[PV_SHARD] != i + 1:
                 raise VerificationError(f"shard index mismatch at proof {i}")
-            if i == 0 and int(pv[PV_START_PC]) != program.pc_start:
+            if has_cpu:
+                execution_shard += 1
+                if pv[PV_EXECUTION_SHARD] != execution_shard:
+                    raise VerificationError(
+                        f"execution shard mismatch at shard {i + 1}"
+                    )
+            # pc chaining
+            if i == 0 and pv[PV_START_PC] != program.pc_start:
                 raise VerificationError("first shard does not start at pc_start")
-            if prev_next_pc is not None and int(pv[PV_START_PC]) != prev_next_pc:
+            if prev_next_pc is not None and pv[PV_START_PC] != prev_next_pc:
                 raise VerificationError(f"pc chain broken at shard {i + 1}")
-            if not has_cpu and int(pv[PV_START_PC]) != int(pv[PV_NEXT_PC]):
+            if not has_cpu and pv[PV_START_PC] != pv[PV_NEXT_PC]:
                 raise VerificationError(f"cpu-less shard {i + 1} changes pc")
-            prev_next_pc = int(pv[PV_NEXT_PC])
+            if has_cpu and pv[PV_START_PC] == 0:
+                raise VerificationError(f"cpu shard {i + 1} starts halted")
+            prev_next_pc = pv[PV_NEXT_PC]
+            # exit code must be zero in every shard (verify.rs:171-180)
+            if pv[PV_EXIT_CODE] != 0:
+                raise VerificationError(f"nonzero exit code in shard {i + 1}")
+            # committed/deferred digest set-once + non-cpu frozen rules
+            commit = pv[PV_DIGEST : PV_DIGEST + 16]
+            deferred = pv[PV_DEFERRED_DIGEST : PV_DEFERRED_DIGEST + 8]
+            if prev_commit != zero16 and commit != prev_commit:
+                raise VerificationError(f"committed digest changed at shard {i + 1}")
+            if prev_deferred != zero8 and deferred != prev_deferred:
+                raise VerificationError(f"deferred digest changed at shard {i + 1}")
+            if not has_cpu and (commit != prev_commit or deferred != prev_deferred):
+                raise VerificationError(f"cpu-less shard {i + 1} changes digest")
+            prev_commit, prev_deferred = commit, deferred
+            # init/finalize address-endpoint chaining
+            prev_init = (pv[PV_PREV_INIT_ADDR], pv[PV_PREV_INIT_ADDR + 1])
+            last_init = (pv[PV_LAST_INIT_ADDR], pv[PV_LAST_INIT_ADDR + 1])
+            prev_fin = (pv[PV_PREV_FINALIZE_ADDR], pv[PV_PREV_FINALIZE_ADDR + 1])
+            last_fin = (pv[PV_LAST_FINALIZE_ADDR], pv[PV_LAST_FINALIZE_ADDR + 1])
+            if prev_init != prev_last_init:
+                raise VerificationError(f"init addr chain broken at shard {i + 1}")
+            if prev_fin != prev_last_fin:
+                raise VerificationError(f"finalize addr chain broken at shard {i + 1}")
+            if "MemoryGlobalInit" not in proof.chip_names and prev_init != last_init:
+                raise VerificationError(
+                    f"init addr changes without MemoryGlobalInit in shard {i + 1}"
+                )
+            if "MemoryGlobalFinalize" not in proof.chip_names and prev_fin != last_fin:
+                raise VerificationError(
+                    f"finalize addr changes without MemoryGlobalFinalize in shard {i + 1}"
+                )
+            prev_last_init, prev_last_fin = last_init, last_fin
         if prev_next_pc != 0:
             raise VerificationError("final shard does not halt (next_pc != 0)")
 
@@ -208,6 +305,12 @@ class MipsMachine:
         if total is not None:
             raise VerificationError("global memory digest does not sum to zero")
         return True
+
+    def _chip_log_degree(self, proof, name: str) -> int:
+        for n, ov in zip(proof.chip_names, proof.opened):
+            if n == name:
+                return int(ov.log_degree)
+        raise VerificationError(f"proof missing {name} chip")
 
     def _proof_global_digest(self, proof):
         for name, ov in zip(proof.chip_names, proof.opened):

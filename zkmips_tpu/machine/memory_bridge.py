@@ -106,17 +106,39 @@ class MemoryLocalAir(BaseAir):
 
 
 class _MemoryEndpointAir(BaseAir):
-    """Shared structure for init/finalize: sorted addresses + global export."""
+    """Shared structure for init/finalize: sorted addresses + global export.
+
+    Cross-shard ordering rides the public values (reference memory/global.rs
+    :330-440): the first real row's address must exceed the chained
+    ``previous_*_addr`` endpoint (or be address 0 with a second real row when
+    the chain is empty), and the last real row's address is exported as
+    ``last_*_addr`` — the verifier chains prev(i+1) == last(i), so no address
+    can be initialized/finalized twice across shards.
+    """
 
     _COLS = [
         "addr", "a16", "a15", "v_lo", "v_hi", "shard", "clk",
         "cmp_hi", "d", "has_next", "is_real",
+        # first-row comparison against the chained previous address endpoint
+        "prev_inv", "fc", "fcmp_hi", "fd",
     ]
     IS_INIT = True
 
     def __init__(self):
         self.schema = Schema(self._COLS)
         self.main_width = self.schema.width
+
+    def _pv_base(self):
+        from .pv import (
+            PV_LAST_FINALIZE_ADDR,
+            PV_LAST_INIT_ADDR,
+            PV_PREV_FINALIZE_ADDR,
+            PV_PREV_INIT_ADDR,
+        )
+
+        if self.IS_INIT:
+            return PV_PREV_INIT_ADDR, PV_LAST_INIT_ADDR
+        return PV_PREV_FINALIZE_ADDR, PV_LAST_FINALIZE_ADDR
 
     def eval(self, b: AirBuilder):
         col = ColView(b, self.schema)
@@ -159,6 +181,41 @@ class _MemoryEndpointAir(BaseAir):
         t.when_not(cmp_hi).assert_eq(col("d"), col("a16", 1) - col("a16") - 1)
         send_u16_check(b, col("d"), col("has_next"))
 
+        # ---- public-value address endpoints ------------------------------
+        pv_prev, pv_last = self._pv_base()
+        prev_lo = b.public_value(pv_prev)
+        prev_hi = b.public_value(pv_prev + 1)
+        # fc = 1 on the first row iff prev != 0 (limbs are canonical by the
+        # verifier's chain: prev(i+1) == last(i), last bound below, first
+        # shard prev == 0); s = lo + hi < 2^17 so s == 0 iff prev == 0
+        fc = col("fc")
+        s = prev_lo + prev_hi
+        fr = b.when_first_row()
+        fr.assert_eq(fc, s * col("prev_inv"))
+        fr.assert_zero((1 - fc) * s)
+        b.when_transition().assert_zero(col("fc", 1))  # fc lives on row 0 only
+        # a present chip must carry at least one real row, so the last-row
+        # endpoint binding below always fires (an absent chip is instead
+        # checked by the verifier's prev == last rule)
+        fr.assert_one(is_real)
+        # prev == 0: the chain opens here — first address must be 0 and a
+        # second real row must exist so last > 0 chains nonzero onward
+        # (reference global.rs:393-397 double-init guard)
+        fr.when_not(fc).assert_zero(addr)
+        fr.when_not(fc).assert_one(nxt_real)
+        # prev != 0: prev < addr lexicographically over (hi, lo) limbs
+        fcmp_hi = col("fcmp_hi")
+        fd = col("fd")
+        b.assert_bool(fcmp_hi)
+        b.when(fc).when(fcmp_hi).assert_eq(fd, col("a15") - prev_hi - 1)
+        b.when(fc).when_not(fcmp_hi).assert_eq(col("a15"), prev_hi)
+        b.when(fc).when_not(fcmp_hi).assert_eq(fd, col("a16") - prev_lo - 1)
+        send_u16_check(b, fd, fc)
+        # the last real row exports its address as the shard's last endpoint
+        is_last_real = is_real - has_next
+        b.when(is_last_real).assert_eq(col("a16"), b.public_value(pv_last))
+        b.when(is_last_real).assert_eq(col("a15"), b.public_value(pv_last + 1))
+
     def _events(self, record):
         evs = record.global_memory_initialize_events if self.IS_INIT else record.global_memory_finalize_events
         return sorted(evs, key=lambda e: e.addr)
@@ -181,6 +238,37 @@ class _MemoryEndpointAir(BaseAir):
         s = self.schema
         t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
+        if events:
+            from ..ops import field as ff
+
+            rpv = record.public_values
+            prev = rpv.prev_init_addr if self.IS_INIT else rpv.prev_finalize_addr
+            last = rpv.last_init_addr if self.IS_INIT else rpv.last_finalize_addr
+            assert events[-1].addr == last, (
+                f"{self.name}: pv last addr {last:#x} != {events[-1].addr:#x}"
+            )
+            p_lo, p_hi = prev & 0xFFFF, prev >> 16
+            ssum = p_lo + p_hi
+            if ssum:
+                t[0, s.idx("fc")] = 1
+                t[0, s.idx("prev_inv")] = ff.inv_int(ssum)
+                a0 = events[0].addr
+                a16_0, a15_0 = a0 & 0xFFFF, a0 >> 16
+                if a15_0 > p_hi:
+                    t[0, s.idx("fcmp_hi")] = 1
+                    fd = a15_0 - p_hi - 1
+                else:
+                    assert a15_0 == p_hi and a16_0 > p_lo, (
+                        f"{self.name}: first addr {a0:#x} not above prev {prev:#x}"
+                    )
+                    fd = a16_0 - p_lo - 1
+                t[0, s.idx("fd")] = fd
+                sink.u16(np.array([fd], dtype=np.uint32))
+            else:
+                assert events[0].addr == 0, (
+                    f"{self.name}: chain opens at {events[0].addr:#x}, expected 0"
+                )
+                assert len(events) >= 2, f"{self.name}: chain opener needs >= 2 rows"
         for i, ev in enumerate(events):
             lo, hi = split_u32(ev.value)
             a16, a15 = ev.addr & 0xFFFF, ev.addr >> 16

@@ -13,14 +13,17 @@ from ..executor.opcodes import Opcode, SyscallCode
 from ..stark.air import AirBuilder, LookupKind
 from .gadgets import ColView
 from .instr_chip import InstrAir
-from .pv import PV_DIGEST
+from .pv import PV_DEFERRED_DIGEST, PV_DIGEST
 
 SYS_FLAGS = [
     ("is_halt_sc", SyscallCode.HALT),
     ("is_write_sc", SyscallCode.WRITE),
     ("is_commit_sc", SyscallCode.COMMIT),
+    ("is_commitdef_sc", SyscallCode.COMMIT_DEFERRED_PROOFS),
+    ("is_verify_sc", SyscallCode.VERIFY_ZKM_PROOF),
     ("is_hintlen_sc", SyscallCode.SYSHINTLEN),
     ("is_hintread_sc", SyscallCode.SYSHINTREAD),
+    ("is_enteru_sc", SyscallCode.ENTER_UNCONSTRAINED),
     ("is_shaext_sc", SyscallCode.SHA_EXTEND),
     ("is_shacmp_sc", SyscallCode.SHA_COMPRESS),
     ("is_p2perm_sc", SyscallCode.POSEIDON2_PERMUTE),
@@ -57,7 +60,8 @@ SYS_FLAGS = [
 PRECOMPILE_FLAGS = {
     n for n, _c in SYS_FLAGS
     if n not in {"is_halt_sc", "is_write_sc", "is_commit_sc",
-                 "is_hintlen_sc", "is_hintread_sc"}
+                 "is_commitdef_sc", "is_verify_sc",
+                 "is_hintlen_sc", "is_hintread_sc", "is_enteru_sc"}
 }
 
 
@@ -68,6 +72,11 @@ class SyscallInstrAir(InstrAir):
         [n for n, _ in SYS_FLAGS]
         + ["is_linux_sc", "is_extgroup_sc", "extgroup_inv"]
         + [f"digest_idx{i}" for i in range(8)]
+        # KoalaBear-canonical range check on the COMMIT_DEFERRED_PROOFS
+        # operand (reference syscall/instructions/columns.rs:66): the digest
+        # word c must be < P = 0x7F000001, i.e. hi < 0x7F00, or
+        # hi == 0x7F00 and lo == 0
+        + ["kb_hi_max", "kb_lt"]
     )
 
     def control_flags(self, col, is_real, flag):
@@ -113,16 +122,22 @@ class SyscallInstrAir(InstrAir):
         b.when(is_extgroup).assert_one(is_linux)
         eg_diff = pa.lo - int(SyscallCode.SYS_EXT_GROUP)
         b.when(is_linux).assert_zero(1 - is_extgroup - eg_diff * col("extgroup_inv"))
-        # result register: keep the syscall id, except hint-len (host data)
-        # and Linux syscalls (result bound via the SysLinux bridge message)
+        # result register: keep the syscall id, except hint-len (host data),
+        # Linux syscalls (result bound via the SysLinux bridge message), and
+        # enter-unconstrained (the merged block row returns 0; reference
+        # syscall/instructions/air.rs:197-208)
         a = col.word("a")
-        keep = is_real - col("is_hintlen_sc") - is_linux
+        is_enteru = col("is_enteru_sc")
+        keep = is_real - col("is_hintlen_sc") - is_linux - is_enteru
         b.when(keep).assert_eq(a.lo, pa.lo)
         b.when(keep).assert_eq(a.hi, pa.hi)
+        b.when(is_enteru).assert_zero(a.lo)
+        b.when(is_enteru).assert_zero(a.hi)
         # halt: exit code (checked against pv by the CPU) must be a clean u32
         bw = col.word("b")
         b.when(col("is_halt_sc") + is_extgroup).assert_zero(bw.hi)
-        # commit: bind the public-values digest word at index b
+        # commit / commit-deferred: bind the public-values digest word at
+        # index b (reference air.rs:245-330 shares one index bitmap)
         idx_flags = [col(f"digest_idx{i}") for i in range(8)]
         isum = 0
         wsum = 0
@@ -131,13 +146,30 @@ class SyscallInstrAir(InstrAir):
             isum = isum + f_
             wsum = wsum + f_ * i
         is_commit = col("is_commit_sc")
-        b.assert_eq(isum, is_commit)
-        b.when(is_commit).assert_eq(wsum, bw.lo)
-        b.when(is_commit).assert_zero(bw.hi)
+        is_cd = col("is_commitdef_sc")
+        either = is_commit + is_cd
+        b.assert_eq(isum, either)
+        b.when(either).assert_eq(wsum, bw.lo)
+        b.when(either).assert_zero(bw.hi)
         cw = col.word("c")
         for i, f_ in enumerate(idx_flags):
-            b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i), cw.lo)
-            b.when(f_).assert_eq(b.public_value(PV_DIGEST + 2 * i + 1), cw.hi)
+            b.when(f_ * is_commit).assert_eq(b.public_value(PV_DIGEST + 2 * i), cw.lo)
+            b.when(f_ * is_commit).assert_eq(b.public_value(PV_DIGEST + 2 * i + 1), cw.hi)
+            # deferred digest words are single KoalaBear elements
+            b.when(f_ * is_cd).assert_eq(
+                b.public_value(PV_DEFERRED_DIGEST + i), cw.lo + cw.hi * 65536
+            )
+        # range check the deferred digest word to a canonical field element
+        # so the reduced PV binding cannot alias c and c - P
+        kb_hi_max = col("kb_hi_max")
+        kb_lt = col("kb_lt")
+        b.assert_bool(kb_hi_max)
+        b.when(is_cd * kb_hi_max).assert_eq(cw.hi, 0x7F00)
+        b.when(is_cd * kb_hi_max).assert_zero(cw.lo)
+        b.assert_eq(kb_lt, is_cd - is_cd * kb_hi_max)
+        from .gadgets import send_u16_check
+
+        send_u16_check(b, 0x7EFF - cw.hi, kb_lt)
         # hand precompile syscalls to their chips
         from .lookups import linux_syscall_msg, syscall_msg
 
@@ -164,8 +196,23 @@ class SyscallInstrAir(InstrAir):
         for n, code in SYS_FLAGS:
             if sid == int(code):
                 t[i, s.idx(n)] = 1
-                if code == SyscallCode.COMMIT:
+                if code in (SyscallCode.COMMIT, SyscallCode.COMMIT_DEFERRED_PROOFS):
                     t[i, s.idx(f"digest_idx{int(e.b)}")] = 1
+                if code == SyscallCode.COMMIT_DEFERRED_PROOFS:
+                    c_hi = int(e.c) >> 16
+                    if c_hi == 0x7F00:
+                        assert int(e.c) == 0x7F000000, (
+                            f"deferred digest word {e.c:#x} is not a canonical "
+                            "KoalaBear element"
+                        )
+                        t[i, s.idx("kb_hi_max")] = 1
+                    else:
+                        assert c_hi < 0x7F00, (
+                            f"deferred digest word {e.c:#x} is not a canonical "
+                            "KoalaBear element"
+                        )
+                        t[i, s.idx("kb_lt")] = 1
+                        sink.u16(np.array([0x7EFF - c_hi], dtype=np.uint32))
                 break
         else:
             from .sys_linux import LINUX_IDS
