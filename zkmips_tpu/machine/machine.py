@@ -186,11 +186,18 @@ class MipsMachine:
             pv.prev_finalize_addr = pv.last_finalize_addr = tail.last_finalize_addr
         return records + deferred
 
-    def prove(self, pk, records: list, device: bool = False, workers: int | None = None) -> list:
+    def prove(self, pk, records: list, device: bool = False, workers: int | None = None,
+              devices: list | None = None) -> list:
         """Prove all shards; ``workers`` > 1 pipelines shards across threads
         (the analog of the reference's trace-gen/prove worker pool,
         crates/core/machine/src/utils/prove.rs:157-520 — numpy/XLA release
-        the GIL, so host trace generation overlaps device proving)."""
+        the GIL, so host trace generation overlaps device proving).
+
+        ``devices``: shard-parallel multi-chip proving — shard i's device
+        stages run on devices[i % len(devices)] (each worker thread pins its
+        shard's kernels with jax.default_device), the TPU analog of the
+        reference's per-worker prover assignment.  Proof bytes are
+        placement-independent, so the verifier is unchanged."""
         records = self.split_deferred(records)
         xp = np
         if device:
@@ -201,12 +208,23 @@ class MipsMachine:
             from ..utils.opts import ZKMCoreOpts
 
             workers = ZKMCoreOpts.default().trace_gen_workers if len(records) > 1 else 1
+        if devices:
+            workers = max(workers, len(devices))
+
+        def prove_one(i: int, r):
+            if not devices:
+                return self.prove_record(pk, r, xp=xp)
+            import jax
+
+            with jax.default_device(devices[i % len(devices)]):
+                return self.prove_record(pk, r, xp=xp)
+
         if workers <= 1 or len(records) <= 1:
-            return [self.prove_record(pk, r, xp=xp) for r in records]
+            return [prove_one(i, r) for i, r in enumerate(records)]
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            futs = [pool.submit(self.prove_record, pk, r, xp) for r in records]
+            futs = [pool.submit(prove_one, i, r) for i, r in enumerate(records)]
             return [f.result() for f in futs]
 
     # ----------------------------------------------------------------- verify
