@@ -1,17 +1,22 @@
-"""Headline benchmark: MIPS cycles proved per second (fibonacci guest).
+"""Headline benchmark: MIPS cycles proved per second.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...notes}.
 
 Baseline derivation (BASELINE.md): the reference proves fibonacci n=58218 in
 14.985 s on an r6a.8xlarge (32 vCPU).  That guest executes ~2M MIPS cycles
 (≈35 cycles/iteration incl. loads + runtime overhead), giving a baseline of
 ~133,000 cycles proved per second per host.  vs_baseline = ours / 133000.
 
-Default run proves fib200000 (1.2M MIPS cycles, two shards at the 2^20
-cycle budget) on the attached accelerator when present: the first pass
-compiles/loads the persistent kernel cache (minutes when cold), the measured
-pass is steady-state — ~60k cycles/s on one tunneled v5e chip (vs ~440 c/s
-for the numpy prover, BENCH_DEVICE=0).
+Primary metric: fib guest (BENCH_FIB_ITERS, default 200k iters = 1.2M
+cycles) proved at the sound core config.  The first device pass compiles /
+loads the persistent kernel cache (minutes when cold) and is reported as
+first_proof_s; the measured pass is steady-state.  Extra keys:
+
+  real_guest_cycles_per_sec — the reference's shipped compiled guest ELF
+      (crates/prover/elf/mipsel-zkm-zkvm-elf) proved end-to-end + verified
+  stage_breakdown_s — host-visible wall per prover stage (device stages
+      dispatch asynchronously; their cost surfaces at sync points)
+  first_proof_s / steady_proof_s — cold(ish) vs warm wall for the fib guest
 """
 
 from __future__ import annotations
@@ -24,6 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_CYCLES_PER_SEC = 133_000.0
+REF_ELF = "/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf"
 
 
 def _device_available() -> bool:
@@ -45,12 +51,9 @@ def _device_available() -> bool:
         return False
 
 
-def main():
-    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "200000"))
-    from zkmips_tpu.executor import Executor, Instruction, Opcode, Register
+def _fib_program(n_iters: int):
+    from zkmips_tpu.executor import Instruction, Opcode, Register
     from zkmips_tpu.executor import asm
-    from zkmips_tpu.machine.machine import MipsMachine
-    from zkmips_tpu.stark.machine import StarkConfig
 
     R, O = Register, Opcode
     body = [
@@ -62,9 +65,42 @@ def main():
         asm.branch(O.BGTZ, R.T2, 0, -20),
         asm.nop(),
     ]
-    program = asm.prog(body + asm.halt_sequence())
-    from zkmips_tpu.executor import execute_for_proving
+    return asm.prog(body + asm.halt_sequence())
 
+
+def _bench_real_guest(config, device: bool) -> dict:
+    """Prove + verify the reference's shipped compiled guest ELF."""
+    if not os.path.exists(REF_ELF):
+        return {}
+    from zkmips_tpu.executor import Executor
+    from zkmips_tpu.executor.program import Program
+    from zkmips_tpu.machine.machine import MipsMachine
+
+    p = Program.from_elf(open(REF_ELF, "rb").read())
+    ex = Executor(p)
+    records = ex.run()
+    cycles = ex.global_clk
+    m = MipsMachine(config)
+    pk = m.setup(p)
+    t0 = time.time()
+    proofs = m.prove(pk, records, device=device)
+    dt = time.time() - t0
+    assert m.verify(pk.vk, proofs, p)
+    return {
+        "real_guest_cycles_per_sec": round(cycles / dt, 2),
+        "real_guest_prove_s": round(dt, 2),
+        "real_guest_cycles": cycles,
+    }
+
+
+def main():
+    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "200000"))
+    from zkmips_tpu.machine.machine import MipsMachine
+    from zkmips_tpu.stark.machine import StarkConfig
+    from zkmips_tpu.executor import execute_for_proving
+    from zkmips_tpu.utils import logger
+
+    program = _fib_program(n_iters)
     shard_size = int(os.environ.get("SHARD_SIZE", 1 << 20))
     records, info = execute_for_proving(program, shard_size=shard_size)
     cycles = info["global_clk"]
@@ -73,23 +109,44 @@ def main():
     m = MipsMachine(config)
     pk = m.setup(program)
     device = _device_available()
+    first_proof_s = None
     if device:
         # first pass compiles the stage kernels (persistently cached); the
         # measured pass reflects steady-state proving
+        t0 = time.time()
         m.prove(pk, records, device=True)
+        first_proof_s = time.time() - t0
         records, info = execute_for_proving(program, shard_size=shard_size)
+
+    logger._ENABLED = True
+    logger.spans_reset()
     t0 = time.time()
     proofs = m.prove(pk, records, device=device)
     dt = time.time() - t0
+    logger._ENABLED = False
     assert m.verify(pk.vk, proofs, program)
+    # collapse nested span paths (threaded shards interleave the stack)
+    agg: dict = {}
+    for k, (v, _c) in logger.spans_report().items():
+        agg[k.split("/")[-1]] = round(agg.get(k.split("/")[-1], 0.0) + v, 3)
+
+    real = _bench_real_guest(config, device)
 
     cps = cycles / dt
-    print(json.dumps({
+    out = {
         "metric": "mips_cycles_proved_per_sec",
         "value": round(cps, 2),
         "unit": "cycles/s",
         "vs_baseline": round(cps / BASELINE_CYCLES_PER_SEC, 5),
-    }))
+        "steady_proof_s": round(dt, 2),
+        "cycles": cycles,
+        "shards": len(proofs),
+        "stage_breakdown_s": agg,
+    }
+    if first_proof_s is not None:
+        out["first_proof_s"] = round(first_proof_s, 2)
+    out.update(real)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

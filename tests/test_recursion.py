@@ -395,3 +395,53 @@ def test_vk_map_export_load_roundtrip():
         rp3 = RecursionProver(m)
         rp3.load_vk_map(path)
         assert rp3._find_final_vk(cp).prep_heights == [("RecMemConst", 4)]
+
+
+def test_vk_map_merkle_root_authentication():
+    """The exported vk map carries a Merkle root over canonical entry
+    encodings; loading verifies it, so a verifier that pins the root rejects
+    tampered/extended maps (vkey_proof.rs trust model, host side)."""
+    import copy
+
+    import numpy as np
+    import pytest
+
+    from zkmips_tpu.machine.machine import mips_machine
+    from zkmips_tpu.recursion.compress import RecursionProver
+    from zkmips_tpu.recursion.vk_tree import map_entries_root
+    from zkmips_tpu.stark.machine import VerificationError, VerifyingKey
+
+    m = mips_machine(StarkConfig.test(), minimal=True)
+    rp = RecursionProver(m)
+
+    class _PK:
+        def __init__(self, vk):
+            self.vk = vk
+
+    rp._lift_cache["a"] = (None, _PK(VerifyingKey(
+        prep_root=np.arange(8, dtype=np.uint32), prep_heights=[("RecMemConst", 4)]
+    )))
+    rp._compress_cache["b"] = (None, _PK(VerifyingKey(
+        prep_root=np.arange(8, 16, dtype=np.uint32), prep_heights=[("RecPoseidon2", 6)]
+    )))
+    exported = rp.export_vk_map()
+    root = tuple(int(x) for x in exported["merkle_root"])
+    assert root == map_entries_root(exported["vks"])
+
+    # clean load with the pinned root
+    rp2 = RecursionProver(m)
+    rp2.load_vk_map(exported, expected_root=root)
+
+    # tampered entry -> embedded-root mismatch
+    bad = copy.deepcopy(exported)
+    bad["vks"][0]["heights"][0][1] = 9
+    with pytest.raises(VerificationError, match="merkle root"):
+        RecursionProver(m).load_vk_map(bad)
+
+    # extended map with a forged program vk: embedded root updated by the
+    # attacker, but the PINNED root rejects it
+    forged = copy.deepcopy(exported)
+    forged["vks"].append({"root": [str(i) for i in range(100, 108)], "heights": []})
+    forged["merkle_root"] = [str(x) for x in map_entries_root(forged["vks"])]
+    with pytest.raises(VerificationError, match="pinned"):
+        RecursionProver(m).load_vk_map(forged, expected_root=root)

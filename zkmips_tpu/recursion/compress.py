@@ -53,6 +53,20 @@ class CompressedProof:
     stage: str = "compress"
 
 
+@dataclass
+class DeferredProof:
+    """A deferred-chain link: a recursion proof whose pv binds
+    Poseidon2_compress(prev_digest, new_digest)
+    (verifier.DeferredVerifierCircuit); the chain values are stated
+    alongside and re-bound by the verifier."""
+
+    proof: object
+    final_vk_root: tuple  # the deferred program's own vk root
+    child_vk_root: tuple  # the verified child program's vk root (canonical)
+    prev_digest: list
+    new_digest: list
+
+
 def _vk_key(vk) -> tuple:
     return (
         tuple(int(x) for x in np.asarray(vk.prep_root).reshape(-1)),
@@ -95,6 +109,7 @@ class RecursionProver:
         self._lift_cache: dict = {}
         self._compress_cache: dict = {}
         self._shrink_cache: dict = {}
+        self._deferred_cache: dict = {}
 
     # -- program caches ------------------------------------------------------
 
@@ -184,6 +199,78 @@ class RecursionProver:
             stage=stage,
         )
 
+    # -- deferred-proof aggregation (machine/deferred.rs analog) -------------
+
+    def prove_deferred(self, child_cp: CompressedProof, prev_digest: list, xp=np):
+        """Verify a deferred (compressed) guest proof inside a recursion
+        program that emits the rolling deferred-digest chain link.
+
+        Returns (DeferredProof, new_digest); chain links like
+            d0 = zeros; d_{i+1} = rolling(d_i, child_vk_root, child_pv)
+        and the core guest must have committed the final digest via
+        COMMIT_DEFERRED_PROOFS (executor/syscalls.py), making
+        PV_DEFERRED_DIGEST the chain tail the host verifier checks."""
+        from .verifier import DeferredVerifierCircuit, rolling_deferred_digest
+
+        assert child_cp.stage == "compress", "defer compress-stage proofs"
+        child_vk = self._find_final_vk(child_cp)
+        key = ("deferred", _vk_key(child_vk), _shape_key(child_cp.proof))
+        entry = self._deferred_cache.get(key)
+        if entry is None:
+            circ = DeferredVerifierCircuit(self.rec.machine, child_vk, child_cp.proof)
+            pk = self.rec.setup(circ.program)
+            entry = (circ, pk)
+            self._deferred_cache[key] = entry
+        circ, pk = entry
+        witness_obj = (child_cp.proof, [int(x) for x in prev_digest])
+        record = self.rec.execute(circ.program, circ.witness(witness_obj))
+        proof = self.rec.prove(pk, record, xp=xp)
+        expected = circ.expected_public_values(witness_obj)
+        assert list(int(x) for x in proof.public_values) == expected
+        prev, new_digest = circ.chain_link(witness_obj)
+        return (
+            DeferredProof(
+                proof=proof,
+                final_vk_root=tuple(int(x) for x in np.asarray(pk.vk.prep_root)),
+                child_vk_root=tuple(
+                    int(x) for x in ff.from_monty(np.asarray(child_vk.prep_root))
+                ),
+                prev_digest=prev,
+                new_digest=new_digest,
+            ),
+            new_digest,
+        )
+
+    def verify_deferred(self, deferred_proofs: list, core_cp: CompressedProof) -> bool:
+        """Walk the deferred chain: each DeferredProof verifies under a
+        known vk and links prev -> new; the head is zero and the tail must
+        equal the core proof's deferred_proofs_digest public values
+        (verify.rs digest rules + deferred.rs:113)."""
+        from ..machine.pv import PV_DEFERRED_DIGEST
+
+        from .verifier import compress_digest
+
+        chain = [0] * 8
+        for dp in deferred_proofs:
+            vk = self._find_final_vk(dp)
+            self.rec.verify(vk, dp.proof)
+            # the proof's pv binds (prev, new) as a compress digest
+            if [int(x) for x in dp.proof.public_values] != compress_digest(
+                dp.prev_digest, dp.new_digest
+            ):
+                raise VerificationError("deferred proof does not bind its chain values")
+            if dp.prev_digest != chain:
+                raise VerificationError("deferred chain link mismatch")
+            chain = dp.new_digest
+        final_pv = core_cp.shard_public_values[-1]
+        committed = [int(x) for x in final_pv[PV_DEFERRED_DIGEST : PV_DEFERRED_DIGEST + 8]]
+        if chain != committed:
+            raise VerificationError(
+                "deferred chain tail does not match the guest's committed "
+                "deferred_proofs_digest"
+            )
+        return True
+
     def shrink(self, cp: CompressedProof, xp=np) -> CompressedProof:
         """Re-prove the final compress proof under the blowup+1 config."""
         assert cp.stage == "compress"
@@ -264,6 +351,7 @@ class RecursionProver:
             list(self._compress_cache.items())
             + list(self._lift_cache.items())
             + list(self._shrink_cache.items())
+            + list(self._deferred_cache.items())
         ):
             if tuple(int(x) for x in np.asarray(pk.vk.prep_root)) == cp.final_vk_root:
                 return pk.vk
@@ -290,13 +378,22 @@ class RecursionProver:
             list(self._lift_cache.items())
             + list(self._compress_cache.items())
             + list(self._shrink_cache.items())
+            + list(self._deferred_cache.items())
         ):
             root = np.asarray(pk.vk.prep_root).reshape(-1)
             entries.append({
                 "root": [str(int(x)) for x in root],
                 "heights": [[n, int(lh)] for n, lh in pk.vk.prep_heights],
             })
-        out = {"version": 1, "vks": entries}
+        from .vk_tree import map_entries_root
+
+        out = {
+            "version": 2,
+            "vks": entries,
+            # Merkle root over canonical entry encodings (vk_tree.py): the
+            # verifier's trust anchor — ship the map anywhere, pin the root
+            "merkle_root": [str(x) for x in map_entries_root(entries)],
+        }
         if path is not None:
             import json
 
@@ -304,8 +401,15 @@ class RecursionProver:
                 json.dump(out, fh)
         return out
 
-    def load_vk_map(self, map_or_path):
-        """Load a vk map (dict or JSON path) for cross-process verification."""
+    def load_vk_map(self, map_or_path, expected_root=None):
+        """Load a vk map (dict or JSON path) for cross-process verification.
+
+        ``expected_root``: the pinned allowed-vks Merkle root (8-tuple of
+        canonical ints, or the map's own "merkle_root" strings).  The map's
+        entries are re-hashed and the recomputed root must match both the
+        map's embedded root and (when given) the pinned one — a tampered,
+        truncated, or extended map is rejected
+        (vkey_proof.rs:33-126 trust model, host side)."""
         data = map_or_path
         if isinstance(map_or_path, str):
             import json
@@ -313,6 +417,16 @@ class RecursionProver:
             with open(map_or_path) as fh:
                 data = json.load(fh)
         from ..stark.machine import VerifyingKey
+        from .vk_tree import map_entries_root
+
+        recomputed = map_entries_root(data["vks"])
+        embedded = tuple(int(x) for x in data.get("merkle_root", ()))
+        if embedded and recomputed != embedded:
+            raise VerificationError("vk map entries do not match its merkle root")
+        if expected_root is not None:
+            pinned = tuple(int(x) for x in expected_root)
+            if recomputed != pinned:
+                raise VerificationError("vk map merkle root does not match pinned root")
 
         table = {}
         for e in data["vks"]:

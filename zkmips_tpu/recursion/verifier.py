@@ -759,3 +759,56 @@ class CompressVerifierCircuit(_VerifierCircuitBase):
 
     def expected_public_values(self, pair) -> list:
         return compress_digest(pair[0].public_values, pair[1].public_values)
+
+
+def rolling_deferred_digest(prev: list, child_vk_root: list, child_pv: list) -> list:
+    """Host-side deferred-digest chain link (machine/deferred.rs:113 analog):
+
+        new = Poseidon2_sponge(prev(8) ++ child_vk_root(8) ++ child_pv(8))
+
+    All values canonical KoalaBear ints.  Protocol note: our compressed
+    proofs carry an 8-felt pv digest (the lift/compress digest tree) rather
+    than the reference's full flattened PV vector, so the chain binds
+    (child program vk root, child compress digest) — which transitively
+    authenticates the child's full shard public values including its
+    committed-value digest."""
+    vals = [int(x) for x in prev] + [int(x) for x in child_vk_root] + [int(x) for x in child_pv]
+    out = p2.hash_flat(ff.to_monty(np.asarray(vals, dtype=np.uint32)))
+    return [int(x) for x in ff.from_monty(np.asarray(out))]
+
+
+class DeferredVerifierCircuit(_VerifierCircuitBase):
+    """Deferred-proof aggregation program (machine/deferred.rs:43 analog):
+    verifies ONE compressed recursion proof (a deferred guest proof, vk
+    baked as a constant) and commits the rolling deferred-digest chain link
+
+        pv = prev_digest(8) ++ rolling(prev, child_vk_root, child_pv)(8)
+
+    The recursion machine carries 8 public values, so the (prev, new) pair
+    is bound as pv = Poseidon2_compress(prev, new): the prover states the
+    chain values alongside the proof and the host verifier recomputes the
+    compress binding (RecursionProver.verify_deferred), then walks the chain
+    matching its head/tail against zeros and the core proof's
+    deferred_proofs_digest public values."""
+
+    def __init__(self, machine, child_vk, template_proof):
+        super().__init__(machine)
+        b = self.b
+        vk_root, pv, _ = self._verify_shard(child_vk, template_proof, lambda w: w[0])
+        self._cursel = lambda w: w
+        prev = self._hfs(8, lambda w: [int(x) for x in w[1]])
+        new = circuit_hash_flat(b, prev + vk_root + pv)
+        b.commit_public_values(circuit_compress(b, prev, new))
+        self.program = self.b.compile()
+        self.child_vk = child_vk
+
+    def chain_link(self, witness_obj) -> tuple:
+        """(prev, new) canonical chain values for a witness."""
+        proof, prev = witness_obj
+        vk_root = [int(x) for x in ff.from_monty(np.asarray(self.child_vk.prep_root))]
+        new = rolling_deferred_digest(prev, vk_root, [int(x) for x in proof.public_values])
+        return [int(x) for x in prev], new
+
+    def expected_public_values(self, witness_obj) -> list:
+        prev, new = self.chain_link(witness_obj)
+        return compress_digest(prev, new)

@@ -138,13 +138,16 @@ def _prep_key(prep):
     return key
 
 
-def _upload_trace_monty(t: np.ndarray, xp):
-    """Upload a canonical u32 trace narrowed per column; device widens,
-    restores column order with a static gather, and converts to Montgomery.
+# per-(chip, width) upload partitions: promotion-only, so the narrowing
+# signature — and therefore the upload kernel — stabilizes after the first
+# shard instead of re-keying on every program's data (a column observed
+# needing u16 once stays u16 even if a later shard's values happen to fit u8)
+_UPLOAD_PARTITIONS: dict = {}
 
-    The column partition is data-derived but structural in practice (the same
-    chip produces the same signature every shard), so the kernel cache keys
-    on it without churn."""
+
+def _upload_trace_monty(t: np.ndarray, xp, tag: str = ""):
+    """Upload a canonical u32 trace narrowed per column; device widens,
+    restores column order with a static gather, and converts to Montgomery."""
     from .jit_util import cached_jit
 
     h, w = t.shape
@@ -152,9 +155,15 @@ def _upload_trace_monty(t: np.ndarray, xp):
         fn = cached_jit("to_monty", t.shape, lambda: f.to_monty)
         return fn(xp.asarray(t))
     mx = t.max(axis=0)
-    cols8 = tuple(int(c) for c in np.nonzero(mx <= 0xFF)[0])
-    cols16 = tuple(int(c) for c in np.nonzero((mx > 0xFF) & (mx <= 0xFFFF))[0])
-    cols32 = tuple(int(c) for c in np.nonzero(mx > 0xFFFF)[0])
+    cls = np.where(mx <= 0xFF, 0, np.where(mx <= 0xFFFF, 1, 2)).astype(np.int8)
+    key = (tag, w)
+    prev = _UPLOAD_PARTITIONS.get(key)
+    if prev is not None:
+        cls = np.maximum(cls, prev)
+    _UPLOAD_PARTITIONS[key] = cls
+    cols8 = tuple(int(c) for c in np.nonzero(cls == 0)[0])
+    cols16 = tuple(int(c) for c in np.nonzero(cls == 1)[0])
+    cols32 = tuple(int(c) for c in np.nonzero(cls == 2)[0])
     # slice column groups through the transpose: traces are built F-order, so
     # tT row-gathers are contiguous copies (the (n, cols) gather on a
     # row-major trace cost more than the transfer it fed)
@@ -250,7 +259,7 @@ class StarkMachine:
                 # dtype (flags/bytes as u8, 16-bit limbs as u16) and widen +
                 # convert to Montgomery on device: the tunnel transfer is the
                 # bottleneck, and most trace columns are limbs or selectors
-                traces[chip.name] = _upload_trace_monty(t, xp)
+                traces[chip.name] = _upload_trace_monty(t, xp, tag=chip.name)
         _pad_span.__exit__(None, None, None)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
         names = [c.name for c in chips]

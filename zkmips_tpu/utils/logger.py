@@ -30,7 +30,9 @@ def span(name: str):
         _TOTALS[path] += dt
         _COUNTS[path] += 1
         _STACK.pop()
-        print(f"[span] {path}: {dt:.3f}s", flush=True)
+        import sys
+
+        print(f"[span] {path}: {dt:.3f}s", file=sys.stderr, flush=True)
 
 
 def spans_report() -> dict:
