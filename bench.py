@@ -83,7 +83,10 @@ def _bench_real_guest(config, device: bool) -> dict:
     m = MipsMachine(config)
     pk = m.setup(p)
     t0 = time.time()
-    proofs = m.prove(pk, records, device=device)
+    # host path: a 3.7k-cycle guest pads to tiny chips that sit below
+    # DEVICE_MIN_ROWS anyway, and interleaving sparse device ops with long
+    # host gaps can wedge the tunneled TPU transport
+    proofs = m.prove(pk, records, device=False)
     dt = time.time() - t0
     assert m.verify(pk.vk, proofs, p)
     return {

@@ -69,3 +69,50 @@ def execute_for_proving(program, stdin_bufs=(), proof_stream=(), shard_size: int
         "hit_max_cycles": False,
     }
     return records, info
+
+
+def stream_for_proving(program, stdin_bufs=(), shard_size: int = 1 << 20,
+                       max_cycles: int | None = None):
+    """Streaming twin of :func:`execute_for_proving`: returns an iterator of
+    records for ``MipsMachine.prove_streaming`` (each yielded the moment its
+    shard boundary is crossed; the native C executor when the guest allows).
+    """
+    def python_stream(skip: int = 0):
+        ex = Executor(program, shard_size=shard_size)
+        for buf in stdin_bufs:
+            ex.write_stdin(buf)
+        for i, r in enumerate(ex.run_stream(max_cycles)):
+            if i >= skip:
+                yield r
+
+    native_ok = False
+    try:
+        from . import native_trace
+
+        native_ok = native_trace.available()
+    except Exception:
+        pass
+    if not native_ok:
+        return python_stream()
+
+    def hybrid():
+        from .native import NativeUnsupported
+
+        yielded = 0
+        try:
+            stream = native_trace.run_trace_stream(
+                program, stdin=stdin_bufs, shard_size=shard_size,
+                max_cycles=max_cycles if max_cycles is not None else 1 << 40,
+            )
+            for r in stream:
+                yielded += 1
+                yield r
+            if stream.info["hit_max_cycles"]:
+                raise ExecutionError(f"exceeded max_cycles {max_cycles}")
+        except NativeUnsupported:
+            # the guest needs the Python interpreter: re-execute and skip the
+            # records already yielded (both executors are differentially
+            # equal up to the unsupported syscall)
+            yield from python_stream(skip=yielded)
+
+    return hybrid()

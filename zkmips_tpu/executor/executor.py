@@ -311,6 +311,33 @@ class Executor:
         self._postprocess()
         return self.records
 
+    def run_stream(self, max_cycles: int | None = None):
+        """Generator: yield each record the moment its shard boundary is
+        crossed (the prove.rs:157-520 checkpoint-channel analog).  Records
+        are fully formed at yield time — global memory init/finalize anchors
+        on the final record (_postprocess) — and are dropped from
+        ``self.records`` after yielding so host memory stays flat as the
+        cycle count grows."""
+        yielded = 0
+        while not self.exited:
+            if self.pc == 0:
+                break
+            self.execute_cycle()
+            if max_cycles is not None and self.global_clk >= max_cycles:
+                raise ExecutionError(f"exceeded max_cycles {max_cycles}")
+            while len(self.records) > yielded:
+                r = self.records[yielded]
+                self.records[yielded] = None  # release event memory
+                yielded += 1
+                yield r
+        self._bump_record(final=True)
+        self._postprocess()
+        while len(self.records) > yielded:
+            r = self.records[yielded]
+            self.records[yielded] = None
+            yielded += 1
+            yield r
+
     def execute_cycle(self):
         instruction = self.program.fetch(self.pc)
         in_delay_slot = self.next_is_delayslot
@@ -359,43 +386,48 @@ class Executor:
             self.record = ExecutionRecord(shard=self.shard, program=self.program)
 
     def _postprocess(self):
-        """Build global memory init/finalize events (executor.rs:2506)."""
-        first = self.records[0] if self.records else None
+        """Build global memory init/finalize events (executor.rs:2506).
+
+        Both sets attach to the LAST record: the first-touch (init) set is
+        only known once execution ends, so anchoring it at the tail keeps
+        every earlier record fully formed the moment its shard boundary is
+        crossed — the streaming prove pipeline (machine.prove_streaming)
+        depends on that.  The global memory multiset argument is
+        shard-agnostic; only the PV address-endpoint chain must match
+        (zeros everywhere except the final shard)."""
         last = self.records[-1] if self.records else None
-        if first is None:
+        if last is None:
             return
-        if 0 not in self.memory:
-            # the init/finalize chain must open at address 0 (register ZERO;
-            # memory_bridge chain-opener rule mirrors reference global.rs:393)
-            first.global_memory_initialize_events.append(
-                MemoryInitFinalEvent(0, 0, 0, 0, 1)
-            )
-            last.global_memory_finalize_events.append(
-                MemoryInitFinalEvent(0, 0, 0, 0, 1)
-            )
         for addr in self.touched_order:
             rec = self.memory[addr]
             if addr in self.uninitialized_memory:
                 init_val = self.uninitialized_memory[addr]
             else:
                 init_val = self.program.image.get(addr, 0)
-            first.global_memory_initialize_events.append(
+            last.global_memory_initialize_events.append(
                 MemoryInitFinalEvent(addr, init_val, 0, 0, 1)
             )
             last.global_memory_finalize_events.append(
                 MemoryInitFinalEvent(addr, rec.value, rec.shard, rec.timestamp, 1)
             )
+        if 0 not in self.memory:
+            # the init/finalize chain must open at address 0 (register ZERO;
+            # memory_bridge chain-opener rule mirrors reference global.rs:393)
+            last.global_memory_initialize_events.append(
+                MemoryInitFinalEvent(0, 0, 0, 0, 1)
+            )
+            last.global_memory_finalize_events.append(
+                MemoryInitFinalEvent(0, 0, 0, 0, 1)
+            )
         # init/finalize address endpoints (public_values.rs:47-57 chaining):
-        # all init events live in the first record, all finalize events in the
-        # last, so shards in between carry prev == last unchanged
-        max_init = max((a for a in self.touched_order), default=0)
-        max_fin = max_init
-        for i, r in enumerate(self.records):
-            pv = r.public_values
-            pv.prev_init_addr = 0 if i == 0 else max_init
-            pv.last_init_addr = max_init
-            pv.prev_finalize_addr = 0
-            pv.last_finalize_addr = max_fin if r is last else 0
+        # zeros for every shard except the final one, which carries both
+        # chains from 0 to the maximum touched address
+        max_addr = max((a for a in self.touched_order), default=0)
+        pv = last.public_values
+        pv.prev_init_addr = 0
+        pv.last_init_addr = max_addr
+        pv.prev_finalize_addr = 0
+        pv.last_finalize_addr = max_addr
 
     # ----------------------------------------------------- the cycle body
 

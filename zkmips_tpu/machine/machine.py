@@ -227,6 +227,75 @@ class MipsMachine:
             futs = [pool.submit(prove_one, i, r) for i, r in enumerate(records)]
             return [f.result() for f in futs]
 
+    def prove_streaming(self, pk, record_iter, device: bool = False,
+                        workers: int | None = None, devices: list | None = None,
+                        max_inflight: int = 3, split_threshold: int | None = None) -> list:
+        """Streaming prove: consume records as the executor produces them
+        (Executor.run_stream / native_trace.run_trace_stream) and prove them
+        in a bounded worker pool — the analog of the reference's
+        checkpoint-channel pipeline (crates/core/machine/src/utils/
+        prove.rs:157-520).  At most ``max_inflight`` unproven records are
+        held at once, so peak host memory stays flat as the cycle count
+        grows; precompile families split into deferred shards that are
+        numbered and proven after the execution stream ends."""
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        if split_threshold is None:
+            from ..utils.opts import ZKMCoreOpts
+
+            split_threshold = ZKMCoreOpts.default().split_threshold
+        xp = np
+        if device:
+            import jax.numpy as jnp
+
+            xp = jnp
+        if workers is None:
+            from ..utils.opts import ZKMCoreOpts
+
+            workers = ZKMCoreOpts.default().trace_gen_workers
+        if devices:
+            workers = max(workers, len(devices))
+        sem = threading.Semaphore(max_inflight)
+
+        def prove_one(i: int, r):
+            try:
+                if devices:
+                    import jax
+
+                    with jax.default_device(devices[i % len(devices)]):
+                        return self.prove_record(pk, r, xp=xp)
+                return self.prove_record(pk, r, xp=xp)
+            finally:
+                sem.release()
+
+        futures = []
+        deferred: list = []
+        tail_pv = None
+        n_exec = 0
+        with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+            for r in record_iter:
+                deferred.extend(r.split(False, split_threshold))
+                tail_pv = r.public_values
+                sem.acquire()
+                futures.append(pool.submit(prove_one, n_exec, r))
+                n_exec += 1
+            # deferred shards follow the final execution shard with chained
+            # public values (same rules as split_deferred)
+            for j, d in enumerate(deferred):
+                d.shard = n_exec + 1 + j
+                pv = d.public_values
+                pv.shard = d.shard
+                pv.execution_shard = tail_pv.execution_shard
+                pv.exit_code = tail_pv.exit_code
+                pv.committed_value_digest = list(tail_pv.committed_value_digest)
+                pv.deferred_proofs_digest = list(tail_pv.deferred_proofs_digest)
+                pv.prev_init_addr = pv.last_init_addr = tail_pv.last_init_addr
+                pv.prev_finalize_addr = pv.last_finalize_addr = tail_pv.last_finalize_addr
+                sem.acquire()
+                futures.append(pool.submit(prove_one, n_exec + j, d))
+            return [f.result() for f in futures]
+
     # ----------------------------------------------------------------- verify
 
     def verify(self, vk, proofs: list, program) -> bool:
