@@ -97,6 +97,10 @@ def _bench_real_guest(config, device: bool) -> dict:
 
 
 def main():
+    # 200k iters = one full 2^20-row shard + a 2^18 tail: two worker threads
+    # keep both in flight without exhausting one v5e chip's HBM (two full
+    # 2^20 shards at the quotient stage OOM; larger workloads need
+    # ZKM_TRACE_GEN_WORKERS=1 or more chips)
     n_iters = int(os.environ.get("BENCH_FIB_ITERS", "200000"))
     from zkmips_tpu.machine.machine import MipsMachine
     from zkmips_tpu.stark.machine import StarkConfig

