@@ -232,3 +232,32 @@ class PlonkVerifier:
         if len(pubs) != k.num_public:
             raise VerificationFailure("public input count mismatch")
         return _verify_plonk(k, p, pubs)
+
+
+# ---------------------------------------------------------------------------
+# Public-input hashing helpers (crates/verifier/src/utils.rs:7-23 analog)
+# ---------------------------------------------------------------------------
+
+
+def hash_public_inputs(public_inputs: bytes) -> bytes:
+    """sha256 of the guest's committed public-value bytes with the top 3
+    bits zeroed so the digest fits in the BN254 scalar field — byte-for-byte
+    the reference's `hash_public_inputs` (crates/verifier/src/utils.rs:7,
+    golden-vectored against crates/primitives/src/io.rs:102)."""
+    import hashlib
+
+    d = bytearray(hashlib.sha256(public_inputs).digest())
+    d[0] &= 0x1F
+    return bytes(d)
+
+
+def bn254_public_values(vkey_hash: bytes, public_inputs: bytes) -> list[int]:
+    """[vkey_hash as Fr (top byte dropped), committed-values digest as Fr] —
+    the 2-element SNARK public-input vector format of
+    crates/verifier/src/utils.rs:18-23."""
+    if len(vkey_hash) != 32:
+        raise VerificationFailure("vkey hash must be 32 bytes")
+    return [
+        int.from_bytes(vkey_hash[1:], "big"),
+        int.from_bytes(hash_public_inputs(public_inputs), "big"),
+    ]
