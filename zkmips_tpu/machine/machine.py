@@ -98,17 +98,23 @@ def core_chip_airs() -> list:
 
 
 class MipsMachine:
-    def __init__(self, config: StarkConfig | None = None, chip_airs=None, use_shapes: bool = False):
+    def __init__(self, config: StarkConfig | None = None, chip_airs=None, use_shapes: bool | None = None):
         airs = chip_airs if chip_airs is not None else core_chip_airs()
         self.airs = airs
         chips = [Chip(a, num_public_values=NUM_PV) for a in airs]
+        config = config or StarkConfig.core()
+        if use_shapes is None:
+            # default ON for sound configs (the device/production path: fixed
+            # shapes are the XLA kernel-cache key); OFF for the test config so
+            # unit tests keep minimal pad areas
+            use_shapes = config.fri.num_queries >= 28
         shape_config = None
         if use_shapes:
             from .shapes import ShapeConfig
 
             shape_config = ShapeConfig()
         self.machine = StarkMachine(
-            config or StarkConfig.core(), chips, num_public_values=NUM_PV, shape_config=shape_config
+            config, chips, num_public_values=NUM_PV, shape_config=shape_config
         )
 
     def setup(self, program):

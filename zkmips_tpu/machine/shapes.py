@@ -1,18 +1,39 @@
-"""Fixed proof shapes: pad chip heights to a menu of known shapes.
+"""Fixed proof shapes: pad chip heights to a finite, precompiled menu.
 
 Analog of the reference's CoreShapeConfig (crates/core/machine/src/shape/
 mod.rs:40-718 + maximal_shapes.json): every shard's chip heights are rounded
-up to a preset "shape" so that proofs have one of finitely many layouts.
-On TPU this is doubly valuable: static shapes mean every stage kernel is
-compiled once per shape and reused across programs and shards.
+up so that proofs have one of finitely many layouts.  On TPU the shape is the
+XLA kernel-cache key, so this matters more here than in the reference: a
+program whose shards land on known shapes triggers zero new stage compiles.
 
-A shape maps chip name -> log2 height; chips absent from the shape use plain
-next-power-of-two padding.
+Two mechanisms, composed:
+
+1. **Height lattice** (always applies, never misses): every chip height is
+   rounded up to the lattice {2^4, 2^6, ..., 2^16, 2^17, ..., 2^22} — coarse
+   steps below 2^16 where padding is cheap, every power of two above.  This
+   bounds the per-chip kernel population to 13 heights regardless of guest.
+2. **Joint shape menu** (corpus-derived, shapes_data.json via shape_gen.py):
+   maximal per-chip heights per CPU-log bucket observed over a guest corpus.
+   A fitting menu shape also pins the *multiset* of heights (hence the FRI
+   fold-chain layout); fix_shape picks the cheapest candidate by padded area
+   so a polluted bucket can never beat plain lattice padding.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import json
+import os
+from dataclasses import dataclass
+
+# coarse below 2^16 (padding there is cheap), exact above (padding is not)
+LATTICE = (4, 6, 8, 10, 12, 14, 16, 17, 18, 19, 20, 21, 22)
+
+
+def lattice_log(rows: int) -> int:
+    for lg in LATTICE:
+        if rows <= (1 << lg):
+            return lg
+    return max(23, int(rows - 1).bit_length())
 
 
 @dataclass(frozen=True)
@@ -26,47 +47,60 @@ class Shape:
         return None
 
     def fits(self, heights: dict) -> bool:
+        """Every observed chip is pinned by this shape and fits under it."""
         for name, h in heights.items():
             lh = self.log_h(name)
-            if lh is not None and h > (1 << lh):
+            if lh is None or h > (1 << lh):
                 return False
         return True
+
+    def area(self, heights: dict, widths: dict | None = None) -> int:
+        total = 0
+        for name in heights:
+            w = (widths or {}).get(name, 1)
+            total += w << self.log_h(name)
+        return total
 
 
 def _shape(**kw) -> Shape:
     return Shape(tuple(sorted(kw.items())))
 
 
-# A small default menu: tiny / small / medium / large shards.  The Byte chip
-# is always 2^16; preprocessed chips follow their programs.
-DEFAULT_MENU = [
-    _shape(Cpu=10, AddSub=10, Bitwise=8, Lt=8, ShiftLeft=8, ShiftRight=8, Mul=7,
-           DivRem=6, CloClz=6, Branch=8, Jump=7, MemoryInstrs=9, MiscInstrs=7,
-           MovCond=6, SyscallInstrs=6, ShaExtend=7, ShaCompress=8, MemoryLocal=9,
-           MemoryGlobalInit=9, MemoryGlobalFinalize=9, Global=11),
-    _shape(Cpu=13, AddSub=13, Bitwise=11, Lt=11, ShiftLeft=11, ShiftRight=11, Mul=10,
-           DivRem=9, CloClz=9, Branch=11, Jump=10, MemoryInstrs=12, MiscInstrs=10,
-           MovCond=9, SyscallInstrs=9, ShaExtend=10, ShaCompress=11, MemoryLocal=12,
-           MemoryGlobalInit=12, MemoryGlobalFinalize=12, Global=14),
-    _shape(Cpu=16, AddSub=16, Bitwise=14, Lt=14, ShiftLeft=14, ShiftRight=14, Mul=13,
-           DivRem=12, CloClz=12, Branch=14, Jump=13, MemoryInstrs=15, MiscInstrs=13,
-           MovCond=12, SyscallInstrs=12, ShaExtend=13, ShaCompress=14, MemoryLocal=15,
-           MemoryGlobalInit=15, MemoryGlobalFinalize=15, Global=17),
-    _shape(Cpu=19, AddSub=19, Bitwise=17, Lt=17, ShiftLeft=17, ShiftRight=17, Mul=16,
-           DivRem=15, CloClz=15, Branch=17, Jump=16, MemoryInstrs=18, MiscInstrs=16,
-           MovCond=15, SyscallInstrs=15, ShaExtend=16, ShaCompress=17, MemoryLocal=18,
-           MemoryGlobalInit=18, MemoryGlobalFinalize=18, Global=20),
-]
+def lattice_shape(heights: dict) -> Shape:
+    return Shape(tuple(sorted((n, lattice_log(h)) for n, h in heights.items())))
+
+
+DATA_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "shapes_data.json")
+
+
+def load_menu(path: str = DATA_PATH) -> list[Shape]:
+    if not os.path.exists(path):
+        return []
+    data = json.load(open(path))
+    return [
+        Shape(tuple(sorted(s["log_heights"].items()))) for s in data.get("shapes", [])
+    ]
 
 
 class ShapeConfig:
     def __init__(self, menu: list[Shape] | None = None):
-        self.menu = menu if menu is not None else DEFAULT_MENU
+        self.menu = menu if menu is not None else load_menu()
 
-    def fix_shape(self, heights: dict) -> Shape | None:
-        """Smallest menu shape that fits the observed heights (fix_shape,
-        shape/mod.rs:71); None -> fall back to power-of-two padding."""
+    def fix_shape(self, heights: dict, widths: dict | None = None) -> Shape:
+        """Cheapest (by padded area) fitting candidate: corpus menu shapes
+        that cover every observed chip, plus the always-available lattice
+        shape (fix_shape, shape/mod.rs:71 — but total: never None)."""
+        best = lattice_shape(heights)
+        best_area = best.area(heights, widths)
         for shape in self.menu:
             if shape.fits(heights):
-                return shape
-        return None
+                a = shape.area(heights, widths)
+                if a < best_area:
+                    best, best_area = shape, a
+        return best
+
+    def fix_preprocessed_rows(self, rows: int) -> int:
+        """Preprocessed (program-table) heights snap to the lattice too
+        (fix_preprocessed_shape, shape/mod.rs:51): programs of similar size
+        share preprocessed-commit kernels and proof layouts."""
+        return 1 << lattice_log(rows)

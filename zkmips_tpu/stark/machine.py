@@ -206,7 +206,12 @@ class StarkMachine:
         for chip in self.chips:
             t = chip.air.generate_preprocessed(program)
             if t is not None:
-                t = pad_to_power_of_two(t)
+                if self.shape_config is not None:
+                    t = pad_to_power_of_two(
+                        t, fixed_rows=self.shape_config.fix_preprocessed_rows(t.shape[0])
+                    )
+                else:
+                    t = pad_to_power_of_two(t)
                 preps.append((chip.name, f.to_monty(t.astype(np.uint32))))
         preps.sort(key=lambda nt: (-nt[1].shape[0],))
         if preps:
@@ -236,7 +241,10 @@ class StarkMachine:
         _pad_span = span("prove.pad_upload"); _pad_span.__enter__()
         shape = None
         if self.shape_config is not None:
-            shape = self.shape_config.fix_shape({n: t.shape[0] for n, t in raw.items()})
+            shape = self.shape_config.fix_shape(
+                {n: t.shape[0] for n, t in raw.items()},
+                widths={n: t.shape[1] for n, t in raw.items()},
+            )
         traces = {}
         for chip in chips:
             t = raw[chip.name]
