@@ -155,3 +155,30 @@ def test_septic_curve_add_doubles_consistently():
     # result stays on curve
     lhs, rhs = septic.is_on_curve(a[0], a[1])
     np.testing.assert_array_equal(np.asarray(lhs), np.asarray(rhs))
+
+
+def test_native_batch_permute_matches_numpy():
+    """csrc/p2_batch.c must agree with the numpy lane-vectorized permute and
+    the fused row-sponge with the chunked sponge, bit for bit."""
+    import numpy as np
+
+    from zkmips_tpu.ops import field as f
+    from zkmips_tpu.ops import poseidon2 as p2
+
+    if not p2._p2b():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    x = (rng.integers(0, 2**31, size=(257, 16)) % f.P).astype(np.uint32)
+    lib = p2._P2B
+    try:
+        # force the pure-numpy path for the reference values
+        p2._P2B = False
+        ref_perm = p2._permute_np(x)
+        mat = (rng.integers(0, 2**31, size=(123, 37)) % f.P).astype(np.uint32)
+        ref_hash = p2.hash_matrix_rows(mat)
+    finally:
+        p2._P2B = lib
+    assert np.array_equal(p2._permute_np(x), ref_perm)
+    assert np.array_equal(p2.hash_matrix_rows(mat), ref_hash)

@@ -46,6 +46,37 @@ _M4 = np.array(
 _P64 = np.uint64(f.P)
 
 
+_P2B = None  # native batched-permute lib (csrc/p2_batch.c); False = unavailable
+
+
+def _p2b():
+    """Fused C kernel for host batches: ~14x the numpy lane-vectorized path
+    (SoA blocks in L1, one pass instead of ~40).  Differentially tested in
+    tests/test_field.py::test_native_batch_permute_matches_numpy."""
+    global _P2B
+    if _P2B is None:
+        try:
+            import ctypes
+
+            from ..utils.cbuild import build
+
+            lib = ctypes.CDLL(build(
+                __file__.rsplit("zkmips_tpu", 1)[0] + "csrc/p2_batch.c",
+                extra_flags=("-march=native", "-funroll-loops"),
+            ))
+            rc = np.ascontiguousarray(_RC)
+            dg = np.ascontiguousarray(DIAG)
+            lib.zkm_p2b_set_constants(
+                rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                dg.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            lib._rc_keepalive = (rc, dg)
+            _P2B = lib
+        except Exception:
+            _P2B = False
+    return _P2B
+
+
 def _sbox(x):
     return f.mul(f.square(x), x)
 
@@ -128,6 +159,17 @@ def _external_linear_lanes(cols):
 
 
 def _permute_np(state):
+    if state.ndim == 2 and state.shape[0] >= 32:
+        lib = _p2b()
+        if lib:
+            import ctypes
+
+            out = np.array(state, dtype=np.uint32, order="C", copy=True)
+            lib.zkm_p2b_permute_rows(
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_uint64(out.shape[0]),
+            )
+            return out
     cols = [np.ascontiguousarray(state[..., i]) for i in range(WIDTH)]
     cols = _external_linear_lanes(cols)
     for r in range(4):
@@ -186,6 +228,19 @@ def hash_matrix_rows(mat):
     full = (w // RATE) * RATE
     if xp is not np and full >= RATE:
         return _hash_rows_jax(mat, full)
+    if xp is np and n >= 32:
+        lib = _p2b()
+        if lib:
+            import ctypes
+
+            m = np.ascontiguousarray(mat, dtype=np.uint32)
+            out = np.empty((n, OUT), dtype=np.uint32)
+            lib.zkm_p2b_hash_rows(
+                m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                ctypes.c_uint64(n), ctypes.c_uint64(w),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            return out
     state = xp.zeros((n, WIDTH), dtype=np.uint32)
     for start in range(0, w, RATE):
         chunk = min(RATE, w - start)

@@ -144,26 +144,47 @@ class RecursionProver:
         return proof, pk.vk
 
     def compress(self, core_vk, shard_proofs: list, xp=np) -> CompressedProof:
-        """Aggregate all core shard proofs into one recursion proof."""
+        """Aggregate all core shard proofs into one recursion proof.
+
+        Tree-parallel (reference prover/src/lib.rs:614-780 worker pools):
+        the lift layer and each binary-reduction level prove concurrently in
+        a thread pool — numpy/C stages release the GIL.  Circuit/pk cache
+        entries are warmed serially first so threads only read the caches."""
         assert shard_proofs, "nothing to compress"
-        layer = []
-        for sp in shard_proofs:
-            proof, vk = self.lift(core_vk, sp, xp=xp)
-            layer.append((proof, vk))
-        while len(layer) > 1:
-            nxt = []
-            for i in range(0, len(layer) - 1, 2):
-                (pl, vl), (prf, vr) = layer[i], layer[i + 1]
-                circ, pk = self._compress_entry(vl, vr, pl, prf)
-                record = self.rec.execute(circ.program, circ.witness((pl, prf)))
-                proof = self.rec.prove(pk, record, xp=xp)
-                assert list(proof.public_values) == compress_digest(
-                    pl.public_values, prf.public_values
-                )
-                nxt.append((proof, pk.vk))
-            if len(layer) % 2:
-                nxt.append(layer[-1])
-            layer = nxt
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils.opts import ZKMCoreOpts
+
+        workers = max(1, ZKMCoreOpts.default().trace_gen_workers)
+
+        def _pair(args):
+            (pl, vl), (prf, vr) = args
+            circ, pk = self._compress_entry(vl, vr, pl, prf)
+            record = self.rec.execute(circ.program, circ.witness((pl, prf)))
+            proof = self.rec.prove(pk, record, xp=xp)
+            assert list(proof.public_values) == compress_digest(
+                pl.public_values, prf.public_values
+            )
+            return (proof, pk.vk)
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for sp in shard_proofs:  # warm unique circuit/pk entries
+                self._lift_entry(core_vk, sp)
+            layer = list(
+                pool.map(lambda sp: self.lift(core_vk, sp, xp=xp), shard_proofs)
+            ) if workers > 1 else [self.lift(core_vk, sp, xp=xp) for sp in shard_proofs]
+            while len(layer) > 1:
+                pairs = [
+                    (layer[i], layer[i + 1]) for i in range(0, len(layer) - 1, 2)
+                ]
+                for (pl, vl), (prf, vr) in pairs:
+                    self._compress_entry(vl, vr, pl, prf)
+                nxt = list(pool.map(_pair, pairs)) if workers > 1 else [
+                    _pair(p) for p in pairs
+                ]
+                if len(layer) % 2:
+                    nxt.append(layer[-1])
+                layer = nxt
         final_proof, final_vk = layer[0]
         return CompressedProof(
             proof=final_proof,
