@@ -309,7 +309,17 @@ class StarkMachine:
                     perm_challenges[1], chip.batch_size, xp,
                 )
             perm_flats[chip.name] = flat
-            cum_sums[chip.name] = np.asarray(cum)
+            cum_sums[chip.name] = cum
+        if xp is not np:
+            # one bulk transfer: a per-chip np.asarray(cum) would round-trip
+            # the chip tunnel per chip AND serialize the perm-trace dispatches
+            import jax
+
+            cum_sums = {n: v for n, v in zip(
+                cum_sums, jax.device_get(list(cum_sums.values()))
+            )}
+        else:
+            cum_sums = {n: np.asarray(v) for n, v in cum_sums.items()}
         _perm_span.__exit__(None, None, None)
         perm_names = [c.name for c in chips if c.perm_width_ext > 0]
         perm_data = None

@@ -10,9 +10,25 @@ from collections import defaultdict
 from contextlib import contextmanager
 
 _ENABLED = bool(os.environ.get("ZKMIPS_LOG") or os.environ.get("RUST_LOGGER"))
+# ZKM_SYNC_SPANS=1: block on all live device arrays at each span end, so the
+# reported wall is the true stage cost instead of async dispatch latency
+# landing at the next sync point (profiling only — syncs serialize the device
+# pipeline and slow the end-to-end wall).
+_SYNC = bool(os.environ.get("ZKM_SYNC_SPANS"))
 _TOTALS: dict[str, float] = defaultdict(float)
 _COUNTS: dict[str, int] = defaultdict(int)
 _STACK: list[str] = []
+
+
+def _sync_device():
+    try:
+        import jax
+
+        jax.effects_barrier()
+        for d in jax.live_arrays():
+            d.block_until_ready()
+    except Exception:
+        pass
 
 
 @contextmanager
@@ -20,12 +36,16 @@ def span(name: str):
     if not _ENABLED:
         yield
         return
+    if _SYNC:
+        _sync_device()
     _STACK.append(name)
     path = "/".join(_STACK)
     t0 = time.time()
     try:
         yield
     finally:
+        if _SYNC:
+            _sync_device()
         dt = time.time() - t0
         _TOTALS[path] += dt
         _COUNTS[path] += 1
