@@ -33,6 +33,9 @@ class ByteAir(BaseAir):
     name = "Byte"
     preprocessed_width = len(_PRE)
     main_width = len(_OPS)
+    # multiplicities come from the byte-lookup arrays the other chips' trace
+    # fills append; must trace-gen after them (stark/machine.py trace pool)
+    trace_consumes_fills = True
 
     def eval(self, b: AirBuilder):
         pre = {n: b.preprocessed(i) for i, n in enumerate(_PRE)}

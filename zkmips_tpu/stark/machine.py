@@ -235,9 +235,27 @@ class StarkMachine:
         for name in pk.prep_traces:
             assert self.chip_map[name] in chips, f"preprocessed chip {name} must be included"
 
-        # 1. generate + pad main traces (optionally to a fixed shape)
+        # 1. generate + pad main traces (optionally to a fixed shape).
+        #    Fills run in a thread pool (numpy/C release the GIL); chips that
+        #    consume other fills' side outputs (ByteAir reads the byte-lookup
+        #    arrays every ALU fill appends) run after the producers.  The
+        #    byte-lookup list order is thread-dependent but its multiset --
+        #    all the Byte chip reads -- is not.
         with span("prove.trace_gen"):
-            raw = {c.name: c.air.generate_trace(record, None).astype(np.uint32) for c in chips}
+            producers = [c for c in chips if not getattr(c.air, "trace_consumes_fills", False)]
+            consumers = [c for c in chips if getattr(c.air, "trace_consumes_fills", False)]
+            if len(producers) > 3:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(8, len(producers))) as tp:
+                    raw = dict(tp.map(
+                        lambda c: (c.name, c.air.generate_trace(record, None).astype(np.uint32)),
+                        producers,
+                    ))
+            else:
+                raw = {c.name: c.air.generate_trace(record, None).astype(np.uint32) for c in producers}
+            for c in consumers:
+                raw[c.name] = c.air.generate_trace(record, None).astype(np.uint32)
         _pad_span = span("prove.pad_upload"); _pad_span.__enter__()
         shape = None
         if self.shape_config is not None:
