@@ -84,13 +84,7 @@ class MerkleTree:
         log_max = self.max_height.bit_length() - 1
         if not isinstance(self.matrices[0], np.ndarray):
             flat = np.asarray(self._open_flat(idx, log_max))
-            rows, off = [], 0
-            for m in self.matrices:
-                w = m.shape[1]
-                rows.append(flat[off:off + q * w].reshape(q, w))
-                off += q * w
-            sibs = flat[off:].reshape(log_max, q, DIGEST_SIZE).transpose(1, 0, 2) \
-                if log_max else np.zeros((q, 0, DIGEST_SIZE), dtype=np.uint32)
+            rows, sibs, _off = self._unpack_flat(flat, q, log_max)
             return rows, sibs
         rows = []
         for m in self.matrices:
@@ -100,6 +94,17 @@ class MerkleTree:
             return rows, np.zeros((q, 0, DIGEST_SIZE), dtype=np.uint32)
         sibs = [self.digest_layers[k][(idx >> k) ^ 1] for k in range(log_max)]
         return rows, np.stack(sibs, axis=1)
+
+    def _unpack_flat(self, flat: np.ndarray, q: int, log_max: int, off: int = 0):
+        rows = []
+        for m in self.matrices:
+            w = m.shape[1]
+            rows.append(flat[off:off + q * w].reshape(q, w))
+            off += q * w
+        n_sib = log_max * q * DIGEST_SIZE
+        sibs = flat[off:off + n_sib].reshape(log_max, q, DIGEST_SIZE).transpose(1, 0, 2) \
+            if log_max else np.zeros((q, 0, DIGEST_SIZE), dtype=np.uint32)
+        return rows, sibs, off + n_sib
 
     def _open_flat(self, idx: np.ndarray, log_max: int):
         from ..stark.jit_util import cached_jit
@@ -125,6 +130,58 @@ class MerkleTree:
 
         fn = cached_jit("mmcs_open", key, make)
         return fn(idx, tuple(self.matrices), tuple(self.digest_layers))
+
+
+def open_many_multi(trees: list, indices_list: list):
+    """Open several trees (each with its own index vector) in ONE device
+    dispatch + ONE flat transfer.
+
+    The per-round `tree.open_many` calls in pcs.open_batches each cost a
+    tunnel roundtrip (~4 per shard: prep/main/perm/quotient); this fuses
+    them.  Host trees fall back to per-tree opens.  Returns
+    [(rows_per_matrix, sibs)] in tree order, numpy."""
+    if not trees:
+        return []
+    if isinstance(trees[0].matrices[0], np.ndarray):
+        return [t.open_many(i) for t, i in zip(trees, indices_list)]
+    from ..stark.jit_util import cached_jit
+
+    qs = tuple(len(i) for i in indices_list)
+    log_maxes = tuple(t.max_height.bit_length() - 1 for t in trees)
+    specs = tuple(
+        (lm, tuple(m.shape[0].bit_length() - 1 for m in t.matrices),
+         tuple(m.shape[1] for m in t.matrices), q)
+        for t, lm, q in zip(trees, log_maxes, qs)
+    )
+
+    def make():
+        import jax.numpy as jnp
+
+        def body(idxs, mats_per_tree, layers_per_tree):
+            parts = []
+            for (log_max, log_hs, _ws, _q), i, mats, layers in zip(
+                specs, idxs, mats_per_tree, layers_per_tree
+            ):
+                parts += [
+                    m[i >> (log_max - lh)].reshape(-1)
+                    for m, lh in zip(mats, log_hs)
+                ]
+                parts += [layers[k][(i >> k) ^ 1].reshape(-1) for k in range(log_max)]
+            return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint32)
+
+        return body
+
+    fn = cached_jit("mmcs_open_multi", specs, make)
+    flat = np.asarray(fn(
+        tuple(np.asarray(i, dtype=np.int64) for i in indices_list),
+        tuple(tuple(t.matrices) for t in trees),
+        tuple(tuple(t.digest_layers[:lm]) for t, lm in zip(trees, log_maxes)),
+    ))
+    out, off = [], 0
+    for t, lm, q in zip(trees, log_maxes, qs):
+        rows, sibs, off = t._unpack_flat(flat, q, lm, off)
+        out.append((rows, sibs))
+    return out
 
 
 def _take(arr, idx):

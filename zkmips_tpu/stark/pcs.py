@@ -401,12 +401,21 @@ def open_batches(
     # 4. query proofs (batched gathers: one pass per tree for all queries)
     _sp = span("open.queries"); _sp.__enter__()
     idx_arr = np.asarray(indices, dtype=np.int64)
-    per_round = []
-    for pdata, _pts in rounds:
-        batch_log_max = max(d.log_n for d in pdata.domains) + config.log_blowup
-        rows, sibs = pdata.tree.open_many(idx_arr >> (log_max - batch_log_max))
-        # one device->host transfer per tree; per-query assembly is host slicing
-        per_round.append(([np.asarray(r) for r in rows], np.asarray(sibs)))
+    round_idxs = [
+        idx_arr >> (log_max - (max(d.log_n for d in pdata.domains) + config.log_blowup))
+        for pdata, _pts in rounds
+    ]
+    multi = getattr(mk_mod, "open_many_multi", None) if (mk_mod := _mk(config)) else None
+    if multi is not None:
+        # all rounds' trees in one dispatch + one flat transfer
+        opened = multi([pdata.tree for pdata, _ in rounds], round_idxs)
+        per_round = [([np.asarray(r) for r in rows], np.asarray(sibs))
+                     for rows, sibs in opened]
+    else:
+        per_round = []
+        for (pdata, _pts), ridx in zip(rounds, round_idxs):
+            rows, sibs = pdata.tree.open_many(ridx)
+            per_round.append(([np.asarray(r) for r in rows], np.asarray(sibs)))
     per_layer = _open_fold_layers(layer_trees, idx_arr, xp)
 
     query_proofs = []
