@@ -67,7 +67,8 @@ def test_byte_api_verify(proven):
     p, ex, m, pk, proofs = proven
     b = codec.encode_core_proof(proofs, config="test")
     vkb = codec.encode_vk(pk.vk, p.pc_start)
-    assert codec.verify_core(b, vkb, expected_pv_stream=bytes(ex.public_values_stream))
+    assert codec.verify_core(b, vkb, expected_pv_stream=bytes(ex.public_values_stream),
+                             allowed_configs=("core", "test"))
 
 
 def test_byte_api_rejects_bitflip(proven):
@@ -77,7 +78,7 @@ def test_byte_api_rejects_bitflip(proven):
     # flip a byte inside the proof body (past the header)
     b[len(b) // 2] ^= 1
     with pytest.raises((VerificationError, codec.CodecError)):
-        codec.verify_core(bytes(b), vkb)
+        codec.verify_core(bytes(b), vkb, allowed_configs=("core", "test"))
 
 
 def test_byte_api_rejects_wrong_pv_stream(proven):
@@ -85,4 +86,24 @@ def test_byte_api_rejects_wrong_pv_stream(proven):
     b = codec.encode_core_proof(proofs, config="test")
     vkb = codec.encode_vk(pk.vk, p.pc_start)
     with pytest.raises(VerificationError, match="digest"):
-        codec.verify_core(b, vkb, expected_pv_stream=b"not the committed stream")
+        codec.verify_core(b, vkb, expected_pv_stream=b"not the committed stream",
+                          allowed_configs=("core", "test"))
+
+
+def test_byte_api_pins_config(proven):
+    """The unsound test config must be rejected unless explicitly allowed:
+    the config id rides the attacker-controlled proof bytes."""
+    p, ex, m, pk, proofs = proven
+    b = codec.encode_core_proof(proofs, config="test")
+    vkb = codec.encode_vk(pk.vk, p.pc_start)
+    with pytest.raises(VerificationError):
+        codec.verify_core(b, vkb)
+
+
+def test_truncated_bytes_raise_codec_error(proven):
+    p, ex, m, pk, proofs = proven
+    b = codec.encode_core_proof(proofs, config="test")
+    for cut in (1, 5, 17, len(b) // 3):
+        with pytest.raises((codec.CodecError, VerificationError)):
+            codec.verify_core(b[:cut], codec.encode_vk(pk.vk, p.pc_start),
+                              allowed_configs=("core", "test"))

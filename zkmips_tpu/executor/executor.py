@@ -419,6 +419,22 @@ class Executor:
             last.global_memory_finalize_events.append(
                 MemoryInitFinalEvent(0, 0, 0, 0, 1)
             )
+        if len(last.global_memory_initialize_events) < 2:
+            # the chain opener AIR needs >= 2 real rows when it opens at
+            # address 0 (memory_bridge fr.when_not(fc).assert_one(nxt_real));
+            # a guest touching no memory (or only address 0) would otherwise
+            # be unprovable.  A balanced init+finalize pair at an untouched
+            # address contributes zero to the septic multiset sum.
+            pad_addr = 4
+            while pad_addr in self.memory:
+                pad_addr += 4
+            last.global_memory_initialize_events.append(
+                MemoryInitFinalEvent(pad_addr, 0, 0, 0, 1)
+            )
+            last.global_memory_finalize_events.append(
+                MemoryInitFinalEvent(pad_addr, 0, 0, 0, 1)
+            )
+            self.touched_order.append(pad_addr)
         # init/finalize address endpoints (public_values.rs:47-57 chaining):
         # zeros for every shard except the final one, which carries both
         # chains from 0 to the maximum touched address

@@ -191,6 +191,21 @@ class run_trace_stream:
                 last.global_memory_finalize_events.append(
                     MemoryInitFinalEvent(0, 0, 0, 0, 1)
                 )
+            if len(last.global_memory_initialize_events) < 2:
+                # the address-0 chain opener AIR needs >= 2 real rows; pad
+                # with a balanced pair at an untouched address (see
+                # Executor._postprocess)
+                touched = {int(fin[j, 0]) for j in range(n_touched)}
+                pad_addr = 4
+                while pad_addr in touched:
+                    pad_addr += 4
+                last.global_memory_initialize_events.append(
+                    MemoryInitFinalEvent(pad_addr, 0, 0, 0, 1)
+                )
+                last.global_memory_finalize_events.append(
+                    MemoryInitFinalEvent(pad_addr, 0, 0, 0, 1)
+                )
+                max_addr = max(max_addr, pad_addr)
             lpv = last.public_values
             lpv.prev_init_addr = 0
             lpv.last_init_addr = max_addr

@@ -227,9 +227,9 @@ class MipsMachine:
 
         if workers <= 1 or len(records) <= 1:
             return [prove_one(i, r) for i, r in enumerate(records)]
-        from concurrent.futures import ThreadPoolExecutor
+        from ..utils.pool import make_pool
 
-        with ThreadPoolExecutor(max_workers=workers) as pool:
+        with make_pool(workers) as pool:
             futs = [pool.submit(prove_one, i, r) for i, r in enumerate(records)]
             return [f.result() for f in futs]
 
@@ -245,7 +245,7 @@ class MipsMachine:
         grows; precompile families split into deferred shards that are
         numbered and proven after the execution stream ends."""
         import threading
-        from concurrent.futures import ThreadPoolExecutor
+        from ..utils.pool import make_pool
 
         if split_threshold is None:
             from ..utils.opts import ZKMCoreOpts
@@ -279,7 +279,7 @@ class MipsMachine:
         deferred: list = []
         tail_pv = None
         n_exec = 0
-        with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        with make_pool(max(workers, 1)) as pool:
             for r in record_iter:
                 deferred.extend(r.split(False, split_threshold))
                 tail_pv = r.public_values

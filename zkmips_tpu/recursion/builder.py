@@ -141,16 +141,21 @@ class Builder:
         return Felt(o1), Felt(o2)
 
     def exp_reverse_bits(self, base: Felt, bits: list[Felt]) -> Felt:
-        """base^(reverse_bits(bits)) via square-and-multiply over ALU+Select
-        ops (bits LSB-of-the-reversed-value first, i.e. bits[0] carries the
-        highest weight; Select enforces booleanity of each bit)."""
-        one = self.const_felt(1)
-        acc = one
+        """base^(reverse_bits(bits)) as ONE ExpReverseBitsLen instruction
+        (bits[0] carries the highest weight).  The dedicated chip costs one
+        row per bit and enforces bit booleanity, vs 3 ALU + 1 Select rows
+        for the square-and-multiply lowering (reference:
+        crates/recursion/core/src/chips/exp_reverse_bits.rs)."""
+        if not bits:
+            return self.const_felt(1)
+        self._read(base.addr)
         for bit in bits:
-            acc = self.mul(acc, acc)
-            m, _ = self.select(bit, one, base)
-            acc = self.mul(acc, m)
-        return acc
+            self._read(bit.addr)
+        out = self._alloc(4)
+        self.instructions.append(
+            pr.ExpReverseBitsLen(out, base.addr, tuple(b.addr for b in bits), 0)
+        )
+        return Felt(out)
 
     # ------------------------------------------------- ext <-> felt plumbing
 

@@ -354,6 +354,77 @@ class RecSelectAir(BaseAir):
         return t
 
 
+class RecExpReverseBitsAir(BaseAir):
+    """Exp-reverse-bits chip: one row per exponent bit (square-and-multiply).
+
+    Analog of the reference ExpReverseBitsLenChip (reference:
+    crates/recursion/core/src/chips/exp_reverse_bits.rs) — it exists there
+    because lowering the FRI x-recovery power ladder to ALU+Select chains
+    bloats recursion traces (3 ALU rows + 1 Select row per bit vs 1 row
+    here).  Row r of an event holds sq = acc_{r-1}^2 and
+    acc_r = sq * (bit ? base : 1); the last row's acc is the result.
+    All arithmetic constraints hold on all-zero padding rows, so only the
+    memory multiplicities carry is_real guards (keeps max degree at 3).
+    """
+
+    name = "RecExpReverseBits"
+    preprocessed_width = 7  # bit_addr, base_addr, out_addr, out_mult, is_first, is_cont, is_real
+    main_width = 4  # x (base), b (bit), sq, acc
+
+    def eval(self, b: AirBuilder):
+        bit_addr, base_addr, out_addr = (b.preprocessed(i) for i in range(3))
+        out_mult, is_first, is_real = b.preprocessed(3), b.preprocessed(4), b.preprocessed(6)
+        is_cont_next = b.preprocessed(5, offset=1)
+        x, bit, sq, acc = (b.main(i) for i in range(4))
+        x_next, sq_next = b.main(0, offset=1), b.main(2, offset=1)
+
+        b.assert_bool(bit)  # padding rows: 0 is boolean
+        # acc = sq * (1 + bit * (x - 1))  (degree 3; padding: 0 == 0)
+        b.assert_eq(acc, sq + sq * bit * (x - 1))
+        # first row of an event starts the ladder at 1
+        b.when(is_first).assert_one(sq)
+        # continuation rows: square the previous accumulator, same base.
+        # is_cont is never set on trace row 0, so the cyclic wrap of the
+        # offset-1 access at the last row is inert.
+        b.when(is_cont_next).assert_eq(sq_next, acc * acc)
+        b.when(is_cont_next).assert_eq(x_next, x)
+
+        b.receive(MEM, mem_msg(bit_addr, _block(bit)), is_real)
+        b.receive(MEM, mem_msg(base_addr, _block(x)), is_first)
+        b.send(MEM, mem_msg(out_addr, _block(acc)), out_mult)
+
+    def generate_preprocessed(self, program):
+        rows = []
+        for ins in program.instructions:
+            if not isinstance(ins, pr.ExpReverseBitsLen):
+                continue
+            n = len(ins.bit_addrs)
+            for k, ba in enumerate(ins.bit_addrs):
+                last = k == n - 1
+                rows.append((
+                    ba, ins.base, ins.out if last else 0,
+                    ins.mult if last else 0,
+                    1 if k == 0 else 0, 0 if k == 0 else 1, 1,
+                ))
+        t = np.zeros((max(len(rows), 1), self.preprocessed_width), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+    def generate_trace(self, record, output):
+        rows = []
+        for _ins, base, bits, _val in record.exp_bits_events:
+            acc = 1
+            for bit in bits:
+                sq = acc * acc % ff.P
+                acc = sq * (base if bit else 1) % ff.P
+                rows.append((base, bit, sq, acc))
+        t = np.zeros((max(len(rows), 1), self.main_width), dtype=np.uint32)
+        for i, r in enumerate(rows):
+            t[i] = r
+        return t
+
+
 class RecPublicValuesAir(BaseAir):
     """Bind committed felts to the machine public values (chips/public_values)."""
 

@@ -151,7 +151,7 @@ class RecursionProver:
         a thread pool — numpy/C stages release the GIL.  Circuit/pk cache
         entries are warmed serially first so threads only read the caches."""
         assert shard_proofs, "nothing to compress"
-        from concurrent.futures import ThreadPoolExecutor
+        from ..utils.pool import make_pool
 
         from ..utils.opts import ZKMCoreOpts
 
@@ -167,7 +167,7 @@ class RecursionProver:
             )
             return (proof, pk.vk)
 
-        with ThreadPoolExecutor(max_workers=workers) as pool:
+        with make_pool(workers) as pool:
             for sp in shard_proofs:  # warm unique circuit/pk entries
                 self._lift_entry(core_vk, sp)
             layer = list(

@@ -19,6 +19,7 @@ from .chips import (
     RecMemVarAir,
     RecPoseidon2Air,
     RecBatchFRIAir,
+    RecExpReverseBitsAir,
     RecFriFoldAir,
     RecPublicValuesAir,
     RecSelectAir,
@@ -33,7 +34,7 @@ class RecursionMachine:
         self.airs = [
             RecMemConstAir(), RecMemVarAir(), RecBaseAluAir(), RecExtAluAir(),
             RecPoseidon2Air(), RecSelectAir(), RecFriFoldAir(), RecBatchFRIAir(),
-            RecPublicValuesAir(),
+            RecExpReverseBitsAir(), RecPublicValuesAir(),
         ]
         chips = [Chip(a, num_public_values=NUM_PV) for a in self.airs]
         self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=NUM_PV)

@@ -245,9 +245,9 @@ class StarkMachine:
             producers = [c for c in chips if not getattr(c.air, "trace_consumes_fills", False)]
             consumers = [c for c in chips if getattr(c.air, "trace_consumes_fills", False)]
             if len(producers) > 3:
-                from concurrent.futures import ThreadPoolExecutor
+                from ..utils.pool import make_pool
 
-                with ThreadPoolExecutor(max_workers=min(8, len(producers))) as tp:
+                with make_pool(min(8, len(producers))) as tp:
                     raw = dict(tp.map(
                         lambda c: (c.name, c.air.generate_trace(record, None).astype(np.uint32)),
                         producers,

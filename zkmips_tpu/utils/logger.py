@@ -21,12 +21,25 @@ _STACK: list[str] = []
 
 
 def _sync_device():
+    """Fence all queued device work.
+
+    On the tunneled deployment ``block_until_ready`` can return before the
+    remote compute finishes; the only reliable fence is a host transfer.
+    Device execution is in-order, so transferring the result of one fresh
+    trivial dispatch waits for everything enqueued before it.
+    """
     try:
+        import numpy as _np
+
         import jax
+        import jax.numpy as jnp
 
         jax.effects_barrier()
-        for d in jax.live_arrays():
-            d.block_until_ready()
+        for dev in jax.devices():
+            if dev.platform == "cpu":
+                continue
+            with jax.default_device(dev):
+                _np.asarray(jnp.arange(1, dtype=jnp.uint32) + _np.uint32(1))
     except Exception:
         pass
 

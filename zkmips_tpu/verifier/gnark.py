@@ -93,6 +93,10 @@ def decode_g1_compressed(buf: bytes):
     flag = buf[0] & MASK
     if flag == FLAG_INFINITY:
         return None
+    if flag not in (FLAG_SMALLER, FLAG_LARGER):
+        # gnark's converter rejects unknown flags (converter.rs: _ =>
+        # Err(InvalidPoint)); accepting them would add encoding malleability
+        raise GnarkDecodeError("invalid G1 compression flag")
     x_bytes = bytes([buf[0] & ~MASK]) + buf[1:]
     x = _fp_from_be(x_bytes)
     y = _fp_sqrt((pow(x, 3, P) + 3) % P)
@@ -109,6 +113,8 @@ def decode_g2_compressed(buf: bytes):
     flag = buf[0] & MASK
     if flag == FLAG_INFINITY:
         return None
+    if flag not in (FLAG_SMALLER, FLAG_LARGER):
+        raise GnarkDecodeError("invalid G2 compression flag")
     x1 = _fp_from_be(bytes([buf[0] & ~MASK]) + buf[1:32])
     x0 = _fp_from_be(buf[32:64])
     x = (x0, x1)

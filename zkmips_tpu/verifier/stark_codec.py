@@ -82,14 +82,10 @@ class _R:
         self.off = 0
 
     def u32(self) -> int:
-        v = struct.unpack_from("<I", self.b, self.off)[0]
-        self.off += 4
-        return v
+        return int.from_bytes(self.raw(4), "little")
 
     def u64(self) -> int:
-        v = struct.unpack_from("<Q", self.b, self.off)[0]
-        self.off += 8
-        return v
+        return int.from_bytes(self.raw(8), "little")
 
     def raw(self, n: int) -> bytes:
         if self.off + n > len(self.b):
@@ -101,7 +97,10 @@ class _R:
     def s(self) -> str:
         n = self.u32()
         pad = -n % 4
-        return self.raw(n + pad)[:n].decode()
+        try:
+            return self.raw(n + pad)[:n].decode()
+        except UnicodeDecodeError as e:
+            raise CodecError(f"invalid utf-8 string: {e}") from e
 
     def arr(self) -> np.ndarray:
         ndim = self.u32()
@@ -285,13 +284,20 @@ def decode_core_proof(b: bytes) -> tuple:
 
 
 def verify_core(proof_bytes: bytes, vk_bytes: bytes,
-                expected_pv_stream: bytes | None = None) -> bool:
+                expected_pv_stream: bytes | None = None,
+                allowed_configs: tuple = ("core",)) -> bool:
     """Verify serialized core shard proofs against a serialized vk.
 
     Rebuilds the full MIPS machine, runs every shard STARK plus the
     cross-shard chain rules, and (optionally) checks the committed-value
     digest equals sha256(expected_pv_stream) — the reference byte API's
     public-inputs binding.
+
+    The FRI config named in the (attacker-controlled) proof bytes must be in
+    ``allowed_configs``: by default only the sound production config is
+    accepted, matching the reference's standalone verifier which pins its
+    config (reference: crates/verifier/src/stark/verify.rs). Tests may pass
+    ``allowed_configs=("core", "test")`` to accept the small unsound config.
     """
     import hashlib
 
@@ -301,6 +307,10 @@ def verify_core(proof_bytes: bytes, vk_bytes: bytes,
 
     vk, pc_start = decode_vk(vk_bytes)
     proofs, config = decode_core_proof(proof_bytes)
+    if config not in allowed_configs:
+        raise VerificationError(
+            f"proof config {config!r} not in allowed_configs {allowed_configs}"
+        )
     m = MipsMachine(StarkConfig.test() if config == "test" else StarkConfig.core())
 
     class _Prog:
