@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..stark.air import AirBuilder, LookupKind
 from ..stark.chip import BaseAir
 from ..executor.opcodes import Opcode, Register, SyscallCode
@@ -175,7 +177,7 @@ class CpuAir(BaseAir):
         cs = cpu_struct(record)
         n = len(events)
         s = SCHEMA
-        t = np.zeros((n, s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((n, s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         shard = record.shard
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..ops import field as ff, septic
 from ..stark.air import AirBuilder, LookupKind
 from ..stark.chip import BaseAir
@@ -190,7 +192,7 @@ class GlobalAir(BaseAir):
         events = record.global_lookup_events
         s = self.schema
         n = len(events)
-        t = np.zeros((max(n, 1), s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((max(n, 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         cum = ([int(c) for c in START[0]], [int(c) for c in START[1]])
         for i, ev in enumerate(events):

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..executor.opcodes import Opcode
 from ..stark.air import AirBuilder, LookupKind
 from ..stark.chip import BaseAir
@@ -119,7 +121,7 @@ class InstrAir(BaseAir):
         nested = self.nested_of(record)
         k, n = len(idx), len(idx) + len(nested)
         s = self.schema
-        t = np.zeros((n, s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((n, s.width), dtype=np.uint32, order="F")
         if n == 0:
             return t
         sink = ByteSink(record)

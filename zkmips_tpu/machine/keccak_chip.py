@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..executor.opcodes import SyscallCode
 from ..ops import field as ff
 from ..stark.air import AirBuilder, LookupKind
@@ -310,7 +312,7 @@ class KeccakSpongeAir(BaseAir):
         events = record.precompile_events.get("keccak_sponge", [])
         s = self.schema
         num_rows = sum(NUM_ROUNDS * (len(ev["xored_states"])) for ev in events)
-        t = np.zeros((max(num_rows, 0), s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((max(num_rows, 0), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         if not events:
             return t

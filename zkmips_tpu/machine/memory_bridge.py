@@ -19,6 +19,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..stark.air import AirBuilder, LookupKind
 from ..stark.chip import BaseAir
 from .gadgets import ByteSink, ColView, Schema, send_u16_check, send_u8_pair
@@ -94,7 +96,7 @@ class MemoryLocalAir(BaseAir):
     def generate_trace(self, record, output):
         events = sorted(record.all_local_memory_events(), key=lambda e: e.addr)
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((len(events), s.width), dtype=np.uint32, order="F")
         for i, ev in enumerate(events):
             i_lo, i_hi = split_u32(ev.initial.value)
             f_lo, f_hi = split_u32(ev.final.value)
@@ -236,7 +238,7 @@ class _MemoryEndpointAir(BaseAir):
     def generate_trace(self, record, output):
         events = self._events(record)
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         if events:
             from ..ops import field as ff

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..executor.opcodes import SyscallCode
 from ..ops import field as ff
 from ..ops.poseidon2 import DIAG, RC_EXT_FIRST, RC_EXT_SECOND, RC_INTERNAL, ROUNDS_P
@@ -113,7 +115,7 @@ class Poseidon2ChipAir(BaseAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get("poseidon2", [])
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         for i, ev in enumerate(events):
             t[i, s.idx("shard")] = ev["shard"]

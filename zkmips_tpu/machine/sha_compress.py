@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..executor.opcodes import SyscallCode
 from ..ops import field as ff
 from ..stark.air import AirBuilder, LookupKind
@@ -289,7 +291,7 @@ class ShaCompressAir(BaseAir):
         events = record.precompile_events.get("sha_compress", [])
         s = self.schema
         E = len(events)
-        t = np.zeros((80 * E, s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((80 * E, s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         if E == 0:
             return t

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..utils.pool import zeros_mt
+
 from ..executor.opcodes import Register, SyscallCode
 from ..ops import field as ff
 from ..stark.air import AirBuilder, LookupKind
@@ -256,7 +258,7 @@ class SysLinuxAir(BaseAir):
     def generate_trace(self, record, output):
         events = record.precompile_events.get("sys_linux", [])
         s = self.schema
-        t = np.zeros((len(events), s.width), dtype=np.uint32, order="F")
+        t = zeros_mt((len(events), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
         code_to_flag = {int(c): n for n, c in MAIN_FLAGS}
         nop_idx = {int(c): k for k, c in enumerate(NOP_CODES)}

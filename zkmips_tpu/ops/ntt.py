@@ -56,6 +56,14 @@ def ntt(x, inverse: bool = False):
     x = bits.bitrev_rows(x)
     if xp is np:
         twiddles = _stage_twiddles(log_n, inverse)
+        for s, tw in enumerate(twiddles, start=1):
+            m = 1 << s
+            half = m // 2
+            y = x.reshape(n // m, m, w)
+            even = y[:, :half]
+            odd = y[:, half:]
+            t = f.mul(odd, tw[None, :, None])
+            x = _concat_axis1(f.add(even, t), f.sub(even, t)).reshape(n, w)
     else:
         twiddles = []
         for s_ in range(1, log_n + 1):
@@ -63,18 +71,68 @@ def ntt(x, inverse: bool = False):
             if inverse:
                 w_m = f.inv_int(w_m)
             twiddles.append(bits.powers_monty(w_m, 1 << (s_ - 1), xp))
-    for s, tw in enumerate(twiddles, start=1):
-        m = 1 << s
-        half = m // 2
-        y = x.reshape(n // m, m, w)
-        even = y[:, :half]
-        odd = y[:, half:]
-        t = f.mul(odd, tw[None, :, None])
-        x = _concat_axis1(f.add(even, t), f.sub(even, t)).reshape(n, w)
+        # XLA:TPU miscompiles the fused butterfly network for some
+        # non-multiple-of-8 widths at large n (observed: (2^20, w) for
+        # w in {10, 12} — radix-2 was fine, radix-8 silently wrong).  The
+        # transform is column-independent, so pad with zero columns to a
+        # lane-friendly multiple of 8 and slice after.
+        pad_w = (-w) % 8 if w > 8 else 0
+        if pad_w:
+            x = xp.concatenate([x, xp.zeros((n, pad_w), dtype=np.uint32)], axis=1)
+        x = _ntt_stages_fused(x, twiddles, xp)
+        if pad_w:
+            x = x[:, :w]
     if inverse:
         n_inv = np.uint32(f.to_monty_int(f.inv_int(n)))
         x = f.mul(x, n_inv)
     return x[:, 0] if squeeze else x
+
+
+import os as _os
+
+_RADIX_LOG = int(_os.environ.get("ZKMIPS_NTT_RADIX_LOG", "3"))
+
+
+def _ntt_stages_fused(x, twiddles, xp, radix_log: int = _RADIX_LOG):
+    """Device butterfly network with ``radix_log`` stages fused per pass.
+
+    Every HBM pass over the array costs the same regardless of how much VPU
+    work rides it (measured: a 20-op fused chain == one add), so the radix-2
+    loop's log2(n) passes are the whole cost.  Fusing g stages into one
+    reshape/stack round-trip cuts passes to ceil(log2(n)/g); all per-stage
+    arithmetic between the reshape and the stack is elementwise and fuses.
+
+    Stage group starting at stage s (1-based, pair distance h1 = 2^(s-1)),
+    g stages: view positions p in blocks of M = 2^(s+g-1) as p = q*h1 + j
+    with q in [0, 2^g).  Stage s+i pairs q's differing in bit i and uses
+    twiddle tw_{s+i}[(q & (2^i - 1))*h1 + j].
+    """
+    n, w = x.shape
+    log_n = len(twiddles)
+    s = 1
+    while s <= log_n:
+        g = min(radix_log, log_n - s + 1)
+        h1 = 1 << (s - 1)
+        big_m = h1 << g
+        nq = 1 << g
+        y = x.reshape(n // big_m, nq, h1, w)
+        slots = [y[:, q] for q in range(nq)]  # (n//M, h1, w) each
+        for i in range(g):
+            tw = twiddles[s + i - 1]  # (2^(s+i-1),)
+            bit = 1 << i
+            mask = bit - 1
+            for q in range(nq):
+                if q & bit:
+                    continue
+                qh = q | bit
+                tw_slice = tw[(q & mask) * h1 : (q & mask) * h1 + h1]
+                u = slots[q]
+                v = f.mul(slots[qh], tw_slice[None, :, None])
+                slots[q] = f.add(u, v)
+                slots[qh] = f.sub(u, v)
+        x = xp.stack(slots, axis=1).reshape(n, w)
+        s += g
+    return x
 
 
 def _concat_axis1(a, b):

@@ -212,6 +212,11 @@ def compress(left, right):
     left/right: (..., 8) -> (..., 8).  (kb31_poseidon2.rs:24 InnerCompress.)
     """
     xp = f.xp_of(left)
+    if xp is not np and getattr(left, "ndim", 1) == 2 and left.shape[0] >= 512:
+        from . import pallas_p2
+
+        if pallas_p2.available() and left.shape[0] % pallas_p2.BLOCK == 0:
+            return pallas_p2.compress(left, right)
     state = xp.concatenate([left, right], axis=-1)
     return permute(state)[..., :OUT]
 
@@ -226,6 +231,11 @@ def hash_matrix_rows(mat):
     xp = f.xp_of(mat)
     n, w = mat.shape
     full = (w // RATE) * RATE
+    if xp is not np and w > 0 and n >= 512 and n % 512 == 0:
+        from . import pallas_p2
+
+        if pallas_p2.available():
+            return pallas_p2.hash_matrix_rows(mat)
     if xp is not np and full >= RATE:
         return _hash_rows_jax(mat, full)
     if xp is np and n >= 32:

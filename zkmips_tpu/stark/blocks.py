@@ -166,9 +166,14 @@ def perm_trace_blocked(chip, prep, main, alpha, beta, batch_size, xp, prep_key=N
 def quotient_chunks_blocked(
     chip, main_monty, prep_monty, perm_flat, publics_monty, challenges,
     cum_sum, global_sum, alpha, xp,
+    main_coeffs=None, perm_coeffs=None, prep_coeffs=None,
 ):
     """Device analog of quotient.quotient_chunks; the constraint fold runs on
-    row blocks of the quotient coset with selectors sliced per block."""
+    row blocks of the quotient coset with selectors sliced per block.
+
+    ``*_coeffs``: iNTT coefficient matrices already computed by the commit
+    stage (ProverData.coeffs) — passing them halves the quotient-LDE NTT
+    work (the inverse transforms are skipped)."""
     from . import quotient as qmod
 
     h, _w = main_monty.shape
@@ -178,9 +183,15 @@ def quotient_chunks_blocked(
     big_h = h << lqd
     b = _block_size(big_h)
 
-    main_q = _lde_dev(main_monty, log_h, lqd, xp, "main")
-    prep_q = _lde_dev(xp.asarray(prep_monty), log_h, lqd, xp, "prep") if prep_monty is not None else None
-    perm_q = _lde_dev(perm_flat, log_h, lqd, xp, "perm") if perm_flat.shape[1] else None
+    main_q = _lde_dev(main_monty, log_h, lqd, xp, "main", coeffs=main_coeffs)
+    prep_q = (
+        _lde_dev(xp.asarray(prep_monty), log_h, lqd, xp, "prep", coeffs=prep_coeffs)
+        if prep_monty is not None else None
+    )
+    perm_q = (
+        _lde_dev(perm_flat, log_h, lqd, xp, "perm", coeffs=perm_coeffs)
+        if perm_flat.shape[1] else None
+    )
 
     sels = _selectors_dev(log_h, lqd, xp)
     sel_blocks, _ = split_rows(sels, b, 0, xp, "sel")
@@ -357,9 +368,16 @@ def _mk_level(cur, inj, xp):
     return fn(cur, inj if has_inj else xp.zeros((size, 8), np.uint32))
 
 
-def _lde_dev(mat, log_h: int, lqd: int, xp, tag: str):
+def _lde_dev(mat, log_h: int, lqd: int, xp, tag: str, coeffs=None):
     """Jitted LDE onto the quotient coset (regular structure, fast compile)."""
     from . import quotient as qmod
+
+    if coeffs is not None:
+        def make_c():
+            return lambda c: qmod.lde_onto_quotient_domain(None, log_h, lqd, xp, coeffs=c)
+
+        fn = cached_jit(f"blk_ldec_{tag}", (mat.shape, lqd), make_c)
+        return fn(coeffs)
 
     def make():
         return lambda x: qmod.lde_onto_quotient_domain(x, log_h, lqd, xp)

@@ -102,6 +102,8 @@ def pad_to_power_of_two(trace: np.ndarray, min_rows: int = 16, fixed_rows: int |
     # traces are built column-major (one contiguous write per column); keep
     # that layout through padding so the copy stays column-contiguous
     f_order = trace.ndim == 2 and trace.flags.f_contiguous and not trace.flags.c_contiguous
-    out = np.zeros((target, trace.shape[1]), dtype=trace.dtype, order="F" if f_order else "C")
+    from ..utils.pool import zeros_mt
+
+    out = zeros_mt((target, trace.shape[1]), dtype=trace.dtype, order="F" if f_order else "C")
     out[:h] = trace
     return out

@@ -379,10 +379,23 @@ class StarkMachine:
             else:
                 from . import blocks
 
+                import os as _os
+
+                no_reuse = bool(_os.environ.get("ZKMIPS_NO_COEFF_REUSE"))
+                ci = names.index(chip.name)
+                pi = perm_names.index(chip.name) if chip.name in perm_names else None
+                if no_reuse:
+                    ci = pi = None
                 doms, chunks = blocks.quotient_chunks_blocked(
                     chip, traces[chip.name], pk.prep_traces.get(chip.name),
                     perm_flats[chip.name], publics_monty, perm_challenges,
                     cum_sums[chip.name], gsm, alpha, xp,
+                    main_coeffs=None if ci is None else main_data.coeffs[ci],
+                    perm_coeffs=None if pi is None or perm_data is None
+                    else perm_data.coeffs[pi],
+                    prep_coeffs=None if no_reuse or pk.prep_data is None
+                    or chip.name not in pk.prep_order
+                    else pk.prep_data.coeffs[pk.prep_order.index(chip.name)],
                 )
             for d, c in zip(doms, chunks):
                 q_doms.append(d)

@@ -408,15 +408,17 @@ def open_batches(
     multi = getattr(mk_mod, "open_many_multi", None) if (mk_mod := _mk(config)) else None
     if multi is not None:
         # all rounds' trees in one dispatch + one flat transfer
-        opened = multi([pdata.tree for pdata, _ in rounds], round_idxs)
-        per_round = [([np.asarray(r) for r in rows], np.asarray(sibs))
-                     for rows, sibs in opened]
+        with span("open.queries.rounds"):
+            opened = multi([pdata.tree for pdata, _ in rounds], round_idxs)
+            per_round = [([np.asarray(r) for r in rows], np.asarray(sibs))
+                         for rows, sibs in opened]
     else:
         per_round = []
         for (pdata, _pts), ridx in zip(rounds, round_idxs):
             rows, sibs = pdata.tree.open_many(ridx)
             per_round.append(([np.asarray(r) for r in rows], np.asarray(sibs)))
-    per_layer = _open_fold_layers(layer_trees, idx_arr, xp)
+    with span("open.queries.layers"):
+        per_layer = _open_fold_layers(layer_trees, idx_arr, xp)
 
     query_proofs = []
     for qi, idx in enumerate(indices):

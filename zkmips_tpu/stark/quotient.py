@@ -83,9 +83,13 @@ def pow_mod_vec(x: np.ndarray, e: int) -> np.ndarray:
     return r
 
 
-def lde_onto_quotient_domain(trace_monty, log_h: int, lqd: int, xp=np):
-    """(H, w) evals on <w_H> -> (H<<lqd, w) evals on g*<w_N>, natural order."""
-    coeffs = ntt.ntt(trace_monty, inverse=True)
+def lde_onto_quotient_domain(trace_monty, log_h: int, lqd: int, xp=np, coeffs=None):
+    """(H, w) evals on <w_H> -> (H<<lqd, w) evals on g*<w_N>, natural order.
+
+    ``coeffs``: optional precomputed iNTT of the trace (the commit stage
+    already has it in ProverData.coeffs) — skips the inverse transform."""
+    if coeffs is None:
+        coeffs = ntt.ntt(trace_monty, inverse=True)
     scaled = f.mul(coeffs, bits.powers_monty(f.GENERATOR, coeffs.shape[0], xp)[:, None])
     big_n = coeffs.shape[0] << lqd
     if xp is np:
