@@ -68,6 +68,122 @@ def _fib_program(n_iters: int):
     return asm.prog(body + asm.halt_sequence())
 
 
+def _keccak_chain_program(n_iters: int):
+    """Chain keccak256 over a 32-byte message (the reference's
+    sha3-chain-precompile benchmark shape, examples/keccak-precompile):
+    digest = keccak(digest), n_iters times, one KECCAK_SPONGE syscall per
+    iteration (24 KeccakSponge rows each)."""
+    from zkmips_tpu.executor import Instruction, Opcode, Register
+    from zkmips_tpu.executor import asm
+
+    R, O = Register, Opcode
+    KECCAK_SPONGE = 0x01010009
+    IN, OUT = 0x2000, 0x3000
+    body = []
+    # one 136-byte rate block + 2 state words = 36 words; message = 32 zero
+    # bytes; padding: byte32 = 0x01, byte135 = 0x80
+    for i in range(36):
+        w = 0x01 if i == 8 else (0x80000000 if i == 33 else 0)
+        body += [*asm.li(R.T0, w), *asm.li(R.T1, IN + 4 * i), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.T0, 36), *asm.li(R.T1, OUT + 64), asm.sw(R.T0, R.T1)]
+    body += [*asm.li(R.S0, n_iters)]
+    loop = [
+        *asm.li(R.V0, KECCAK_SPONGE), *asm.li(R.A0, IN), *asm.li(R.A1, OUT),
+        asm.syscall(),
+    ]
+    for i in range(8):
+        loop += [*asm.li(R.T1, OUT + 4 * i), asm.lw(R.T0, R.T1),
+                 *asm.li(R.T2, IN + 4 * i), asm.sw(R.T0, R.T2)]
+    loop += [asm.addi(R.S0, R.S0, -1 & 0xFFFFFFFF)]
+    nloop = len(loop)
+    loop += [asm.branch(O.BGTZ, R.S0, 0, -4 * (nloop + 1)), asm.nop()]
+    return asm.prog(body + loop + asm.halt_sequence())
+
+
+def _bench_keccak(device: bool) -> dict:
+    """Prove the keccak-chain guest (BASELINE.json: 'fibonacci + keccak')."""
+    if os.environ.get("BENCH_KECCAK") in ("0", "false"):
+        return {}
+    from zkmips_tpu.machine.machine import MipsMachine
+    from zkmips_tpu.stark.machine import StarkConfig
+    from zkmips_tpu.executor import execute_for_proving
+
+    n_iters = int(os.environ.get("BENCH_KECCAK_ITERS", "12000"))
+    program = _keccak_chain_program(n_iters)
+    shard_size = int(os.environ.get("SHARD_SIZE", 1 << 20))
+    records, info = execute_for_proving(program, shard_size=shard_size)
+    cycles = info["global_clk"]
+    config = StarkConfig.core() if os.environ.get("BENCH_CONFIG", "core") == "core" else StarkConfig.test()
+    m = MipsMachine(config)
+    pk = m.setup(program)
+    if device:
+        m.prove(pk, records, device=True)  # warm the keccak-shape kernels
+        records, info = execute_for_proving(program, shard_size=shard_size)
+    t0 = time.time()
+    proofs = m.prove(pk, records, device=device)
+    dt = time.time() - t0
+    assert m.verify(pk.vk, proofs, program)
+    return {
+        "keccak_cycles_per_sec": round(cycles / dt, 2),
+        "keccak_prove_s": round(dt, 2),
+        "keccak_cycles": cycles,
+        "keccak_iters": n_iters,
+        "keccak_shards": len(proofs),
+    }
+
+
+def _kernel_roofline() -> dict:
+    """Measured primitive-kernel rates vs speed-of-light estimates.
+
+    Roofline model for the v5e chip behind the tunnel: VPU ~3.8e12 u32
+    op/s (8x128 lanes x 4 ALUs x ~0.94 GHz); Poseidon2-16 costs ~10k
+    lane-ops per permutation (282 modmuls at ~26 ops plus the linear
+    layers), so SoL ~= 380M perm/s.  The NTT is HBM-pass-bound; the
+    measured fused-elementwise copy floor (~30 GB/s effective on this
+    deployment) with ceil(log2 n / 3) passes sets its SoL.
+    """
+    try:
+        import time as _t
+
+        import jax
+        import jax.numpy as jnp
+
+        from zkmips_tpu.ops import field as ff, ntt as ntt_mod, poseidon2 as p2
+
+        rng = __import__("numpy").random.default_rng(0)
+        import numpy as np
+
+        def sync(x):
+            np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+        def timeit(fn, *a, n=3):
+            sync(fn(*a))
+            t0 = _t.perf_counter()
+            for _ in range(n):
+                sync(fn(*a))
+            return (_t.perf_counter() - t0) / n
+
+        h, w = 1 << 20, 64
+        mat = jnp.asarray(rng.integers(0, ff.P, (h, w), dtype=np.uint32))
+        dt_h = timeit(jax.jit(p2.hash_matrix_rows), mat)
+        mperm = h * (w // 8) / dt_h / 1e6
+        m2 = jnp.asarray(rng.integers(0, ff.P, (1 << 20, 32), dtype=np.uint32))
+        dt_n = timeit(jax.jit(ntt_mod.ntt), m2)
+        gbfly = (1 << 20) * 32 * 20 / dt_n / 1e9
+        passes = -(-20 // 3)
+        ntt_sol_gbfly = 30e9 / ((1 << 20) * 32 * 4 * 2 * passes) * ((1 << 20) * 32 * 20) / 1e9
+        return {
+            "kernel_roofline": {
+                "poseidon2_mperm_per_s": round(mperm, 1),
+                "poseidon2_pct_of_vpu_sol": round(100 * mperm / 380.0, 1),
+                "ntt_gbutterfly_per_s": round(gbfly, 1),
+                "ntt_pct_of_hbm_pass_sol": round(100 * gbfly / ntt_sol_gbfly, 1),
+            }
+        }
+    except Exception:
+        return {}
+
+
 def _bench_real_guest(config, device: bool) -> dict:
     """Prove + verify the reference's shipped compiled guest ELF."""
     if not os.path.exists(REF_ELF):
@@ -138,6 +254,8 @@ def main():
         agg[k.split("/")[-1]] = round(agg.get(k.split("/")[-1], 0.0) + v, 3)
 
     real = _bench_real_guest(config, device)
+    keccak = _bench_keccak(device)
+    roof = _kernel_roofline() if device else {}
 
     cps = cycles / dt
     out = {
@@ -153,6 +271,8 @@ def main():
     if first_proof_s is not None:
         out["first_proof_s"] = round(first_proof_s, 2)
     out.update(real)
+    out.update(keccak)
+    out.update(roof)
     print(json.dumps(out))
 
 

@@ -23,6 +23,11 @@ from .gadgets import ByteSink, ColView, Schema, send_u16_check, send_u8_pair
 from .lookups import global_msg
 
 HALF = (ff.P - 1) // 2
+# rcw = inv(top7 - 7): top7 (the count of y-range high bits) is in [0, 7]
+_RCW_LUT = np.array(
+    [ff.inv_int((t7 - 7) % ff.P) if t7 != 7 else 0 for t7 in range(8)],
+    dtype=np.uint32,
+)
 
 
 def _septic_names(prefix):
@@ -194,40 +199,55 @@ class GlobalAir(BaseAir):
         n = len(events)
         t = zeros_mt((max(n, 1), s.width), dtype=np.uint32, order="F")
         sink = ByteSink(record)
-        cum = ([int(c) for c in START[0]], [int(c) for c in START[1]])
-        for i, ev in enumerate(events):
-            msg = [int(v) for v in ev.message]
-            x_in = list(msg)
-            x_in[0] = (x_in[0] + (ev.kind << 16)) % ff.P
-            x, y, offset = septic.lift_x_int(x_in)
-            if not ev.is_receive:
-                y = [(ff.P - c) % ff.P for c in y]
-            t[i, s.idx("kind")] = ev.kind
-            t[i, s.idx("is_receive" if ev.is_receive else "is_send")] = 1
-            t[i, s.idx("is_real")] = 1
-            for j in range(7):
-                t[i, s.idx(f"m{j}")] = msg[j]
-                t[i, s.idx(f"x{j}")] = x[j]
-                t[i, s.idx(f"y{j}")] = y[j]
-            for j in range(8):
-                t[i, s.idx(f"off{j}")] = (offset >> j) & 1
-            v = (y[6] - 1 - (0 if ev.is_receive else HALF)) % ff.P
-            assert v < (1 << 30)
-            for j in range(30):
-                t[i, s.idx(f"yb{j}")] = (v >> j) & 1
-            top7 = sum((v >> j) & 1 for j in range(23, 30))
-            t[i, s.idx("rcw")] = ff.inv_int((top7 - 7) % ff.P)
-            cum = septic.curve_add_int(cum, (x, y))
-            for j in range(7):
-                t[i, s.idx(f"cx{j}")] = cum[0][j]
-                t[i, s.idx(f"cy{j}")] = cum[1][j]
-            sink.u16(np.array([msg[0]], dtype=np.uint32))
-            sink.u8pair(np.array([ev.kind], dtype=np.uint32), np.array([0], dtype=np.uint32))
         if n == 0:
             for j in range(7):
                 t[0, s.idx(f"cx{j}")] = int(START[0][j])
                 t[0, s.idx(f"cy{j}")] = int(START[1][j])
             return t
+        # batch-lift every event message (the scalar path cost ~4.5 ms/event)
+        msgs = np.array([[int(v) for v in ev.message] for ev in events], dtype=np.uint64)
+        kinds = np.array([ev.kind for ev in events], dtype=np.uint32)
+        recv = np.array([bool(ev.is_receive) for ev in events], dtype=bool)
+        x_in = msgs.copy()
+        x_in[:, 0] = (x_in[:, 0] + (kinds.astype(np.uint64) << np.uint64(16))) % np.uint64(ff.P)
+        xs, ys, offs = septic.lift_x_batch(x_in)
+        ys_signed = np.where(recv[:, None], ys, (np.uint64(ff.P) - ys) % np.uint64(ff.P))
+        t[:, s.idx("kind")] = kinds
+        t[:, s.idx("is_receive")] = recv
+        t[:, s.idx("is_send")] = ~recv
+        t[:, s.idx("is_real")] = 1
+        for j in range(7):
+            t[:, s.idx(f"m{j}")] = msgs[:, j].astype(np.uint32)
+            t[:, s.idx(f"x{j}")] = xs[:, j].astype(np.uint32)
+            t[:, s.idx(f"y{j}")] = ys_signed[:, j].astype(np.uint32)
+        for j in range(8):
+            t[:, s.idx(f"off{j}")] = (offs >> j) & 1
+        v = (ys_signed[:, 6] + np.uint64(ff.P) - np.uint64(1)
+             - np.where(recv, np.uint64(0), np.uint64(HALF))) % np.uint64(ff.P)
+        assert (v < (1 << 30)).all()
+        v = v.astype(np.uint32)
+        top7 = np.zeros(n, dtype=np.int64)
+        for j in range(30):
+            bit = (v >> j) & 1
+            t[:, s.idx(f"yb{j}")] = bit
+            if j >= 23:
+                top7 += bit
+        t[:, s.idx("rcw")] = _RCW_LUT[top7]
+        # sequential septic cumulative sum (the one irreducibly serial part)
+        cum = ([int(c) for c in START[0]], [int(c) for c in START[1]])
+        cx = np.empty((n, 7), dtype=np.uint32)
+        cy = np.empty((n, 7), dtype=np.uint32)
+        for i in range(n):
+            cum = septic.curve_add_int(
+                cum, ([int(c) for c in xs[i]], [int(c) for c in ys_signed[i]])
+            )
+            cx[i] = cum[0]
+            cy[i] = cum[1]
+        for j in range(7):
+            t[:, s.idx(f"cx{j}")] = cx[:, j]
+            t[:, s.idx(f"cy{j}")] = cy[:, j]
+        sink.u16(msgs[:, 0].astype(np.uint32))
+        sink.u8pair(kinds, np.zeros(n, dtype=np.uint32))
         return t
 
     def pad_rows(self, t, target):

@@ -335,3 +335,164 @@ ZERO_DIGEST_INT = (
     [637514027, 1595065213, 1998064738, 72333738, 1211544370, 822986770, 1518535784],
     [1604177449, 90440090, 259343427, 140470264, 1162099742, 941559812, 1064053343],
 )
+
+
+# ---------------------------------------------------------------------------
+# Batched (numpy u64) curve lifting — vectorizes lift_x_int over events.
+# The per-event python-int path costs ~4.5 ms/event (sqrt + exp chains); the
+# Global chip lifts every global lookup event, which dominated small-guest
+# proving.  Arithmetic is canonical u64: every product is reduced mod p
+# before accumulation (7 * p^2 would overflow), matching the int path
+# bit-for-bit (differential test: tests/test_field.py).
+# ---------------------------------------------------------------------------
+
+
+def _poly_mulmod_np(a, b):
+    """(n, 7) x (n, 7) canonical u64 -> (n, 7), z^7 = 8 - 2z reduction."""
+    n = a.shape[0]
+    P = np.uint64(f.P)
+    c = np.zeros((n, 13), dtype=np.uint64)
+    for i in range(7):
+        for j in range(7):
+            c[:, i + j] = (c[:, i + j] + a[:, i] * b[:, j] % P) % P
+    for k in range(12, 6, -1):
+        c[:, k - 7] = (c[:, k - 7] + np.uint64(8) * c[:, k]) % P
+        c[:, k - 6] = (c[:, k - 6] + (P - c[:, k]) % P * np.uint64(2)) % P
+    return np.ascontiguousarray(c[:, :7])
+
+
+def _frob_apply_np(a, k: int):
+    m = np.array(_frob_int_matrix(k), dtype=np.uint64)  # m[i][j]
+    P = np.uint64(f.P)
+    out = np.zeros_like(a)
+    for i in range(7):
+        for j in range(7):
+            out[:, j] = (out[:, j] + a[:, i] * m[i, j] % P) % P
+    return out
+
+
+def _pow_np(a, e: int):
+    r = np.zeros_like(a)
+    r[:, 0] = 1
+    base = a.copy()
+    while e:
+        if e & 1:
+            r = _poly_mulmod_np(r, base)
+        e >>= 1
+        if e:
+            base = _poly_mulmod_np(base, base)
+    return r
+
+
+def _modpow_np(a, e: int):
+    """(n,) u64 scalar modpow with fixed exponent."""
+    P = np.uint64(f.P)
+    r = np.ones_like(a)
+    base = a.copy()
+    while e:
+        if e & 1:
+            r = r * base % P
+        e >>= 1
+        if e:
+            base = base * base % P
+    return r
+
+
+def sqrt_batch(x):
+    """Vectorized septic sqrt: (n, 7) u64 -> (y (n, 7), ok (n,) bool).
+
+    Mirrors sqrt_int; rows that are not squares get ok=False (y undefined).
+    """
+    P = np.uint64(f.P)
+    n_rows = x.shape[0]
+    base_ = _poly_mulmod_np(_frob_apply_np(x, 1), _frob_apply_np(x, 2))
+    base_p2 = _frob_apply_np(base_, 2)
+    base_p4 = _frob_apply_np(base_p2, 2)
+    pow_r = _poly_mulmod_np(_poly_mulmod_np(_poly_mulmod_np(base_, base_p2), base_p4), x)
+    numerator = pow_r[:, 0]
+    ok = _modpow_np(np.maximum(numerator, np.uint64(1)), (f.P - 1) // 2) == 1
+    n_power = _pow_np(x, (f.P + 1) // 2)
+    nf = _frob_apply_np(n_power, 1)
+    denominator = nf
+    nf = _frob_apply_np(nf, 2)
+    denominator = _poly_mulmod_np(denominator, nf)
+    nf = _frob_apply_np(nf, 2)
+    denominator = _poly_mulmod_np(denominator, nf)
+    denominator = _poly_mulmod_np(denominator, x)
+    # Cipolla sqrt of 1/numerator in F_p (batched; per-row nonresidue search)
+    base_fp = _modpow_np(np.maximum(numerator, np.uint64(1)), f.P - 2)
+    a = np.ones(n_rows, dtype=np.uint64)
+    nonres = (np.uint64(1) + P - base_fp) % P
+    g = np.uint64(f.GENERATOR)
+    for _ in range(64):
+        is_res = _modpow_np(np.maximum(nonres, np.uint64(1)), (f.P - 1) // 2) == 1
+        is_res &= nonres != 0
+        if not is_res.any():
+            break
+        a = np.where(is_res, a * g % P, a)
+        nonres = np.where(is_res, (a * a % P + P - base_fp) % P, nonres)
+    else:
+        raise ValueError("nonresidue search did not converge")
+    e = (f.P + 1) // 2
+    xr, xi = a.copy(), np.ones(n_rows, dtype=np.uint64)
+    rr, ri = np.ones(n_rows, dtype=np.uint64), np.zeros(n_rows, dtype=np.uint64)
+    while e:
+        if e & 1:
+            rr, ri = (rr * xr % P + ri * xi % P * nonres) % P, (rr * xi + ri * xr) % P
+        e >>= 1
+        if e:
+            xr, xi = (xr * xr % P + xi * xi % P * nonres) % P, np.uint64(2) * xr % P * xi % P
+    y = denominator * rr[:, None] % P
+    # special cases: sqrt(0) = 0, sqrt(1) = 1
+    is_zero = (x == 0).all(axis=1)
+    is_one = (x[:, 0] == 1) & (x[:, 1:] == 0).all(axis=1)
+    y[is_zero] = 0
+    y[is_one] = 0
+    y[is_one, 0] = 1
+    ok |= is_zero | is_one
+    return y, ok
+
+
+def lift_x_batch(m):
+    """Vectorized lift_x_int: (n, 7) canonical -> (x, y, offset) arrays.
+
+    y is in the 'receive' range (y[6] <= (p-1)/2), offsets u8."""
+    m = np.asarray(m, dtype=np.uint64)
+    n_rows = m.shape[0]
+    P = np.uint64(f.P)
+    half = np.uint64((f.P - 1) // 2)
+    x_out = np.zeros((n_rows, 7), dtype=np.uint64)
+    y_out = np.zeros((n_rows, 7), dtype=np.uint64)
+    off_out = np.zeros(n_rows, dtype=np.uint32)
+    active = np.ones(n_rows, dtype=bool)
+    for offset in range(256):
+        if not active.any():
+            break
+        idx = np.nonzero(active)[0]
+        x = m[idx].copy()
+        x[:, 6] = (x[:, 6] * np.uint64(256) + np.uint64(offset)) % P
+        x2 = _poly_mulmod_np(x, x)
+        y_sq = _poly_mulmod_np(x2, x)
+        # + 3z*x - 3  (curve y^2 = x^3 + 3z*x - 3; see _curve_formula_int)
+        three = np.uint64(3)
+        shifted = np.zeros_like(x)
+        shifted[:, 1:] = x[:, :6]
+        z7 = x[:, 6] * three % P  # z * x6 z^6 -> z^7 = 8 - 2z
+        y_sq = (y_sq + shifted * three) % P
+        y_sq[:, 0] = (y_sq[:, 0] + np.uint64(8) * z7) % P
+        y_sq[:, 1] = (y_sq[:, 1] + (P - z7) % P * np.uint64(2)) % P
+        y_sq[:, 0] = (y_sq[:, 0] + P - three) % P
+        y, ok = sqrt_batch(y_sq)
+        ok &= y[:, 6] != 0
+        took = idx[ok]
+        if took.size:
+            yk = y[ok]
+            flip = yk[:, 6] > half
+            yk[flip] = (P - yk[flip]) % P
+            x_out[took] = x[ok]
+            y_out[took] = yk
+            off_out[took] = offset
+            active[took] = False
+    if active.any():
+        raise ValueError("no curve point found in 256 offsets")
+    return x_out, y_out, off_out

@@ -145,50 +145,113 @@ def _prep_key(prep):
 _UPLOAD_PARTITIONS: dict = {}
 
 
-def _upload_trace_monty(t: np.ndarray, xp, tag: str = ""):
+_UPLOAD_CHUNK = 1 << 16
+
+
+def _upload_trace_monty(t: np.ndarray, xp, tag: str = "", target: int | None = None):
     """Upload a canonical u32 trace narrowed per column; device widens,
-    restores column order with a static gather, and converts to Montgomery."""
+    restores column order with a static gather, converts to Montgomery and
+    zero-pads to ``target`` rows.
+
+    ``t`` may be the UNPADDED real-height trace: only real rows travel over
+    the tunnel (padding is zeros appended on device, identical to host
+    padding since to_monty(0) == 0).  Rows upload in fixed 2^16 chunks so
+    the transfer/widen kernels key on (width, column classes) instead of on
+    every trace height; binary selector columns pack 8 rows/byte."""
     from .jit_util import cached_jit
 
     h, w = t.shape
-    if h * w < (1 << 16) or w == 0:
+    target = target or h
+    assert target >= h
+    if target * w < (1 << 16) or w == 0 or h == 0:
+        if target > h:
+            t = np.concatenate([t, np.zeros((target - h, w), dtype=t.dtype)])
         fn = cached_jit("to_monty", t.shape, lambda: f.to_monty)
         return fn(xp.asarray(t))
-    mx = t.max(axis=0)
-    cls = np.where(mx <= 0xFF, 0, np.where(mx <= 0xFFFF, 1, 2)).astype(np.int8)
+    mx = t.max(axis=0) if h else np.zeros(w, dtype=np.uint32)
+    cls = np.where(mx <= 1, 0,
+                   np.where(mx <= 0xFF, 1, np.where(mx <= 0xFFFF, 2, 3))).astype(np.int8)
     key = (tag, w)
     prev = _UPLOAD_PARTITIONS.get(key)
     if prev is not None:
         cls = np.maximum(cls, prev)
     _UPLOAD_PARTITIONS[key] = cls
-    cols8 = tuple(int(c) for c in np.nonzero(cls == 0)[0])
-    cols16 = tuple(int(c) for c in np.nonzero(cls == 1)[0])
-    cols32 = tuple(int(c) for c in np.nonzero(cls == 2)[0])
-    # slice column groups through the transpose: traces are built F-order, so
-    # tT row-gathers are contiguous copies (the (n, cols) gather on a
-    # row-major trace cost more than the transfer it fed)
-    tT = t.T
-    a8 = tT[list(cols8)].astype(np.uint8)
-    a16 = tT[list(cols16)].astype(np.uint16)
-    a32 = np.ascontiguousarray(tT[list(cols32)])
-    order = list(cols8) + list(cols16) + list(cols32)
+    colsb = tuple(int(c) for c in np.nonzero(cls == 0)[0])
+    cols8 = tuple(int(c) for c in np.nonzero(cls == 1)[0])
+    cols16 = tuple(int(c) for c in np.nonzero(cls == 2)[0])
+    cols32 = tuple(int(c) for c in np.nonzero(cls == 3)[0])
+    order = list(colsb) + list(cols8) + list(cols16) + list(cols32)
     inv = np.empty(w, dtype=np.int32)
     inv[order] = np.arange(w, dtype=np.int32)
     inv_t = tuple(int(i) for i in inv)
+    # slice column groups through the transpose: traces are built F-order, so
+    # tT row-gathers are contiguous copies
+    tT = t.T
 
-    def make():
+    def chunk_parts(lo: int, hi: int, rows: int):
+        """Host column-group arrays for rows [lo, hi), zero-padded to rows."""
+        def pad(a, fill_rows):
+            if a.shape[1] == fill_rows:
+                return a
+            out = np.zeros((a.shape[0], fill_rows), dtype=a.dtype)
+            out[:, : a.shape[1]] = a
+            return out
+
+        seg = tT[:, lo:hi]
+        bits_ = pad(seg[list(colsb)].astype(np.uint8), rows)
+        packed = np.packbits(bits_, axis=1) if colsb else np.zeros((0, rows // 8), np.uint8)
+        return (
+            xp.asarray(packed),
+            xp.asarray(pad(seg[list(cols8)].astype(np.uint8), rows)),
+            xp.asarray(pad(seg[list(cols16)].astype(np.uint16), rows)),
+            xp.asarray(pad(np.ascontiguousarray(seg[list(cols32)]), rows)),
+        )
+
+    def make(rows):
         import jax.numpy as jnp
 
-        def fn(b8, b16, b32):
+        def fn(bb, b8, b16, b32):
+            if colsb:
+                # unpack bits: (nb, rows//8) u8 -> (nb, rows) 0/1
+                shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+                un = ((bb[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1))
+                bit_rows = un.reshape(bb.shape[0], rows).astype(jnp.uint32)
+            else:
+                bit_rows = jnp.zeros((0, rows), jnp.uint32)
             cat = jnp.concatenate(
-                [b8.astype(jnp.uint32), b16.astype(jnp.uint32), b32], axis=0
+                [bit_rows, b8.astype(jnp.uint32), b16.astype(jnp.uint32), b32], axis=0
             )
             return f.to_monty(cat[jnp.array(inv_t, dtype=jnp.int32)].T)
 
         return fn
 
-    fn = cached_jit("trace_pack_monty_t", (h, w, cols8, cols16), make)
-    return fn(xp.asarray(a8), xp.asarray(a16), xp.asarray(a32))
+    chunks = []
+    lo = 0
+    while lo < h:
+        hi = min(lo + _UPLOAD_CHUNK, h)
+        n = hi - lo
+        rows = n if n == _UPLOAD_CHUNK else max(8, 1 << (n - 1).bit_length())
+        fn = cached_jit("trace_pack_monty_t2", (rows, w, colsb, cols8, cols16),
+                        lambda rows=rows: make(rows))
+        chunks.append((fn(*chunk_parts(lo, hi, rows)), n))
+        lo = hi
+
+    def asm_make():
+        import jax.numpy as jnp
+
+        def fn(parts):
+            segs = [p[:n] for p, n in zip(parts, keep)]
+            total = sum(keep)
+            if target > total:
+                segs.append(jnp.zeros((target - total, w), jnp.uint32))
+            return jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+
+        return fn
+
+    keep = tuple(n for _p, n in chunks)
+    shapes = tuple(p.shape[0] for p, _n in chunks)
+    asm = cached_jit("trace_asm", (shapes, keep, w, target), asm_make)
+    return asm([p for p, _n in chunks])
 
 
 class StarkMachine:
@@ -277,15 +340,17 @@ class StarkMachine:
             pad_hook = getattr(chip.air, "pad_rows", None)
             if pad_hook is not None:
                 t = pad_hook(t, target)
-            t = pad_to_power_of_two(t, fixed_rows=target)
             if xp is np:
+                t = pad_to_power_of_two(t, fixed_rows=target)
                 traces[chip.name] = f.to_monty(t)
             else:
                 # upload CANONICAL values packed to the narrowest per-column
-                # dtype (flags/bytes as u8, 16-bit limbs as u16) and widen +
-                # convert to Montgomery on device: the tunnel transfer is the
-                # bottleneck, and most trace columns are limbs or selectors
-                traces[chip.name] = _upload_trace_monty(t, xp, tag=chip.name)
+                # dtype (binary selectors bit-packed, flags/bytes as u8,
+                # 16-bit limbs as u16) and widen + convert to Montgomery +
+                # zero-pad on device: the tunnel transfer is the bottleneck
+                traces[chip.name] = _upload_trace_monty(
+                    t, xp, tag=chip.name, target=target
+                )
         _pad_span.__exit__(None, None, None)
         chips = sorted(chips, key=lambda c: -traces[c.name].shape[0])
         names = [c.name for c in chips]

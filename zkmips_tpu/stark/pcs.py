@@ -179,6 +179,204 @@ def eval_at_ext_points(coeffs, dom: Domain, pts, xp=np) -> list:
     return fn(coeffs, xp.stack([xp.asarray(z) for z in pts]))
 
 
+# (log_n, shift, point_kind) -> device (n,) monty table of (m / shift)^j,
+# m = 1 (zeta itself) or the domain generator (the 'next row' point).
+# z-independent, so cached for the life of the process.
+_EVAL_TABLES: dict = {}
+
+
+def _eval_pt_table(log_n: int, shift: int, k: int, xp):
+    """Base-power table turning z^j into ((z * m_k)/shift)^j, or None if 1."""
+    m = 1 if k == 0 else f.two_adic_generator_int(log_n)
+    base = m * f.inv_int(shift) % f.P
+    if base == 1:
+        return None
+    key = (log_n, shift, k)
+    t = _EVAL_TABLES.get(key)
+    if t is None:
+        t = xp.asarray(bits.powers_monty_np(base, 1 << log_n))
+        _EVAL_TABLES[key] = t
+    return t
+
+
+def _eval_rounds_fused(rounds, xp):
+    """All claimed evaluations of every round in ONE device dispatch.
+
+    The per-group eval kernels are dispatch-latency-bound (~20 ms each on
+    the tunneled deployment; a shard has ~18 groups).  This builds one
+    jitted computation: a single z-power doubling chain (z^j, shared by all
+    domains via prefixes) plus, per (domain, point), an elementwise rescale
+    by a cached z-independent base table — then every contraction, and one
+    host transfer for all opened values.
+
+    Falls back to per-group kernels when a point list doesn't match the
+    prover's [zeta, zeta*g] structure.
+    """
+    jobs = []  # (ri, idxs, widths, log_n, shift, npts)
+    sig = []
+    mats_args = []
+    tables = []
+    table_keys = {}
+    for ri, (pdata, points_per_mat) in enumerate(rounds):
+        groups: dict = {}
+        for mi, (dom, pts) in enumerate(zip(pdata.domains, points_per_mat)):
+            groups.setdefault((dom.log_n, dom.shift, len(pts)), []).append(mi)
+        for (log_n, shift, npts), idxs in groups.items():
+            dom = pdata.domains[idxs[0]]
+            pts = points_per_mat[idxs[0]]
+            if npts > 2 or (npts == 2 and not np.array_equal(
+                np.asarray(pts[1]), dom.next_point_ext(np.asarray(pts[0])))):
+                return None  # caller falls back
+            for mi in idxs[1:]:
+                assert all(
+                    np.array_equal(a, b) for a, b in zip(points_per_mat[mi], pts)
+                ), "grouped matrices must share opening points"
+            widths = [pdata.coeffs[mi].shape[1] for mi in idxs]
+            arg_pos = []
+            for mi in idxs:
+                arg_pos.append(len(mats_args))
+                mats_args.append(pdata.coeffs[mi])
+            tbl_pos = []
+            for k in range(npts):
+                t = _eval_pt_table(log_n, shift, k, xp)
+                if t is None:
+                    tbl_pos.append(None)
+                else:
+                    tk = (log_n, shift, k)
+                    if tk not in table_keys:
+                        table_keys[tk] = len(tables)
+                        tables.append(t)
+                    tbl_pos.append(table_keys[tk])
+            jobs.append((ri, tuple(arg_pos), tuple(widths), log_n, npts, tuple(tbl_pos)))
+            sig.append((ri, tuple(widths), log_n, shift, npts, tuple(tbl_pos)))
+    z = np.asarray(rounds[0][1][0][0], dtype=np.uint32)  # zeta (first point)
+    max_n = max(1 << j[3] for j in jobs)
+
+    def make():
+        def fn(mats, tbls, zz):
+            zbase = _ext_powers(zz, max_n, xp)  # (max_n, 4)
+            outs = []
+            for _ri, arg_pos, widths, log_n, npts, tbl_pos in jobs:
+                n = 1 << log_n
+                cat = (mats[arg_pos[0]] if len(arg_pos) == 1
+                       else xp.concatenate([mats[p] for p in arg_pos], axis=1))
+                for k in range(npts):
+                    zp = zbase[:n]
+                    if tbl_pos[k] is not None:
+                        zp = ext4.mul(zp, ext4.from_base(tbls[tbl_pos[k]]))
+                    vals = []
+                    for c in range(4):
+                        prod = f.mul(cat, zp[:, c : c + 1])
+                        vals.append(bits.sum_mod(prod, axis=0))
+                    outs.append(xp.stack(vals, axis=-1))  # (W, 4)
+            return outs
+
+        return fn
+
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_eval_all", tuple(sig), make)
+    import jax
+
+    flat = jax.device_get(fn(list(mats_args), list(tables), xp.asarray(z)))
+    # split back per round/matrix
+    opened_values = [
+        [None] * len(pdata.coeffs) for pdata, _ in rounds
+    ]
+    oi = 0
+    for ri, arg_pos, widths, _log_n, npts, _tp in jobs:
+        group_vals = flat[oi : oi + npts]
+        oi += npts
+        offs = np.cumsum([0] + list(widths))
+        for j, w in enumerate(widths):
+            vals_m = [v[offs[j] : offs[j] + w] for v in group_vals]
+            opened_values[ri][_job_matrix_index(rounds[ri], arg_pos[j], mats_args)] = vals_m
+    return opened_values
+
+
+def _job_matrix_index(round_entry, arg_pos, mats_args):
+    pdata, _ = round_entry
+    target = mats_args[arg_pos]
+    for mi, c in enumerate(pdata.coeffs):
+        if c is target:
+            return mi
+    raise AssertionError("matrix not found in round")
+
+
+# log_h -> device (2^log_h,) bitrev LDE x-point table (z-independent)
+_XPT_TABLES: dict = {}
+
+
+def _x_points_dev(log_h: int, xp):
+    t = _XPT_TABLES.get(log_h)
+    if t is None:
+        t = xp.asarray(lde_points_bitrev_monty(log_h))
+        _XPT_TABLES[log_h] = t
+    return t
+
+
+def _reduce_all_fused(by_height: dict, xp):
+    """Every height's reduced-opening vector in ONE device dispatch.
+
+    The per-height kernels each paid dispatch latency plus an in-kernel
+    x-point doubling chain; here the x tables are cached device constants
+    and the whole step is a single jitted call whose outputs stay on device
+    (they feed the fold chain directly).
+    """
+    heights = tuple(sorted(by_height, reverse=True))
+    # static plan + flat args
+    lde_args, z_list, ys_list, ap_list = [], [], [], []
+    plan = []  # per height: list of slots; slot = (z_idx, [(lde_idx, ys_idx, ap_idx)])
+    sig = []
+    for log_h in heights:
+        slots: dict[bytes, list] = {}
+        z_of_slot: dict[bytes, int] = {}
+        for lde, z, ys, apows in by_height[log_h]:
+            zb = np.asarray(z).tobytes()
+            if zb not in z_of_slot:
+                z_of_slot[zb] = len(z_list)
+                z_list.append(np.asarray(z, dtype=np.uint32))
+                slots[zb] = []
+            li, yi, ai = len(lde_args), len(ys_list), len(ap_list)
+            lde_args.append(lde)
+            ys_list.append(np.asarray(ys, dtype=np.uint32))
+            ap_list.append(np.asarray(apows, dtype=np.uint32))
+            slots[zb].append((li, yi, ai))
+        plan.append([(z_of_slot[zb], entries) for zb, entries in slots.items()])
+        sig.append((log_h, tuple(
+            (len(entries), tuple(lde_args[li].shape[1] for li, _yi, _ai in entries))
+            for _zi, entries in plan[-1]
+        )))
+    xpts = [_x_points_dev(h, xp) for h in heights]
+
+    def make():
+        def fn(ldes, zs, yss, aps, xps):
+            out = []
+            for hi, log_h in enumerate(heights):
+                acc = None
+                x_ext = ext4.from_base(xps[hi])
+                for z_idx, entries in plan[hi]:
+                    num = None
+                    for li, yi, ai in entries:
+                        s_val = _ext_dot_ext(aps[ai], yss[yi])
+                        t_vec = _ext_dot_base(aps[ai], ldes[li], xp)
+                        pn = ext4.sub(s_val[None, :], t_vec)
+                        num = pn if num is None else ext4.add(num, pn)
+                    denom = ext4.sub(zs[z_idx][None, :], x_ext)
+                    contrib = ext4.mul(num, ext4.inv(denom))
+                    acc = contrib if acc is None else ext4.add(acc, contrib)
+                out.append(acc)
+            return out
+
+        return fn
+
+    from .jit_util import cached_jit
+
+    fn = cached_jit("pcs_reduce_all", tuple(sig), make)
+    outs = fn(list(lde_args), [xp.asarray(z) for z in z_list], ys_list, ap_list, xpts)
+    return {h: o for h, o in zip(heights, outs)}
+
+
 def _reduce_contrib_batch(parts, log_h: int, xp):
     """Sum of reduced-opening contributions at one height, one kernel.
 
@@ -298,9 +496,14 @@ def open_batches(
 
     # 1. claimed evaluations — batched: matrices sharing (domain, point list)
     #    are evaluated by ONE kernel over their concatenated columns (the
-    #    per-matrix version compiled 57 kernels for the fib bench)
+    #    per-matrix version compiled 57 kernels for the fib bench); on the
+    #    device path the WHOLE step is one dispatch (_eval_rounds_fused)
     opened_values = []
     with span("open.eval"):
+      if xp is not np:
+        opened_values = _eval_rounds_fused(rounds, xp)
+      if xp is np or opened_values is None:
+        opened_values = []
         for pdata, points_per_mat in rounds:
             mats_vals = [None] * len(pdata.coeffs)
             groups: dict = {}
@@ -349,8 +552,11 @@ def open_batches(
                 apows = _alpha_powers(alpha, k0, w)  # (w, 4)
                 alpha_pow_count[log_h] = k0 + w
                 by_height.setdefault(log_h, []).append((lde, z, ys, apows))
-    for log_h, parts in by_height.items():
-        reduced[log_h] = _reduce_contrib_batch(parts, log_h, xp)
+    if xp is not np:
+        reduced = _reduce_all_fused(by_height, xp)
+    else:
+        for log_h, parts in by_height.items():
+            reduced[log_h] = _reduce_contrib_batch(parts, log_h, xp)
     _sp.__exit__(None, None, None)
     log_max = max(reduced)
     assert min(reduced) > config.log_blowup, "matrices at the minimum height are unsupported"

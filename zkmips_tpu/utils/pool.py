@@ -40,7 +40,9 @@ def zeros_mt(shape, dtype=None, order="C"):
         return np.zeros(shape, dtype=dtype, order=order)
     global _FILL_POOL
     if _FILL_POOL is None:
-        _FILL_POOL = make_pool(8)
+        import os
+
+        _FILL_POOL = make_pool(min(8, os.cpu_count() or 4))
     buf = np.empty(shape, dtype=dtype, order=order)
     flat = buf.T.reshape(-1) if order == "F" else buf.reshape(-1)
     nchunks = 8
