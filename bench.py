@@ -198,12 +198,27 @@ def _bench_real_guest(config, device: bool) -> dict:
     cycles = ex.global_clk
     m = MipsMachine(config)
     pk = m.setup(p)
-    t0 = time.time()
-    # host path: a 3.7k-cycle guest pads to tiny chips that sit below
-    # DEVICE_MIN_ROWS anyway, and interleaving sparse device ops with long
-    # host gaps can wedge the tunneled TPU transport
-    proofs = m.prove(pk, records, device=False)
-    dt = time.time() - t0
+    if device:
+        # small-guest device path: every chip (even tiny ones) runs the
+        # block-stationary device kernels — ~50 small-shape kernels compile
+        # once ever (persistent cache); steady-state is ~7x the host path
+        from zkmips_tpu.stark import machine as sm
+
+        prev_min = sm.DEVICE_MIN_ROWS
+        sm.DEVICE_MIN_ROWS = 0
+        try:
+            m.prove(pk, records, device=True)  # warm pass
+            ex = Executor(p)
+            records = ex.run()
+            t0 = time.time()
+            proofs = m.prove(pk, records, device=True)
+            dt = time.time() - t0
+        finally:
+            sm.DEVICE_MIN_ROWS = prev_min
+    else:
+        t0 = time.time()
+        proofs = m.prove(pk, records, device=False)
+        dt = time.time() - t0
     assert m.verify(pk.vk, proofs, p)
     return {
         "real_guest_cycles_per_sec": round(cycles / dt, 2),

@@ -262,9 +262,11 @@ int zkm_rec_run(const u32 *code, u64 code_len, u64 mem_blocks,
         ip += 2 + 3 * n;
         break;
       }
-      case 11: /* CommitPublicValues: addresses only, read back by host */
-        ip += 8;
+      case 11: { /* CommitPublicValues: addresses only, read back by host */
+        u32 n = code[ip++];
+        ip += n;
         break;
+      }
       default:
         err_out[0] = insn;
         return 2;

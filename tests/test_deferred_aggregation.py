@@ -71,11 +71,14 @@ def test_deferred_proof_aggregation():
     child_vk = rp._find_final_vk(cpA)
     vk_root = [int(x) for x in ff.from_monty(np.asarray(child_vk.prep_root))]
     child_pv = [int(x) for x in cpA.proof.public_values]
+    from zkmips_tpu.recursion.verifier import record_digest
+
+    child_pvd = record_digest(child_pv)
     chain1 = rolling_deferred_digest([0] * 8, vk_root, child_pv)
 
     # ---- guest B: verifies A's proof in-VM and commits the chain ----------
     VKEY_PTR, PVD_PTR = 0x2000, 0x2100
-    body = _store_words(VKEY_PTR, vk_root) + _store_words(PVD_PTR, child_pv)
+    body = _store_words(VKEY_PTR, vk_root) + _store_words(PVD_PTR, child_pvd)
     body += _sys(0x1B, VKEY_PTR, PVD_PTR)  # VERIFY_ZKM_PROOF
     for i, w in enumerate(chain1):
         body += _sys(0x1A, i, w)  # COMMIT_DEFERRED_PROOFS
@@ -84,7 +87,7 @@ def test_deferred_proof_aggregation():
     checked = {}
 
     def subproof_verifier(proof, proof_vk, vkey, pv_digest):
-        assert vkey == vk_root and pv_digest == child_pv
+        assert vkey == vk_root and pv_digest == child_pvd
         rp.rec.verify(proof_vk, proof)
         checked["ok"] = True
 

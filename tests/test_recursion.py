@@ -221,10 +221,10 @@ def test_shard_verifier_circuit_accepts_and_rejects():
     import copy
 
     from zkmips_tpu.recursion.runtime import RecursionRuntime
-    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit
+    from zkmips_tpu.recursion.verifier import DigestShardVerifierCircuit
 
     m, pk, proof = _inner_proof()
-    circ = ShardVerifierCircuit(m.machine, pk.vk, proof)
+    circ = DigestShardVerifierCircuit(m.machine, pk.vk, proof)
     rec = RecursionRuntime(circ.program, circ.witness(proof)).run()
     assert rec.public_values == circ.expected_public_values(proof)
 
@@ -250,10 +250,10 @@ def test_shard_verifier_circuit_accepts_and_rejects():
 
 @pytest.mark.slow
 def test_recursion_of_recursion_proves():
-    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit
+    from zkmips_tpu.recursion.verifier import DigestShardVerifierCircuit
 
     m, pk, proof = _inner_proof()
-    circ = ShardVerifierCircuit(m.machine, pk.vk, proof)
+    circ = DigestShardVerifierCircuit(m.machine, pk.vk, proof)
     rec = m.execute(circ.program, circ.witness(proof))
     pk1 = m.setup(circ.program)
     proof1 = m.prove(pk1, rec)
@@ -261,35 +261,76 @@ def test_recursion_of_recursion_proves():
     assert list(proof1.public_values) == circ.expected_public_values(proof)
 
 
+def _fake_record(shard: int, start_pc: int, next_pc: int, digest_seed: int):
+    """A chain-rule-consistent rec_pv record with a real curve digest."""
+    from zkmips_tpu.machine.global_chip import START
+    from zkmips_tpu.ops import septic
+    from zkmips_tpu.recursion import rec_pv
+
+    rec = [0] * rec_pv.NUM_REC_PV
+    x, y, _off = septic.lift_x_int([digest_seed, 1, 2, 3, 4, 5, 6])
+    start = ([int(c) for c in START[0]], [int(c) for c in START[1]])
+    d = septic.curve_add_int(start, (list(x), list(y)))
+    rec[rec_pv.GLOBAL_SUM[0] : rec_pv.GLOBAL_SUM[1]] = list(d[0]) + list(d[1])
+    rec[rec_pv.START_PC[0]] = start_pc
+    rec[rec_pv.NEXT_PC[0]] = next_pc
+    rec[rec_pv.START_SHARD[0]] = shard
+    rec[rec_pv.NEXT_SHARD[0]] = shard + 1
+    rec[rec_pv.START_EXECUTION_SHARD[0]] = shard
+    rec[rec_pv.NEXT_EXECUTION_SHARD[0]] = shard + 1
+    rec[rec_pv.CONTAINS_EXECUTION_SHARD[0]] = 1
+    rec[rec_pv.CORE_VK_DIGEST[0]] = 77  # same in both children
+    return rec
+
+
 def test_compress_pair_circuit():
-    """Two same-shape recursion proofs joined by a CompressVerifierCircuit."""
+    """Two record-structured recursion proofs joined by a
+    CompressVerifierCircuit: the fold runs in-circuit (chain rules +
+    septic digest sum) and rejects chain-rule violations."""
     import copy
 
+    from zkmips_tpu.recursion import rec_pv
     from zkmips_tpu.recursion.runtime import RecursionRuntime
-    from zkmips_tpu.recursion.verifier import CompressVerifierCircuit, compress_digest
+    from zkmips_tpu.recursion.verifier import CompressVerifierCircuit
 
     b0 = Builder()
-    w = b0.hint_felt()
-    z = b0.mul(w, b0.felt(35))
-    ps = b0.poseidon2([z] + [b0.const_felt(i) for i in range(15)])
-    b0.commit_public_values(ps[8:16])
+    hints = [b0.hint_felt() for _ in range(rec_pv.NUM_REC_PV)]
+    # burn one poseidon2 so the program has hash rows (machine shape)
+    b0.poseidon2([hints[0]] + [b0.const_felt(i) for i in range(15)])
+    b0.commit_public_values(hints)
     p0 = b0.compile()
-    m = RecursionMachine(StarkConfig.test())
+    m = RecursionMachine(StarkConfig.test(), num_pv=rec_pv.NUM_REC_PV)
     pk = m.setup(p0)
-    pl = m.prove(pk, m.execute(p0, [(7, 0, 0, 0)]))
-    pr_ = m.prove(pk, m.execute(p0, [(11, 0, 0, 0)]))
-    assert list(pl.public_values) != list(pr_.public_values)
+    rec_l = _fake_record(1, 0x1000, 0x2000, 9)
+    rec_r = _fake_record(2, 0x2000, 0, 10)
+
+    def prove_rec(vals):
+        wit = [(v, 0, 0, 0) for v in vals]
+        return m.prove(pk, m.execute(p0, wit))
+
+    pl = prove_rec(rec_l)
+    pr_ = prove_rec(rec_r)
 
     circ = CompressVerifierCircuit(m.machine, pk.vk, pk.vk, pl, pr_)
     rec = RecursionRuntime(circ.program, circ.witness((pl, pr_))).run()
-    assert rec.public_values == compress_digest(pl.public_values, pr_.public_values)
+    assert rec.public_values == rec_pv.fold_records(rec_l, rec_r)
     assert rec.public_values == circ.expected_public_values((pl, pr_))
+    folded = rec.public_values
+    assert rec_pv.get(folded, rec_pv.START_SHARD) == [1]
+    assert rec_pv.get(folded, rec_pv.NEXT_SHARD) == [3]
+    assert rec_pv.get(folded, rec_pv.NEXT_PC) == [0]
 
-    bad = copy.deepcopy(pl)
-    bad.public_values = bad.public_values.copy()
-    bad.public_values[3] = (int(bad.public_values[3]) + 1) % ff.P
+    # broken pc chain: right child starting at the wrong pc
+    rec_bad = _fake_record(2, 0x3000, 0, 10)
+    p_bad = prove_rec(rec_bad)
     with pytest.raises(AssertionError):
-        RecursionRuntime(circ.program, circ.witness((bad, pr_))).run()
+        RecursionRuntime(circ.program, circ.witness((pl, p_bad))).run()
+
+    # broken shard chain
+    rec_bad2 = _fake_record(3, 0x2000, 0, 10)
+    p_bad2 = prove_rec(rec_bad2)
+    with pytest.raises(AssertionError):
+        RecursionRuntime(circ.program, circ.witness((pl, p_bad2))).run()
 
 
 @pytest.mark.slow
@@ -298,7 +339,7 @@ def test_lift_core_shard_circuit():
     from zkmips_tpu.executor import Executor, Opcode, Register, asm
     from zkmips_tpu.machine.machine import mips_machine
     from zkmips_tpu.recursion.runtime import RecursionRuntime
-    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit, lift_digest
+    from zkmips_tpu.recursion.verifier import ShardVerifierCircuit
 
     R, O = Register, Opcode
     body = [
@@ -319,7 +360,15 @@ def test_lift_core_shard_circuit():
 
     circ = ShardVerifierCircuit(m.machine, pk.vk, proofs[0])
     rec = RecursionRuntime(circ.program, circ.witness(proofs[0])).run()
-    assert rec.public_values == lift_digest(pk.vk, proofs[0])
+    from zkmips_tpu.recursion import rec_pv
+
+    gs = []
+    for ov in proofs[0].opened:
+        if ov.global_sum is not None:
+            gs.extend(int(x) for x in ov.global_sum)
+    assert rec.public_values == rec_pv.lift_record(
+        pk.vk, proofs[0].public_values, gs, has_cpu=True
+    )
 
 
 @pytest.mark.skipif(
@@ -381,10 +430,10 @@ def test_vk_map_export_load_roundtrip():
 
     rp2 = RecursionProver(m)
     rp2.load_vk_map(exported)
-    cp = CompressedProof(None, tuple(int(x) for x in inner_root), [], [], 1)
+    cp = CompressedProof(None, tuple(int(x) for x in inner_root), 1)
     vk = rp2._find_final_vk(cp)
     assert vk.prep_heights == [("RecMemConst", 4)]
-    cp_o = CompressedProof(None, (int(outer_root[0]),), [], [], 1, stage="wrap")
+    cp_o = CompressedProof(None, (int(outer_root[0]),), 1, stage="wrap")
     vko = rp2._find_final_vk(cp_o)
     assert int(np.asarray(vko.prep_root).reshape(-1)[0]) == int(outer_root[0])
     # JSON file round-trip

@@ -206,7 +206,6 @@ class Builder:
         return bits[:num_bits]
 
     def commit_public_values(self, felts: list[Felt]):
-        assert len(felts) == 8
         for x in felts:
             self._read(x.addr)
         self.instructions.append(pr.CommitPublicValues(tuple(x.addr for x in felts)))

@@ -426,38 +426,49 @@ class RecExpReverseBitsAir(BaseAir):
 
 
 class RecPublicValuesAir(BaseAir):
-    """Bind committed felts to the machine public values (chips/public_values)."""
+    """Bind committed felts to the machine public values (chips/public_values).
 
-    name = "RecPublicValues"
-    preprocessed_width = 10  # addr, index-one-hot flags (1..8), is_real
-    main_width = 1  # value
+    One row per public value with a one-hot index flag block (num_pv prep
+    columns); parametric in the machine's pv count (8 for the digest-only
+    machines, rec_pv.NUM_REC_PV for the aggregation record)."""
+
+    def __init__(self, num_pv: int = 8):
+        self.num_pv = num_pv
+        self.name = "RecPublicValues"
+        self.preprocessed_width = num_pv + 2  # addr, one-hot flags, is_real
+        self.main_width = 1  # value
 
     def eval(self, b: AirBuilder):
-        is_real = b.preprocessed(9)
+        n = self.num_pv
+        is_real = b.preprocessed(n + 1)
         v = b.main(0)
         b.receive(MEM, mem_msg(b.preprocessed(0), _block(v)), is_real)
-        # one row per public value; one-hot index flags in prep columns 1..8
-        flags = [b.preprocessed(1 + i) for i in range(8)]
-        for i, fl in enumerate(flags):
-            b.when(fl).assert_eq(v, b.public_value(i))
+        for i in range(n):
+            b.when(b.preprocessed(1 + i)).assert_eq(v, b.public_value(i))
 
     def generate_preprocessed(self, program):
         commit = None
         for ins in program.instructions:
             if isinstance(ins, pr.CommitPublicValues):
                 commit = ins
-        t = np.zeros((8, 10), dtype=np.uint32)
+        n = self.num_pv
+        t = np.zeros((n, n + 2), dtype=np.uint32)
         if commit is not None:
-            for i in range(8):
+            assert len(commit.addrs) == n, (
+                f"program commits {len(commit.addrs)} pvs, machine expects {n}"
+            )
+            for i in range(n):
                 t[i, 0] = commit.addrs[i]
                 t[i, 1 + i] = 1
-                t[i, 9] = 1
+                t[i, n + 1] = 1
         return t
 
     def generate_trace(self, record, output):
-        t = np.zeros((8, 1), dtype=np.uint32)
-        for i in range(8):
-            t[i, 0] = record.public_values[i]
+        n = self.num_pv
+        t = np.zeros((n, 1), dtype=np.uint32)
+        pvs = list(record.public_values)[:n]
+        for i, v in enumerate(pvs):
+            t[i, 0] = v
         return t
 
 

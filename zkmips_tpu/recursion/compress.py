@@ -2,10 +2,10 @@
 
 The analog of ``ZKMProver::compress`` (crates/prover/src/lib.rs:614-958,
 REDUCE_BATCH_SIZE=2): every core shard proof is first *lifted* — re-verified
-inside a recursion program whose public values bind
-``compress(core_vk_root, sponge(shard pv ++ septic global sums))`` — then
-pairs of recursion proofs are joined by *compress* programs whose public
-values fold the two child digests, until one proof remains.
+inside a recursion program that derives the shard's rec_pv aggregation
+record in-circuit — then pairs of recursion proofs are joined by *compress*
+programs that enforce the shard chain rules in-circuit and fold the two
+records (machine/compress.rs:94-480 analog), until one O(1) proof remains.
 
 Programs are cached by (vk, proof-shape) key — the reference's per-shape
 recursion program LRU (lib.rs:366-438); odd nodes are promoted to the next
@@ -24,16 +24,13 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..machine.pv import PV_NEXT_PC, PV_SHARD, PV_START_PC
-from ..ops import field as ff, septic
-from ..machine.global_chip import START
+from ..ops import field as ff
 from ..stark.machine import VerificationError
 from .machine import RecursionMachine
 from .verifier import (
     CompressVerifierCircuit,
     ShardVerifierCircuit,
     compress_digest,
-    lift_digest_values,
 )
 
 
@@ -41,16 +38,25 @@ from .verifier import (
 class CompressedProof:
     """One recursion proof standing for a whole core MachineProof.
 
+    O(1): the aggregated execution state travels as the proof's own
+    rec_pv record public values (pc/shard ranges, digests, addr endpoints,
+    the summed septic global digest) — chain rules were enforced IN-CIRCUIT
+    by the compress programs, so nothing per-shard is carried
+    (reference machine/compress.rs:94-480).
+
     stage: "compress" (core-config FRI), "shrink" (blowup-2 compressed
-    config), or "wrap" (blowup-3 ultra-compressed config; BN254 outer config
-    is future work) — which machine's verifier accepts ``proof``."""
+    config), or "wrap" (blowup-3 ultra-compressed config / BN254 outer) —
+    which machine's verifier accepts ``proof``."""
 
     proof: object  # final recursion-machine ShardProof
     final_vk_root: tuple  # canonical 8-tuple of the final program's prep root
-    shard_public_values: list  # per core shard: list of canonical ints
-    shard_global_sums: list  # per core shard: flat canonical ints (chip order)
     num_shards: int
     stage: str = "compress"
+
+    @property
+    def record(self) -> list:
+        """The authenticated rec_pv aggregation record (canonical ints)."""
+        return [int(x) for x in self.proof.public_values]
 
 
 @dataclass
@@ -89,15 +95,17 @@ class RecursionProver:
         from ..stark.machine import StarkConfig
         from ..stark.pcs import FriConfig
 
+        from . import rec_pv
+
         self.core = core_machine
-        self.rec = RecursionMachine(core_machine.machine.config)
+        self.rec = RecursionMachine(core_machine.machine.config, num_pv=rec_pv.NUM_REC_PV)
         base = core_machine.machine.config.fri
         # shrink/wrap configs scale the reference ladder (blowup 1->2->3,
         # kb31_poseidon2.rs:203-240) off whatever the core config is, keeping
         # the unsound-but-fast test config cheap in tests
         self.shrink_machine = RecursionMachine(StarkConfig(FriConfig(
             base.log_blowup + 1, max(base.num_queries // 2, 2), base.proof_of_work_bits
-        )))
+        )), num_pv=rec_pv.NUM_REC_PV)
         # wrap re-proves the shrink proof under the BN254 outer config
         # (Poseidon2-BN254 Merkle + MultiField32 transcript,
         # recursion/core/src/stark/config.rs:23-103); the sound parameters are
@@ -105,7 +113,7 @@ class RecursionProver:
         # unsound test ladder
         self.wrap_machine = RecursionMachine(StarkConfig(
             FriConfig.outer() if base.num_queries >= 42 else FriConfig.outer_test()
-        ))
+        ), num_pv=rec_pv.NUM_REC_PV)
         self._lift_cache: dict = {}
         self._compress_cache: dict = {}
         self._shrink_cache: dict = {}
@@ -140,7 +148,7 @@ class RecursionProver:
         circ, pk = self._lift_entry(core_vk, shard_proof)
         record = self.rec.execute(circ.program, circ.witness(shard_proof))
         proof = self.rec.prove(pk, record, xp=xp)
-        assert list(proof.public_values) == circ.expected_public_values(shard_proof)
+        assert [int(x) for x in proof.public_values] == circ.expected_public_values(shard_proof)
         return proof, pk.vk
 
     def compress(self, core_vk, shard_proofs: list, xp=np) -> CompressedProof:
@@ -162,8 +170,8 @@ class RecursionProver:
             circ, pk = self._compress_entry(vl, vr, pl, prf)
             record = self.rec.execute(circ.program, circ.witness((pl, prf)))
             proof = self.rec.prove(pk, record, xp=xp)
-            assert list(proof.public_values) == compress_digest(
-                pl.public_values, prf.public_values
+            assert [int(x) for x in proof.public_values] == circ.expected_public_values(
+                (pl, prf)
             )
             return (proof, pk.vk)
 
@@ -189,10 +197,6 @@ class RecursionProver:
         return CompressedProof(
             proof=final_proof,
             final_vk_root=tuple(int(x) for x in np.asarray(final_vk.prep_root)),
-            shard_public_values=[
-                [int(x) for x in sp.public_values] for sp in shard_proofs
-            ],
-            shard_global_sums=[_global_sums(sp) for sp in shard_proofs],
             num_shards=len(shard_proofs),
         )
 
@@ -214,8 +218,6 @@ class RecursionProver:
         return CompressedProof(
             proof=proof,
             final_vk_root=tuple(int(x) for x in np.asarray(pk.vk.prep_root)),
-            shard_public_values=cp.shard_public_values,
-            shard_global_sums=cp.shard_global_sums,
             num_shards=cp.num_shards,
             stage=stage,
         )
@@ -275,16 +277,18 @@ class RecursionProver:
         for dp in deferred_proofs:
             vk = self._find_final_vk(dp)
             self.rec.verify(vk, dp.proof)
-            # the proof's pv binds (prev, new) as a compress digest
-            if [int(x) for x in dp.proof.public_values] != compress_digest(
+            # the proof's pv binds (prev, new) as a compress digest in its
+            # first 8 slots (DeferredVerifierCircuit; rest are zero)
+            if [int(x) for x in dp.proof.public_values][:8] != compress_digest(
                 dp.prev_digest, dp.new_digest
             ):
                 raise VerificationError("deferred proof does not bind its chain values")
             if dp.prev_digest != chain:
                 raise VerificationError("deferred chain link mismatch")
             chain = dp.new_digest
-        final_pv = core_cp.shard_public_values[-1]
-        committed = [int(x) for x in final_pv[PV_DEFERRED_DIGEST : PV_DEFERRED_DIGEST + 8]]
+        from . import rec_pv
+
+        committed = rec_pv.get(core_cp.record, rec_pv.DEFERRED_DIGEST)
         if chain != committed:
             raise VerificationError(
                 "deferred chain tail does not match the guest's committed "
@@ -306,12 +310,15 @@ class RecursionProver:
     # -- verification --------------------------------------------------------
 
     def verify_compressed(self, core_vk, program, cp: CompressedProof) -> bool:
-        """Verify a compressed proof + the host-side cross-shard checks.
+        """Verify a compressed proof: one STARK verification + O(1) checks
+        on its aggregated rec_pv record.
 
-        The recursion proof authenticates (per shard) the public values and
-        septic global digests via the pv digest tree; the pc chaining and
-        global-sum-zero checks then run on those authenticated values
-        (MipsMachine.verify minus the per-shard STARK work).
+        The compress programs enforced the per-pair chain rules in-circuit
+        (pc/shard/execution-shard chaining, digest set-once, addr-bit
+        chaining, septic digest summation — machine/compress.rs analog), so
+        only the completeness conditions on the FINAL record remain
+        (machine/root.rs assert_complete analog, host-side on public
+        values).
         """
         # 1. the final recursion proof verifies under a known-cached vk
         final_vk = self._find_final_vk(cp)
@@ -320,51 +327,48 @@ class RecursionProver:
         }[cp.stage]
         stage_machine.verify(final_vk, cp.proof)
 
-        # 2. its pv digest equals the recomputed lift/compress digest tree
-        digests = [
-            lift_digest_values(core_vk, pv, gs)
-            for pv, gs in zip(cp.shard_public_values, cp.shard_global_sums)
-        ]
-        while len(digests) > 1:
-            nxt = [
-                compress_digest(digests[i], digests[i + 1])
-                for i in range(0, len(digests) - 1, 2)
-            ]
-            if len(digests) % 2:
-                nxt.append(digests[-1])
-            digests = nxt
-        if [int(x) for x in cp.proof.public_values] != digests[0]:
-            raise VerificationError("compressed pv digest tree mismatch")
-
-        # 3+4. shard chaining + septic global sum on authenticated values
-        self._check_shard_chain(cp, program)
+        # 2. completeness conditions on the authenticated record
+        self._check_complete_record(core_vk, program, cp.record, cp.num_shards)
         return True
 
     @staticmethod
-    def _check_shard_chain(cp: CompressedProof, program):
-        """Host-side cross-shard checks over authenticated public values:
-        shard indices, pc chaining, halt, and septic global-sum-zero
-        (prover/src/verify.rs:62-290 analog).  Also used by the Groth16
-        wrapped-proof verifier (snark/outer_circuit.verify_groth16)."""
-        prev_next_pc = None
-        for i, pv in enumerate(cp.shard_public_values):
-            if int(pv[PV_SHARD]) != i + 1:
-                raise VerificationError(f"shard index mismatch at shard {i}")
-            if i == 0 and int(pv[PV_START_PC]) != program.pc_start:
-                raise VerificationError("first shard does not start at pc_start")
-            if prev_next_pc is not None and int(pv[PV_START_PC]) != prev_next_pc:
-                raise VerificationError(f"pc chain broken at shard {i + 1}")
-            prev_next_pc = int(pv[PV_NEXT_PC])
-        if prev_next_pc != 0:
-            raise VerificationError("final shard does not halt")
+    def _check_complete_record(core_vk, program, rec: list, num_shards: int):
+        """O(1) completeness checks on an aggregated rec_pv record (the
+        host-side analog of the reference's assert_complete,
+        crates/recursion/circuit/src/machine/complete.rs).  Also used by
+        the Groth16/PLONK wrapped-proof verifiers."""
+        from ..machine.global_chip import START
+        from . import rec_pv
 
-        total = None
-        for gs in cp.shard_global_sums:
-            for off in range(0, len(gs), 14):
-                point = (list(gs[off : off + 7]), list(gs[off + 7 : off + 14]))
-                total = _septic_add(total, point)
-                total = _septic_add(total, _neg_start())
-        if total is not None:
+        def g(span):
+            return rec_pv.get(rec, span)
+
+        expected_vk = [int(x) for x in ff.from_monty(np.asarray(core_vk.prep_root))]
+        if g(rec_pv.CORE_VK_DIGEST) != expected_vk:
+            raise VerificationError("record does not bind the expected core vk")
+        if g(rec_pv.START_SHARD) != [1]:
+            raise VerificationError("record does not start at shard 1")
+        if g(rec_pv.NEXT_SHARD) != [num_shards + 1]:
+            raise VerificationError("record shard range does not match num_shards")
+        if g(rec_pv.START_PC) != [program.pc_start]:
+            raise VerificationError("record does not start at pc_start")
+        if g(rec_pv.NEXT_PC) != [0]:
+            raise VerificationError("record does not halt (next_pc != 0)")
+        if g(rec_pv.EXIT_CODE) != [0]:
+            raise VerificationError("nonzero exit code")
+        if g(rec_pv.CONTAINS_EXECUTION_SHARD) != [1]:
+            raise VerificationError("no execution shard in record")
+        if g(rec_pv.START_EXECUTION_SHARD) != [1]:
+            raise VerificationError("execution shards do not start at 1")
+        if g(rec_pv.PREV_INIT_ADDR) != [0, 0] or g(rec_pv.PREV_FINALIZE_ADDR) != [0, 0]:
+            raise VerificationError("memory address chains do not start at 0")
+        if g(rec_pv.START_RECONSTRUCT_DEFERRED) != [0] * 8:
+            raise VerificationError("deferred reconstruct chain does not start at 0")
+        # the septic digest sum must be the zero digest (START): digests are
+        # START + partial-sum, and the in-circuit fold computed
+        # acc + (next - START), so a complete execution folds back to START
+        zero_digest = [int(c) for c in START[0]] + [int(c) for c in START[1]]
+        if g(rec_pv.GLOBAL_SUM) != zero_digest:
             raise VerificationError("global memory digest does not sum to zero")
 
     def _find_final_vk(self, cp: CompressedProof):
@@ -461,30 +465,3 @@ class RecursionProver:
             table[tuple(roots)] = vk
         self._vk_map = table
         return table
-
-
-def _global_sums(proof) -> list:
-    out = []
-    for ov in proof.opened:
-        if ov.global_sum is not None:
-            out.extend(int(x) for x in ov.global_sum)
-    return out
-
-
-def _neg_start():
-    return (
-        [int(c) for c in START[0]],
-        [(ff.P - int(c)) % ff.P for c in START[1]],
-    )
-
-
-def _septic_add(p1, p2):
-    if p1 is None:
-        return p2
-    if p2 is None:
-        return p1
-    if p1[0] == p2[0]:
-        if p1[1] == p2[1]:
-            raise VerificationError("unexpected septic doubling in digest sum")
-        return None
-    return septic.curve_add_int(p1, p2)

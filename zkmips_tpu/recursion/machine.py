@@ -30,14 +30,15 @@ NUM_PV = 8
 
 
 class RecursionMachine:
-    def __init__(self, config: StarkConfig | None = None):
+    def __init__(self, config: StarkConfig | None = None, num_pv: int = NUM_PV):
+        self.num_pv = num_pv
         self.airs = [
             RecMemConstAir(), RecMemVarAir(), RecBaseAluAir(), RecExtAluAir(),
             RecPoseidon2Air(), RecSelectAir(), RecFriFoldAir(), RecBatchFRIAir(),
-            RecExpReverseBitsAir(), RecPublicValuesAir(),
+            RecExpReverseBitsAir(), RecPublicValuesAir(num_pv),
         ]
-        chips = [Chip(a, num_public_values=NUM_PV) for a in self.airs]
-        self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=NUM_PV)
+        chips = [Chip(a, num_public_values=num_pv) for a in self.airs]
+        self.machine = StarkMachine(config or StarkConfig.core(), chips, num_public_values=num_pv)
 
     def setup(self, program):
         return self.machine.setup(program)
@@ -58,7 +59,9 @@ class RecursionMachine:
         return RecursionRuntime(program, witness).run()
 
     def prove(self, pk, record, xp=np):
-        pv = np.array(record.public_values, dtype=np.uint32)
+        pvs = list(record.public_values)
+        pvs += [0] * (self.num_pv - len(pvs))
+        pv = np.array(pvs[: self.num_pv], dtype=np.uint32)
         return self.machine.prove_shard(pk, record, pv, xp=xp)
 
     def verify(self, vk, proof) -> bool:

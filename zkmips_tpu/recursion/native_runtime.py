@@ -101,7 +101,7 @@ def encode(program: pr.RecursionProgram):
             for m in range(n):
                 words += [ins.p_at_x[m], ins.p_at_z[m], ins.alpha_pow[m]]
         elif isinstance(ins, pr.CommitPublicValues):
-            words += [11, *ins.addrs]
+            words += [11, len(ins.addrs), *ins.addrs]
         elif isinstance(ins, pr.Print):
             pass  # host-side debug only
         else:

@@ -11,12 +11,12 @@ field values flow through the witness stream, so one compiled program (and
 one recursion-machine pk/vk) serves every proof of the same shape — the
 reference's per-shape program cache (crates/prover/src/lib.rs:366-438).
 
-Public values of the produced program (8 felts):
-    digest = Poseidon2_compress(vk.prep_root, Poseidon2_sponge(shard pv))
-computed in-circuit from the constant vk root and the hinted (and
-transcript-observed) shard public values, so a recursion proof binds both
-the verified shard's vk and its public values.  ``expected_public_values``
-recomputes the digest host-side.
+Public values of the produced programs: the rec_pv aggregation record
+(rec_pv.NUM_REC_PV felts) — the lift program derives it in-circuit from the
+verified shard's public values and septic global digest; compress programs
+enforce the shard chain rules in-circuit and fold two records (reference
+crates/recursion/circuit/src/machine/{core,compress}.rs).
+``expected_public_values`` recomputes each record host-side.
 """
 
 from __future__ import annotations
@@ -673,15 +673,101 @@ class _VerifierCircuitBase:
 
 
 
-class ShardVerifierCircuit(_VerifierCircuitBase):
-    """The "lift" program (machine/core.rs ZKMRecursiveVerifier analog):
-    verifies one core-machine ShardProof and commits
+# ---------------------------------------------------------------------------
+# Septic field / curve gadget (for the in-circuit global-sum aggregation;
+# the reference's sum_digest_v2 analog)
+# ---------------------------------------------------------------------------
+
+
+def _sept_binop(b, op, x, y):
+    return [op(xi, yi) for xi, yi in zip(x, y)]
+
+
+def _sept_mul(b, x, y):
+    """Septic product of two 7-felt vectors: z^7 = 8 - 2z reduction."""
+    c = [None] * 13
+    for i in range(7):
+        for j in range(7):
+            t = b.mul(x[i], y[j])
+            c[i + j] = t if c[i + j] is None else b.add(c[i + j], t)
+    eight = b.const_felt(8)
+    two = b.const_felt(2)
+    for k in range(12, 6, -1):
+        c[k - 7] = b.add(c[k - 7], b.mul(eight, c[k]))
+        c[k - 6] = b.sub(c[k - 6], b.mul(two, c[k]))
+    return c[:7]
+
+
+def _sept_curve_add(circ, p1, p2, inv_extract):
+    """In-circuit septic curve addition (x1, y1) + (x2, y2) with the slope
+    denominator's inverse hinted from the witness (constrained by
+    dx * inv == 1, which also enforces x1 != x2).
+
+    ``inv_extract(witness_obj) -> 7 canonical ints`` supplies
+    (x2 - x1)^{-1}; the curve is y^2 = x^3 + 3z x - 3 so the affine
+    addition law is the generic chord formula."""
+    b = circ.b
+    x1, y1 = p1
+    x2, y2 = p2
+    sub, add = b.sub, b.add
+    dx = _sept_binop(b, sub, x2, x1)
+    inv = [circ._hf(lambda w, e=inv_extract, i=i: e(w)[i]) for i in range(7)]
+    prod = _sept_mul(b, dx, inv)
+    b.assert_eq(prod[0], b.const_felt(1))
+    for i in range(1, 7):
+        b.assert_zero(prod[i])
+    m = _sept_mul(b, _sept_binop(b, sub, y2, y1), inv)
+    m2 = _sept_mul(b, m, m)
+    x3 = _sept_binop(b, sub, _sept_binop(b, sub, m2, x1), x2)
+    y3 = _sept_binop(b, sub, _sept_mul(b, m, _sept_binop(b, sub, x1, x3)), y1)
+    return x3, y3
+
+
+def _sum_digest_gadget(circ, dl, dr, base_extract):
+    """dl + (dr - START) over 14-felt digest handles (rec_pv.sum_digests).
+
+    ``base_extract(witness_obj) -> (left_digest, right_digest)`` canonical
+    28 ints, used to compute the two hinted slope inverses host-side."""
+    from ..machine.global_chip import START as _START
+    from ..ops import septic as _septic
+
+    b = circ.b
+    start_x = [int(c) for c in _START[0]]
+    start_y = [int(c) for c in _START[1]]
+    neg_start = (
+        [b.const_felt(v) for v in start_x],
+        [b.const_felt((ff.P - v) % ff.P) for v in start_y],
+    )
+
+    def _host_step1(w):
+        _dl_v, dr_v = base_extract(w)
+        dx = [(start_x[i] - dr_v[i]) % ff.P for i in range(7)]
+        return _septic._inv_int7(dx)
+
+    p_r = (dr[:7], dr[7:])
+    d = _sept_curve_add(circ, p_r, neg_start, _host_step1)
+
+    def _host_step2(w):
+        dl_v, dr_v = base_extract(w)
+        pr_ = (list(dr_v[:7]), list(dr_v[7:]))
+        ns = (start_x, [(ff.P - v) % ff.P for v in start_y])
+        dpt = _septic.curve_add_int(pr_, ns)
+        dx = [(dpt[0][i] - dl_v[i]) % ff.P for i in range(7)]
+        return _septic._inv_int7(dx)
+
+    p_l = (dl[:7], dl[7:])
+    out = _sept_curve_add(circ, p_l, d, _host_step2)
+    return list(out[0]) + list(out[1])
+
+
+class DigestShardVerifierCircuit(_VerifierCircuitBase):
+    """Generic single-proof verifier committing
 
         digest = compress(vk.prep_root, sponge(pv ++ global_sums))
 
-    binding the verified shard's vk, public values, AND its septic global
-    memory digests (so a compressed proof authenticates the inputs of the
-    host-side cross-shard chaining and global-sum checks)."""
+    (the pre-record lift binding, still used to recursively verify
+    arbitrary-machine proofs in tests and tools; the production ladder uses
+    ShardVerifierCircuit's structured rec_pv record instead)."""
 
     def __init__(self, machine, vk, template_proof):
         super().__init__(machine)
@@ -689,11 +775,76 @@ class ShardVerifierCircuit(_VerifierCircuitBase):
         vk_root, pv, gs = self._verify_shard(vk, template_proof, lambda p: p)
         payload = circuit_hash_flat(self.b, pv + gs)
         digest = circuit_compress(self.b, vk_root, payload)
-        self.b.commit_public_values(digest)
+        zero = self.b.const_felt(0)
+        n = machine.num_public_values
+        self.b.commit_public_values((digest + [zero] * n)[:n])
         self.program = self.b.compile()
 
     def expected_public_values(self, proof) -> list:
-        return lift_digest(self.vk, proof)
+        n = self.machine.num_public_values
+        return (lift_digest(self.vk, proof) + [0] * n)[:n]
+
+
+class ShardVerifierCircuit(_VerifierCircuitBase):
+    """The "lift" program (machine/core.rs ZKMRecursiveVerifier analog):
+    verifies one core-machine ShardProof and commits the full
+    rec_pv.NUM_REC_PV aggregation record derived in-circuit from the
+    shard's public values and septic global digest (so compress programs
+    can enforce the shard chain rules in-circuit and the final proof is
+    O(1)).  ``exit_code == 0`` is asserted here (verify.rs:171-180)."""
+
+    def __init__(self, machine, vk, template_proof):
+        from ..machine import pv as core_pv
+        from . import rec_pv
+
+        super().__init__(machine)
+        self.vk = vk
+        self.has_cpu = "Cpu" in template_proof.chip_names
+        b = self.b
+        vk_root, pv, gs = self._verify_shard(vk, template_proof, lambda p: p)
+        assert len(gs) == 14, "lift expects exactly one global-scope chip digest"
+        b.assert_zero(pv[core_pv.PV_EXIT_CODE])
+        zero = b.const_felt(0)
+        rec: list = [zero] * rec_pv.NUM_REC_PV
+
+        def put(span, vals):
+            lo, hi = span
+            assert hi - lo == len(vals)
+            rec[lo:hi] = vals
+
+        put(rec_pv.COMMITTED_DIGEST, pv[core_pv.PV_DIGEST : core_pv.PV_DIGEST + 16])
+        put(rec_pv.DEFERRED_DIGEST,
+            pv[core_pv.PV_DEFERRED_DIGEST : core_pv.PV_DEFERRED_DIGEST + 8])
+        put(rec_pv.START_PC, [pv[core_pv.PV_START_PC]])
+        put(rec_pv.NEXT_PC, [pv[core_pv.PV_NEXT_PC]])
+        put(rec_pv.EXIT_CODE, [pv[core_pv.PV_EXIT_CODE]])
+        put(rec_pv.START_SHARD, [pv[core_pv.PV_SHARD]])
+        put(rec_pv.NEXT_SHARD, [b.add(pv[core_pv.PV_SHARD], b.const_felt(1))])
+        put(rec_pv.START_EXECUTION_SHARD, [pv[core_pv.PV_EXECUTION_SHARD]])
+        nxt_ex = (b.add(pv[core_pv.PV_EXECUTION_SHARD], b.const_felt(1))
+                  if self.has_cpu else pv[core_pv.PV_EXECUTION_SHARD])
+        put(rec_pv.NEXT_EXECUTION_SHARD, [nxt_ex])
+        put(rec_pv.CONTAINS_EXECUTION_SHARD, [b.const_felt(1 if self.has_cpu else 0)])
+        for span, base in (
+            (rec_pv.PREV_INIT_ADDR, core_pv.PV_PREV_INIT_ADDR),
+            (rec_pv.LAST_INIT_ADDR, core_pv.PV_LAST_INIT_ADDR),
+            (rec_pv.PREV_FINALIZE_ADDR, core_pv.PV_PREV_FINALIZE_ADDR),
+            (rec_pv.LAST_FINALIZE_ADDR, core_pv.PV_LAST_FINALIZE_ADDR),
+        ):
+            put(span, pv[base : base + 2])
+        put(rec_pv.CORE_VK_DIGEST, vk_root)
+        put(rec_pv.GLOBAL_SUM, gs)
+        b.commit_public_values(rec)
+        self.program = self.b.compile()
+
+    def expected_public_values(self, proof) -> list:
+        from . import rec_pv
+
+        gs = []
+        for ov in proof.opened:
+            if ov.global_sum is not None:
+                gs.extend(int(x) for x in ov.global_sum)
+        return rec_pv.lift_record(self.vk, proof.public_values, gs, self.has_cpu)
 
 
 def lift_digest_values(vk, pv, gs) -> list:
@@ -739,26 +890,122 @@ class ShrinkVerifierCircuit(_VerifierCircuitBase):
 
 class CompressVerifierCircuit(_VerifierCircuitBase):
     """The "compress" program (machine/compress.rs ZKMCompressVerifier
-    analog): verifies TWO recursion-machine proofs (left/right children,
-    possibly under different vks) and commits
-
-        digest = compress(left.public_values, right.public_values)
-
-    so a binary reduction tree of these programs yields one proof whose pv
-    digest folds every leaf lift digest.  Child vks are baked as constants:
-    the parent program's identity pins the whole sub-tree of programs."""
+    analog): verifies TWO recursion-machine proofs whose public values are
+    rec_pv records, enforces the shard chain rules IN-CIRCUIT
+    (compress.rs:94-480 — pc/shard/execution-shard chaining, digest
+    set-once rules, addr-bit chaining, vk-digest consistency), sums the
+    septic global digests on the curve, and commits the folded record.
+    Child vks are baked as constants: the parent program's identity pins
+    the whole sub-tree of programs."""
 
     def __init__(self, machine, left_vk, right_vk, template_left, template_right):
+        from . import rec_pv
+
         super().__init__(machine)
         b = self.b
         _, pv_l, _ = self._verify_shard(left_vk, template_left, lambda p: p[0])
         _, pv_r, _ = self._verify_shard(right_vk, template_right, lambda p: p[1])
-        digest = circuit_compress(b, pv_l, pv_r)
-        b.commit_public_values(digest)
+        self._cursel = lambda p: p
+
+        def span_l(span):
+            return pv_l[span[0] : span[1]]
+
+        def span_r(span):
+            return pv_r[span[0] : span[1]]
+
+        def assert_span_chain(sl, sr):
+            for a, c in zip(span_l(sl), span_r(sr)):
+                b.assert_eq(a, c)
+
+        # chaining rules
+        assert_span_chain(rec_pv.NEXT_PC, rec_pv.START_PC)
+        assert_span_chain(rec_pv.NEXT_SHARD, rec_pv.START_SHARD)
+        assert_span_chain(rec_pv.CORE_VK_DIGEST, rec_pv.CORE_VK_DIGEST)
+        assert_span_chain(rec_pv.LAST_INIT_ADDR, rec_pv.PREV_INIT_ADDR)
+        assert_span_chain(rec_pv.LAST_FINALIZE_ADDR, rec_pv.PREV_FINALIZE_ADDR)
+        assert_span_chain(rec_pv.END_RECONSTRUCT_DEFERRED,
+                          rec_pv.START_RECONSTRUCT_DEFERRED)
+        # digest set-once: every nonzero left element pins elementwise
+        # equality (compress.rs:330-397)
+        for dig in (rec_pv.COMMITTED_DIGEST, rec_pv.DEFERRED_DIGEST):
+            lc, rc = span_l(dig), span_r(dig)
+            for flag in lc:
+                for lj, rj in zip(lc, rc):
+                    b.assert_zero(b.mul(flag, b.sub(lj, rj)))
+        # execution-shard algebra (linearized; both flags must be boolean)
+        one = b.const_felt(1)
+        l_has = span_l(rec_pv.CONTAINS_EXECUTION_SHARD)[0]
+        r_has = span_r(rec_pv.CONTAINS_EXECUTION_SHARD)[0]
+        for h in (l_has, r_has):
+            b.assert_zero(b.mul(h, b.sub(one, h)))
+        l_start_ex = span_l(rec_pv.START_EXECUTION_SHARD)[0]
+        l_next_ex = span_l(rec_pv.NEXT_EXECUTION_SHARD)[0]
+        r_start_ex = span_r(rec_pv.START_EXECUTION_SHARD)[0]
+        r_next_ex = span_r(rec_pv.NEXT_EXECUTION_SHARD)[0]
+        b.assert_zero(b.mul(b.mul(l_has, r_has), b.sub(l_next_ex, r_start_ex)))
+        first_seen = b.mul(r_has, b.sub(one, l_has))
+        start_ex = b.add(l_start_ex, b.mul(first_seen, b.sub(r_start_ex, l_start_ex)))
+        next_ex = b.add(l_next_ex, b.mul(r_has, b.sub(r_next_ex, l_next_ex)))
+        contains = b.add(l_has, b.mul(r_has, b.sub(one, l_has)))
+        # septic global digest sum
+        def _digs(pair):
+            from . import rec_pv as rp
+
+            return (
+                rp.get([int(x) for x in pair[0].public_values], rp.GLOBAL_SUM),
+                rp.get([int(x) for x in pair[1].public_values], rp.GLOBAL_SUM),
+            )
+
+        gsum = _sum_digest_gadget(
+            self, span_l(rec_pv.GLOBAL_SUM), span_r(rec_pv.GLOBAL_SUM), _digs
+        )
+
+        zero = b.const_felt(0)
+        rec: list = [zero] * rec_pv.NUM_REC_PV
+
+        def put(span, vals):
+            lo, hi = span
+            assert hi - lo == len(vals)
+            rec[lo:hi] = vals
+
+        put(rec_pv.COMMITTED_DIGEST, span_r(rec_pv.COMMITTED_DIGEST))
+        put(rec_pv.DEFERRED_DIGEST, span_r(rec_pv.DEFERRED_DIGEST))
+        put(rec_pv.START_PC, span_l(rec_pv.START_PC))
+        put(rec_pv.NEXT_PC, span_r(rec_pv.NEXT_PC))
+        put(rec_pv.EXIT_CODE, span_r(rec_pv.EXIT_CODE))
+        put(rec_pv.START_SHARD, span_l(rec_pv.START_SHARD))
+        put(rec_pv.NEXT_SHARD, span_r(rec_pv.NEXT_SHARD))
+        put(rec_pv.START_EXECUTION_SHARD, [start_ex])
+        put(rec_pv.NEXT_EXECUTION_SHARD, [next_ex])
+        put(rec_pv.CONTAINS_EXECUTION_SHARD, [contains])
+        put(rec_pv.PREV_INIT_ADDR, span_l(rec_pv.PREV_INIT_ADDR))
+        put(rec_pv.LAST_INIT_ADDR, span_r(rec_pv.LAST_INIT_ADDR))
+        put(rec_pv.PREV_FINALIZE_ADDR, span_l(rec_pv.PREV_FINALIZE_ADDR))
+        put(rec_pv.LAST_FINALIZE_ADDR, span_r(rec_pv.LAST_FINALIZE_ADDR))
+        put(rec_pv.START_RECONSTRUCT_DEFERRED, span_l(rec_pv.START_RECONSTRUCT_DEFERRED))
+        put(rec_pv.END_RECONSTRUCT_DEFERRED, span_r(rec_pv.END_RECONSTRUCT_DEFERRED))
+        put(rec_pv.CORE_VK_DIGEST, span_l(rec_pv.CORE_VK_DIGEST))
+        put(rec_pv.GLOBAL_SUM, gsum)
+        b.commit_public_values(rec)
         self.program = self.b.compile()
 
     def expected_public_values(self, pair) -> list:
-        return compress_digest(pair[0].public_values, pair[1].public_values)
+        from . import rec_pv
+
+        return rec_pv.fold_records(
+            [int(x) for x in pair[0].public_values],
+            [int(x) for x in pair[1].public_values],
+        )
+
+
+def record_digest(pv) -> list:
+    """8-felt Poseidon2 sponge digest of a rec_pv record (canonical ints) —
+    the guest-facing commitment a VERIFY_ZKM_PROOF syscall passes as its
+    pv_digest argument (the reference guest's `verify_zkm_proof` hashes the
+    inner proof's public values the same way)."""
+    vals = np.asarray([int(x) % ff.P for x in pv], dtype=np.uint32)
+    out = p2.hash_flat(ff.to_monty(vals))
+    return [int(x) for x in ff.from_monty(np.asarray(out))]
 
 
 def rolling_deferred_digest(prev: list, child_vk_root: list, child_pv: list) -> list:
@@ -798,7 +1045,13 @@ class DeferredVerifierCircuit(_VerifierCircuitBase):
         self._cursel = lambda w: w
         prev = self._hfs(8, lambda w: [int(x) for x in w[1]])
         new = circuit_hash_flat(b, prev + vk_root + pv)
-        b.commit_public_values(circuit_compress(b, prev, new))
+        digest = circuit_compress(b, prev, new)
+        # the recursion machine's pv record is rec_pv.NUM_REC_PV wide; the
+        # deferred chain only uses the first 8 slots (the rest are zero)
+        from . import rec_pv
+
+        zero = b.const_felt(0)
+        b.commit_public_values(digest + [zero] * (rec_pv.NUM_REC_PV - len(digest)))
         self.program = self.b.compile()
         self.child_vk = child_vk
 
@@ -810,5 +1063,8 @@ class DeferredVerifierCircuit(_VerifierCircuitBase):
         return [int(x) for x in prev], new
 
     def expected_public_values(self, witness_obj) -> list:
+        from . import rec_pv
+
         prev, new = self.chain_link(witness_obj)
-        return compress_digest(prev, new)
+        digest = compress_digest(prev, new)
+        return digest + [0] * (rec_pv.NUM_REC_PV - len(digest))

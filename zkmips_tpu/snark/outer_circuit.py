@@ -150,15 +150,15 @@ class OuterVerifierCircuit(_VerifierCircuitBase):
 
 @dataclass
 class Groth16WrappedProof:
-    """Final on-chain-style proof: Groth16 over the outer circuit + the
-    per-shard payload needed for the host-side chaining checks (the analog of
-    ZKMProofWithPublicValues in groth16 mode, sdk/src/proof.rs:17-37)."""
+    """Final on-chain-style proof: Groth16 over the outer circuit.  O(1):
+    the Groth16 public inputs ARE the packed rec_pv aggregation record, so
+    verification needs only the pairing check plus the record completeness
+    conditions (the analog of ZKMProofWithPublicValues in groth16 mode,
+    sdk/src/proof.rs:17-37)."""
 
     proof: groth16.ProofG16
     groth16_vk: groth16.VerifyingKeyG16
-    wrap_public_values: list  # the wrap proof's 8 canonical felts
-    shard_public_values: list
-    shard_global_sums: list
+    wrap_public_values: list  # the wrap proof's rec_pv record (canonical)
     num_shards: int
 
 
@@ -191,50 +191,23 @@ def wrap_groth16(rp, wrapped, _setup_cache={}) -> Groth16WrappedProof:
         proof=proof,
         groth16_vk=g16_vk,
         wrap_public_values=[int(x) for x in wrapped.proof.public_values],
-        shard_public_values=wrapped.shard_public_values,
-        shard_global_sums=wrapped.shard_global_sums,
         num_shards=wrapped.num_shards,
     )
 
 
 def verify_groth16(core_vk, program, wg: Groth16WrappedProof) -> bool:
-    """Verify the Groth16 proof + recompute the pv digest tree and the
-    host-side shard-chaining / septic-sum checks (prover/src/verify.rs:295+
-    verify_groth16_bn254 analog)."""
-    from ..recursion.compress import CompressedProof, RecursionProver
-    from ..recursion.verifier import compress_digest, lift_digest_values
+    """Verify the Groth16 proof: one pairing check on the packed rec_pv
+    record public inputs + the O(1) record completeness conditions
+    (prover/src/verify.rs:295+ verify_groth16_bn254 analog)."""
+    from ..recursion.compress import RecursionProver
     from ..stark.machine import VerificationError
 
-    # 1. Groth16 pairing check on the packed wrap public values
     publics = pack_public_values(wg.wrap_public_values)
     if not groth16.verify(wg.groth16_vk, wg.proof, publics):
         raise VerificationError("groth16 pairing check failed")
-
-    # 2. wrap pv == recomputed lift/compress digest tree
-    digests = [
-        lift_digest_values(core_vk, pv, gs)
-        for pv, gs in zip(wg.shard_public_values, wg.shard_global_sums)
-    ]
-    while len(digests) > 1:
-        nxt = [
-            compress_digest(digests[i], digests[i + 1])
-            for i in range(0, len(digests) - 1, 2)
-        ]
-        if len(digests) % 2:
-            nxt.append(digests[-1])
-        digests = nxt
-    if wg.wrap_public_values != digests[0]:
-        raise VerificationError("groth16 pv digest tree mismatch")
-
-    # 3. shard chaining + septic global sum (shared with verify_compressed)
-    cp = CompressedProof(
-        proof=None,
-        final_vk_root=(),
-        shard_public_values=wg.shard_public_values,
-        shard_global_sums=wg.shard_global_sums,
-        num_shards=wg.num_shards,
+    RecursionProver._check_complete_record(
+        core_vk, program, [int(x) for x in wg.wrap_public_values], wg.num_shards
     )
-    RecursionProver._check_shard_chain(cp, program)
     return True
 
 
@@ -250,9 +223,7 @@ class PlonkWrappedProof:
 
     proof: object  # plonk.PlonkProof
     plonk_vk: object  # plonk.PlonkVerifyingKey
-    wrap_public_values: list
-    shard_public_values: list
-    shard_global_sums: list
+    wrap_public_values: list  # the wrap proof's rec_pv record (canonical)
     num_shards: int
 
 
@@ -286,8 +257,6 @@ def wrap_plonk(rp, wrapped, _setup_cache={}) -> PlonkWrappedProof:
         proof=proof,
         plonk_vk=p_vk,
         wrap_public_values=[int(x) for x in wrapped.proof.public_values],
-        shard_public_values=wrapped.shard_public_values,
-        shard_global_sums=wrapped.shard_global_sums,
         num_shards=wrapped.num_shards,
     )
 
@@ -295,35 +264,13 @@ def wrap_plonk(rp, wrapped, _setup_cache={}) -> PlonkWrappedProof:
 def verify_plonk(core_vk, program, wp: PlonkWrappedProof) -> bool:
     """PLONK analog of verify_groth16 (prover/src/verify.rs verify_plonk_bn254)."""
     from . import plonk
-    from ..recursion.compress import CompressedProof, RecursionProver
-    from ..recursion.verifier import compress_digest, lift_digest_values
+    from ..recursion.compress import RecursionProver
     from ..stark.machine import VerificationError
 
     publics = pack_public_values(wp.wrap_public_values)
     if not plonk.verify(wp.plonk_vk, wp.proof, publics):
         raise VerificationError("plonk pairing check failed")
-
-    digests = [
-        lift_digest_values(core_vk, pv, gs)
-        for pv, gs in zip(wp.shard_public_values, wp.shard_global_sums)
-    ]
-    while len(digests) > 1:
-        nxt = [
-            compress_digest(digests[i], digests[i + 1])
-            for i in range(0, len(digests) - 1, 2)
-        ]
-        if len(digests) % 2:
-            nxt.append(digests[-1])
-        digests = nxt
-    if wp.wrap_public_values != digests[0]:
-        raise VerificationError("plonk pv digest tree mismatch")
-
-    cp = CompressedProof(
-        proof=None,
-        final_vk_root=(),
-        shard_public_values=wp.shard_public_values,
-        shard_global_sums=wp.shard_global_sums,
-        num_shards=wp.num_shards,
+    RecursionProver._check_complete_record(
+        core_vk, program, [int(x) for x in wp.wrap_public_values], wp.num_shards
     )
-    RecursionProver._check_shard_chain(cp, program)
     return True
