@@ -107,3 +107,40 @@ def test_truncated_bytes_raise_codec_error(proven):
         with pytest.raises((codec.CodecError, VerificationError)):
             codec.verify_core(b[:cut], codec.encode_vk(pk.vk, p.pc_start),
                               allowed_configs=("core", "test"))
+
+
+def test_compressed_and_deferred_codec_roundtrip(proven):
+    """Recursion-ladder proofs serialize to stable bytes (no pickle)."""
+    from zkmips_tpu.recursion.compress import RecursionProver
+
+    p, ex, m, pk, proofs = proven
+    rp = RecursionProver(m)
+    cp = rp.compress(pk.vk, proofs)
+    b = codec.encode_compressed_proof(cp, config="test")
+    cp2, cfg = codec.decode_compressed_proof(b)
+    assert cfg == "test"
+    assert codec.encode_compressed_proof(cp2, config=cfg) == b
+    assert cp2.final_vk_root == cp.final_vk_root
+    assert cp2.num_shards == cp.num_shards
+    assert cp2.record == cp.record
+    # the decoded proof still verifies
+    assert rp.verify_compressed(pk.vk, p, cp2)
+    with pytest.raises(codec.CodecError):
+        codec.decode_compressed_proof(b[: len(b) // 2])
+
+
+def test_sdk_container_roundtrip(proven):
+    from zkmips_tpu.sdk.client import ProofWithPublicValues
+
+    p, ex, m, pk, proofs = proven
+    pwp = ProofWithPublicValues(
+        proofs, bytes(ex.public_values_stream), ex.committed_value_digest,
+        mode="core", config="test",
+    )
+    b = pwp.to_bytes()
+    back = ProofWithPublicValues.from_bytes(b)
+    assert back.mode == "core" and back.config == "test"
+    assert back.public_values == bytes(ex.public_values_stream)
+    assert back.to_bytes() == b
+    assert m.verify(pk.vk, back.proofs, p)
+    assert not b.startswith(b"\x80")  # definitely not a pickle stream

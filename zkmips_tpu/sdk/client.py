@@ -9,8 +9,6 @@ reference map to future remote TPU-pool backends.
 
 from __future__ import annotations
 
-import io
-import pickle
 import struct
 from dataclasses import dataclass, field
 
@@ -73,20 +71,93 @@ class ProofWithPublicValues:
     public_values: bytes
     committed_value_digest: list
     mode: str = "core"
+    config: str = "core"  # FRI parameter set name (stark_codec.CONFIG_IDS)
+
+    _MODE_IDS = {"mock": 0, "core": 1, "compressed": 2, "groth16": 3, "plonk": 4}
+
+    def to_bytes(self) -> bytes:
+        """Stable byte serialization — NO pickle anywhere (the reference
+        bincodes ZKMProofWithPublicValues; loading attacker-supplied pickle
+        would be arbitrary code execution)."""
+        from ..verifier import stark_codec as codec
+
+        if self.mode == "core":
+            payload = codec.encode_core_proof(self.proofs, config=self.config)
+        elif self.mode == "compressed":
+            payload = codec.encode_compressed_proof(self.proofs[0], config=self.config)
+        elif self.mode == "groth16":
+            from ..verifier import encode_groth16_wrapped
+
+            payload = encode_groth16_wrapped(self.proofs[0])
+        elif self.mode == "plonk":
+            from ..verifier import encode_plonk_wrapped
+
+            payload = encode_plonk_wrapped(self.proofs[0])
+        elif self.mode == "mock":
+            payload = b""
+        else:
+            raise ValueError(f"unknown proof mode {self.mode!r}")
+        head = b"ZKPW" + (2).to_bytes(4, "little")
+        head += self._MODE_IDS[self.mode].to_bytes(4, "little")
+        head += len(self.public_values).to_bytes(4, "little") + bytes(self.public_values)
+        digest = list(self.committed_value_digest)[:8] + [0] * (8 - len(self.committed_value_digest))
+        head += b"".join(int(v).to_bytes(4, "little") for v in digest)
+        return head + len(payload).to_bytes(4, "little") + payload
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "ProofWithPublicValues":
+        from ..verifier import stark_codec as codec
+
+        if b[:4] != b"ZKPW" or int.from_bytes(b[4:8], "little") != 2:
+            raise codec.CodecError("bad proof container header")
+        mode_id = int.from_bytes(b[8:12], "little")
+        modes = {v: k for k, v in cls._MODE_IDS.items()}
+        if mode_id not in modes:
+            raise codec.CodecError("unknown proof mode")
+        mode = modes[mode_id]
+        off = 12
+        npv = int.from_bytes(b[off : off + 4], "little")
+        off += 4
+        if off + npv > len(b):
+            raise codec.CodecError("truncated container")
+        pv_stream = b[off : off + npv]
+        off += npv
+        digest = [int.from_bytes(b[off + 4 * i : off + 4 * i + 4], "little") for i in range(8)]
+        off += 32
+        nplen = int.from_bytes(b[off : off + 4], "little")
+        off += 4
+        payload = b[off : off + nplen]
+        if off + nplen != len(b):
+            raise codec.CodecError("trailing bytes in container")
+        config = "core"
+        if mode == "core":
+            proofs, config = codec.decode_core_proof(payload)
+        elif mode == "compressed":
+            cp, config = codec.decode_compressed_proof(payload)
+            proofs = [cp]
+        elif mode == "groth16":
+            from ..verifier import decode_groth16_wrapped
+
+            proofs = [decode_groth16_wrapped(payload)]
+        elif mode == "plonk":
+            from ..verifier import decode_plonk_wrapped
+
+            proofs = [decode_plonk_wrapped(payload)]
+        else:
+            proofs = []
+        return cls(proofs, pv_stream, digest, mode=mode, config=config)
 
     def save(self, path: str):
         with open(path, "wb") as fh:
-            pickle.dump(self, fh)
+            fh.write(self.to_bytes())
 
     @staticmethod
     def load(path: str) -> "ProofWithPublicValues":
         with open(path, "rb") as fh:
-            return pickle.load(fh)
+            return ProofWithPublicValues.from_bytes(fh.read())
 
     def size_bytes(self) -> int:
-        buf = io.BytesIO()
-        pickle.dump(self, buf)
-        return buf.tell()
+        return len(self.to_bytes())
 
 
 class ProverClient:
@@ -169,6 +240,7 @@ class ProverClient:
             proof_stream=stdin.proofs if stdin is not None else (),
             shard_size=shard_size,
         )
+        cfg_name = self._config_name()
         if self.backend == "mock":
             return ProofWithPublicValues([], info["public_values"], info["digest"], mode="mock")
         proofs = self.machine.prove(pk, records, device=self.device)
@@ -181,7 +253,7 @@ class ProverClient:
                 wg = wrap_groth16(rp, rp.wrap(rp.shrink(cp)))
                 return ProofWithPublicValues(
                     [wg], info["public_values"], info["digest"],
-                    mode="groth16",
+                    mode="groth16", config=cfg_name,
                 )
             if mode == "plonk":
                 from ..snark.outer_circuit import wrap_plonk
@@ -189,13 +261,14 @@ class ProverClient:
                 wp = wrap_plonk(rp, rp.wrap(rp.shrink(cp)))
                 return ProofWithPublicValues(
                     [wp], info["public_values"], info["digest"],
-                    mode="plonk",
+                    mode="plonk", config=cfg_name,
                 )
             return ProofWithPublicValues(
                 [cp], info["public_values"], info["digest"],
-                mode="compressed",
+                mode="compressed", config=cfg_name,
             )
-        return ProofWithPublicValues(proofs, info["public_values"], info["digest"])
+        return ProofWithPublicValues(proofs, info["public_values"], info["digest"],
+                                     config=cfg_name)
 
     def verify(self, vk, proof: ProofWithPublicValues, program: Program) -> bool:
         if proof.mode == "mock":
@@ -213,6 +286,10 @@ class ProverClient:
 
             return verify_plonk(vk, program, proof.proofs[0])
         return self.machine.verify(vk, proof.proofs, program)
+
+    def _config_name(self) -> str:
+        """FRI parameter-set name for codecs (stark_codec.CONFIG_IDS)."""
+        return "core" if self.machine.machine.config.fri.num_queries >= 84 else "test"
 
     def _recursion_prover(self):
         if not hasattr(self, "_rp"):

@@ -261,3 +261,99 @@ def bn254_public_values(vkey_hash: bytes, public_inputs: bytes) -> list[int]:
         int.from_bytes(vkey_hash[1:], "big"),
         int.from_bytes(hash_public_inputs(public_inputs), "big"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Wrapped-proof (Groth16/PLONK) byte containers — final-proof persistence
+# without pickle (the reference bincodes ZKMProofWithPublicValues)
+# ---------------------------------------------------------------------------
+
+
+def _u32le(v: int) -> bytes:
+    return int(v).to_bytes(4, "little")
+
+
+def encode_groth16_wrapped(wg) -> bytes:
+    """Groth16WrappedProof -> stable bytes (proof | vk | record | shards)."""
+    pb = encode_groth16_proof(wg.proof)
+    vb = encode_groth16_vk(wg.groth16_vk)
+    out = b"ZKG1" + _u32le(2)
+    out += _u32le(len(pb)) + pb
+    out += _u32le(len(vb)) + vb
+    out += _u32le(len(wg.wrap_public_values))
+    out += b"".join(_u32le(v) for v in wg.wrap_public_values)
+    out += _u32le(wg.num_shards)
+    return out
+
+
+def decode_groth16_wrapped(b: bytes):
+    from ..snark.outer_circuit import Groth16WrappedProof
+
+    if b[:4] != b"ZKG1" or int.from_bytes(b[4:8], "little") != 2:
+        raise VerificationFailure("bad groth16 container header")
+    off = 8
+
+    def take(n):
+        nonlocal off
+        if off + n > len(b):
+            raise VerificationFailure("truncated groth16 container")
+        v = b[off : off + n]
+        off += n
+        return v
+
+    np_ = int.from_bytes(take(4), "little")
+    proof = decode_groth16_proof(take(np_))
+    nv = int.from_bytes(take(4), "little")
+    vk = decode_groth16_vk(take(nv))
+    npv = int.from_bytes(take(4), "little")
+    if npv > 4096:
+        raise VerificationFailure("bad pv count")
+    pv = [int.from_bytes(take(4), "little") for _ in range(npv)]
+    num_shards = int.from_bytes(take(4), "little")
+    if off != len(b):
+        raise VerificationFailure("trailing bytes in groth16 container")
+    return Groth16WrappedProof(proof=proof, groth16_vk=vk,
+                               wrap_public_values=pv, num_shards=num_shards)
+
+
+def encode_plonk_wrapped(wp) -> bytes:
+    """PlonkWrappedProof -> stable bytes."""
+    pb = encode_plonk_proof(wp.proof)
+    vb = encode_plonk_vk(wp.plonk_vk)
+    out = b"ZKPL" + _u32le(2)
+    out += _u32le(len(pb)) + pb
+    out += _u32le(len(vb)) + vb
+    out += _u32le(len(wp.wrap_public_values))
+    out += b"".join(_u32le(v) for v in wp.wrap_public_values)
+    out += _u32le(wp.num_shards)
+    return out
+
+
+def decode_plonk_wrapped(b: bytes):
+    from ..snark.outer_circuit import PlonkWrappedProof
+
+    if b[:4] != b"ZKPL" or int.from_bytes(b[4:8], "little") != 2:
+        raise VerificationFailure("bad plonk container header")
+    off = 8
+
+    def take(n):
+        nonlocal off
+        if off + n > len(b):
+            raise VerificationFailure("truncated plonk container")
+        v = b[off : off + n]
+        off += n
+        return v
+
+    np_ = int.from_bytes(take(4), "little")
+    proof = decode_plonk_proof(take(np_))
+    nv = int.from_bytes(take(4), "little")
+    vk = decode_plonk_vk(take(nv))
+    npv = int.from_bytes(take(4), "little")
+    if npv > 4096:
+        raise VerificationFailure("bad pv count")
+    pv = [int.from_bytes(take(4), "little") for _ in range(npv)]
+    num_shards = int.from_bytes(take(4), "little")
+    if off != len(b):
+        raise VerificationFailure("trailing bytes in plonk container")
+    return PlonkWrappedProof(proof=proof, plonk_vk=vk,
+                             wrap_public_values=pv, num_shards=num_shards)

@@ -31,7 +31,7 @@ from ..stark.machine import ShardProof, ChipOpenedValues, VerifyingKey
 
 MAGIC_PROOF = b"ZKST"
 MAGIC_VK = b"ZKVK"
-VERSION = 1
+VERSION = 2
 KIND_CORE = 1
 
 
@@ -59,7 +59,17 @@ class _W:
         self.raw(b + b"\x00" * pad)
 
     def arr(self, a):
-        a = np.ascontiguousarray(np.asarray(a, dtype=np.uint32))
+        a = np.asarray(a)
+        if a.dtype == object:
+            # BN254/outer digests: python-int entries, 32-byte LE each
+            self.u32(0xFFFF_FFFF)  # type tag: fr256
+            self.u32(a.ndim)
+            for d in a.shape:
+                self.u32(d)
+            for v in a.reshape(-1):
+                self.raw(int(v).to_bytes(32, "little"))
+            return
+        a = np.ascontiguousarray(a.astype(np.uint32))
         self.u32(a.ndim)
         for d in a.shape:
             self.u32(d)
@@ -104,12 +114,20 @@ class _R:
 
     def arr(self) -> np.ndarray:
         ndim = self.u32()
+        is_fr = ndim == 0xFFFF_FFFF
+        if is_fr:
+            ndim = self.u32()
         if ndim > 4:
             raise CodecError("bad array rank")
         shape = tuple(self.u32() for _ in range(ndim))
         count = int(np.prod(shape)) if shape else 1
         if count > (1 << 28):
             raise CodecError("array too large")
+        if is_fr:
+            out = np.empty(count, dtype=object)
+            for i in range(count):
+                out[i] = int.from_bytes(self.raw(32), "little")
+            return out.reshape(shape)
         data = self.raw(4 * count)
         return np.frombuffer(data, dtype=np.uint32).reshape(shape).copy()
 
@@ -329,3 +347,104 @@ def verify_core(proof_bytes: bytes, vk_bytes: bytes,
         if got != words:
             raise VerificationError("committed digest does not match public values")
     return True
+
+
+# ---------------------------------------------------------------------------
+# recursion-ladder proofs (compressed / deferred) — the reference bincodes
+# these (crates/stark/src/types.rs:37-129); same stable-bytes goal here
+# ---------------------------------------------------------------------------
+
+KIND_COMPRESSED = 2
+KIND_DEFERRED = 3
+
+_STAGE_IDS = {"compress": 1, "shrink": 2, "wrap": 3}
+
+
+def _enc_root_tuple(w: _W, root: tuple):
+    w.u32(len(root))
+    for v in root:
+        w.raw(int(v).to_bytes(32, "little"))
+
+
+def _dec_root_tuple(r: _R) -> tuple:
+    n = r.u32()
+    if n > 8:
+        raise CodecError("bad vk root length")
+    return tuple(int.from_bytes(r.raw(32), "little") for _ in range(n))
+
+
+def encode_compressed_proof(cp, config: str = "core") -> bytes:
+    """Serialize a CompressedProof (any stage: compress/shrink/wrap)."""
+    w = _W()
+    w.raw(MAGIC_PROOF)
+    w.u32(VERSION)
+    w.u32(KIND_COMPRESSED)
+    w.u32(CONFIG_IDS[config])
+    w.u32(_STAGE_IDS[cp.stage])
+    w.u32(cp.num_shards)
+    _enc_root_tuple(w, cp.final_vk_root)
+    _enc_shard(w, cp.proof)
+    return w.bytes_()
+
+
+def decode_compressed_proof(b: bytes):
+    """-> (CompressedProof, config_name)."""
+    from ..recursion.compress import CompressedProof
+
+    r = _R(b)
+    if r.raw(4) != MAGIC_PROOF or r.u32() != VERSION:
+        raise CodecError("bad proof header")
+    if r.u32() != KIND_COMPRESSED:
+        raise CodecError("not a compressed proof")
+    cfg_id = r.u32()
+    names = {v: k for k, v in CONFIG_IDS.items()}
+    if cfg_id not in names:
+        raise CodecError("unknown config id")
+    stage_id = r.u32()
+    stages = {v: k for k, v in _STAGE_IDS.items()}
+    if stage_id not in stages:
+        raise CodecError("unknown stage id")
+    num_shards = r.u32()
+    root = _dec_root_tuple(r)
+    proof = _dec_shard(r)
+    if r.off != len(b):
+        raise CodecError("trailing bytes")
+    return CompressedProof(proof, root, num_shards, stages[stage_id]), names[cfg_id]
+
+
+def encode_deferred_proof(dp, config: str = "core") -> bytes:
+    """Serialize a DeferredProof chain link."""
+    w = _W()
+    w.raw(MAGIC_PROOF)
+    w.u32(VERSION)
+    w.u32(KIND_DEFERRED)
+    w.u32(CONFIG_IDS[config])
+    _enc_root_tuple(w, dp.final_vk_root)
+    _enc_root_tuple(w, dp.child_vk_root)
+    w.arr(np.asarray(dp.prev_digest, dtype=np.uint32))
+    w.arr(np.asarray(dp.new_digest, dtype=np.uint32))
+    _enc_shard(w, dp.proof)
+    return w.bytes_()
+
+
+def decode_deferred_proof(b: bytes):
+    """-> (DeferredProof, config_name)."""
+    from ..recursion.compress import DeferredProof
+
+    r = _R(b)
+    if r.raw(4) != MAGIC_PROOF or r.u32() != VERSION:
+        raise CodecError("bad proof header")
+    if r.u32() != KIND_DEFERRED:
+        raise CodecError("not a deferred proof")
+    cfg_id = r.u32()
+    names = {v: k for k, v in CONFIG_IDS.items()}
+    if cfg_id not in names:
+        raise CodecError("unknown config id")
+    final_root = _dec_root_tuple(r)
+    child_root = _dec_root_tuple(r)
+    prev = [int(x) for x in r.arr()]
+    new = [int(x) for x in r.arr()]
+    proof = _dec_shard(r)
+    if r.off != len(b):
+        raise CodecError("trailing bytes")
+    return DeferredProof(proof, final_root, child_root, prev, new), names[cfg_id]
