@@ -8,6 +8,8 @@ prover service entrypoint.
   python -m zkmips_tpu.cli verify   <guest.elf> proof.bin
   python -m zkmips_tpu.cli vkey     <guest.elf>
   python -m zkmips_tpu.cli serve    [--port 9090] [--config core] [--device]
+  python -m zkmips_tpu.cli warmup   [--quick]   precompile the shape-menu
+                                    stage kernels into the persistent cache
 """
 
 from __future__ import annotations
@@ -19,9 +21,9 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="zkmips")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("execute", "prove", "verify", "vkey", "serve"):
+    for name in ("execute", "prove", "verify", "vkey", "serve", "warmup"):
         c = sub.add_parser(name)
-        if name != "serve":
+        if name not in ("serve", "warmup"):
             c.add_argument("elf")
         if name == "prove":
             c.add_argument("-o", "--output", default="proof.bin")
@@ -32,6 +34,9 @@ def main(argv=None):
         if name == "serve":
             c.add_argument("--port", type=int, default=9090)
             c.add_argument("--host", default="127.0.0.1")
+        if name == "warmup":
+            c.add_argument("--quick", action="store_true",
+                           help="small workloads only (skip full-shard shapes)")
         c.add_argument("--stdin-hex", action="append", default=[], help="hint buffer (hex)")
         c.add_argument("--config", default="core", choices=["core", "test"])
         c.add_argument("--device", action="store_true", help="prove on the TPU path")
@@ -43,6 +48,9 @@ def main(argv=None):
     from .stark.machine import StarkConfig
 
     config = StarkConfig.test() if args.config == "test" else StarkConfig.core()
+
+    if args.cmd == "warmup":
+        return _warmup(config, quick=args.quick)
 
     if args.cmd == "serve":
         from .sdk.network import ProverServer
@@ -95,3 +103,42 @@ def main(argv=None):
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _warmup(config, quick: bool = False) -> int:
+    """Prove one guest per shape-menu family on the device path so every
+    stage kernel lands in the persistent XLA compilation cache (first
+    proofs of new deployments then skip minutes of compiles).
+
+    Covers: fib at small/large scale (the plain-ALU cpu* buckets), the
+    keccak-chain guest (the +KeccakSponge family), and the reference's
+    shipped compiled ELF with DEVICE_MIN_ROWS=0 (the small-guest path).
+    """
+    import os
+    import time
+
+    from .executor import execute_for_proving
+    from .machine.machine import MipsMachine
+    from .machine import shape_gen
+    from .stark import machine as sm
+
+    progs = [(n, p) for n, p in shape_gen.corpus_programs()
+             if quick is False or "200" not in n and "12_000" not in n and "12000" not in n]
+    m = MipsMachine(config)
+    for name, prog in progs:
+        t0 = time.time()
+        try:
+            records, _ = execute_for_proving(prog, shard_size=1 << 20)
+            pk = m.setup(prog)
+            prev = sm.DEVICE_MIN_ROWS
+            if name == "ref_elf":
+                sm.DEVICE_MIN_ROWS = 0
+            try:
+                proofs = m.prove(pk, records, device=True)
+            finally:
+                sm.DEVICE_MIN_ROWS = prev
+            assert m.verify(pk.vk, proofs, prog)
+            print(f"warm {name}: {time.time()-t0:.1f}s ({len(proofs)} shards)", flush=True)
+        except Exception as e:  # keep warming the rest
+            print(f"warm {name}: FAILED ({e})", flush=True)
+    return 0

@@ -116,6 +116,29 @@ def corpus_programs() -> list:
     except Exception:
         pass
 
+    # keccak-chain (the bench's second headline guest) at two scales
+    def keccak_chain(n_iters):
+        KECCAK_SPONGE = 0x01010009
+        IN, OUT = 0x2000, 0x3000
+        body = []
+        for i in range(36):
+            w = 0x01 if i == 8 else (0x80000000 if i == 33 else 0)
+            body += [*asm.li(R.T0, w), *asm.li(R.T1, IN + 4 * i), asm.sw(R.T0, R.T1)]
+        body += [*asm.li(R.T0, 36), *asm.li(R.T1, OUT + 64), asm.sw(R.T0, R.T1)]
+        body += [*asm.li(R.S0, n_iters)]
+        loop = [*asm.li(R.V0, KECCAK_SPONGE), *asm.li(R.A0, IN), *asm.li(R.A1, OUT),
+                asm.syscall()]
+        for i in range(8):
+            loop += [*asm.li(R.T1, OUT + 4 * i), asm.lw(R.T0, R.T1),
+                     *asm.li(R.T2, IN + 4 * i), asm.sw(R.T0, R.T2)]
+        loop += [asm.addi(R.S0, R.S0, -1 & 0xFFFFFFFF)]
+        nloop = len(loop)
+        loop += [asm.branch(O.BGTZ, R.S0, 0, -4 * (nloop + 1)), asm.nop()]
+        return asm.prog(body + loop + asm.halt_sequence())
+
+    for n in (600, 12_000):
+        progs.append(("keccak_chain%d" % n, keccak_chain(n)))
+
     ref_elf = "/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf"
     if os.path.exists(ref_elf):
         from ..executor.program import Program
@@ -133,11 +156,22 @@ def generate_menu(shard_size: int = 1 << 20, margin: int = 0) -> list[dict]:
 
     m = MipsMachine(StarkConfig.core(), use_shapes=False)
     buckets: dict[str, dict[str, int]] = {}
+    # chips whose presence at scale defines a shape family (the reference's
+    # distinct precompile shape clusters, shape/mod.rs): keying on them keeps
+    # e.g. keccak-heavy guests from inflating the plain-ALU buckets
+    FAMILY_CHIPS = (
+        "KeccakSponge", "ShaCompress", "ShaExtend", "Poseidon2Permute",
+        "Uint256Mul", "U256x2048Mul",
+    )
     for name, prog in corpus_programs():
         records, _info = execute_for_proving(prog, shard_size=shard_size)
         for heights in observe_heights(m, records):
+            fams = "".join(
+                "+%s" % c for c in FAMILY_CHIPS
+                if heights.get(c, 0) > (1 << 10)
+            )
             if "Cpu" in heights:
-                key = "cpu%d" % lattice_log(heights["Cpu"])
+                key = "cpu%d%s" % (lattice_log(heights["Cpu"]), fams)
             else:
                 fam = max(heights, key=lambda n: heights[n])
                 key = "deferred-%s-%d" % (fam, lattice_log(heights[fam]))
@@ -151,8 +185,15 @@ def generate_menu(shard_size: int = 1 << 20, margin: int = 0) -> list[dict]:
     return menu
 
 
-def main():
+def main(additive: bool = True):
+    """Regenerate the menu.  ``additive`` (default): existing entries are
+    kept VERBATIM and only new keys are appended — existing guests keep
+    their exact shapes, so the persistent XLA kernel cache stays warm."""
     menu = generate_menu()
+    if additive and os.path.exists(DATA_PATH):
+        old = json.load(open(DATA_PATH)).get("shapes", [])
+        old_keys = {s["key"] for s in old}
+        menu = old + [s for s in menu if s["key"] not in old_keys]
     with open(DATA_PATH, "w") as fh:
         json.dump({"version": 1, "shapes": menu}, fh, indent=1, sort_keys=True)
     print("wrote %d shapes -> %s" % (len(menu), DATA_PATH))
