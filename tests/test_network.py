@@ -45,7 +45,50 @@ def test_network_prover_failure_surfaces():
     server.serve_background()
     try:
         client = ProverClient.new(backend="network", endpoint=f"http://127.0.0.1:{server.port}")
-        with pytest.raises(RuntimeError, match="remote prove failed"):
+        with pytest.raises(RuntimeError, match="remote job failed"):
             client.prove(None, _program(), ZKMStdin())
+    finally:
+        server.shutdown()
+
+
+def test_network_stage_granular_ladder():
+    """ProveCore/Compress/Shrink RPCs, each a separate remote stage
+    (cuda proto/api.proto:6-14 analog); proofs travel as stable bytes."""
+    server = ProverServer(client=ProverClient(config=StarkConfig.test()))
+    server.serve_background()
+    try:
+        client = ProverClient.new(backend="network", endpoint=f"http://127.0.0.1:{server.port}")
+        program = _program()
+        pk, vk = client.setup(program)
+        shard_proofs = client.remote.prove_core(pk, program, ZKMStdin())
+        assert isinstance(shard_proofs, list) and shard_proofs
+        cp = client.remote.compress(vk, shard_proofs)
+        assert cp.stage == "compress"
+        sh = client.remote.shrink(cp)
+        assert sh.stage == "shrink"
+    finally:
+        server.shutdown()
+
+
+def test_network_hmac_rejects_unauthenticated(monkeypatch):
+    monkeypatch.setenv("ZKM_NETWORK_KEY", "sekrit")
+    server = ProverServer(client=ProverClient(config=StarkConfig.test()))
+    server.serve_background()
+    try:
+        import http.client
+        import pickle
+        import pytest
+
+        # a request without the MAC header must be rejected
+        conn = http.client.HTTPConnection(f"127.0.0.1:{server.port}", timeout=30)
+        conn.request("POST", "/setup", body=pickle.dumps({"program": _program()}))
+        resp = conn.getresponse()
+        assert resp.status == 403
+        conn.close()
+        # the keyed client goes through
+        client = ProverClient.new(backend="network", endpoint=f"http://127.0.0.1:{server.port}")
+        assert client.remote.ready()
+        pk, vk = client.setup(_program())
+        assert vk is not None
     finally:
         server.shutdown()
