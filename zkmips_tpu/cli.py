@@ -10,6 +10,8 @@ prover service entrypoint.
   python -m zkmips_tpu.cli serve    [--port 9090] [--config core] [--device]
   python -m zkmips_tpu.cli warmup   [--quick]   precompile the shape-menu
                                     stage kernels into the persistent cache
+  python -m zkmips_tpu.cli solidity-verifier <groth16_vk.bin> [-o out.sol]
+                                    render the on-chain Groth16 verifier
 """
 
 from __future__ import annotations
@@ -21,10 +23,14 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="zkmips")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("execute", "prove", "verify", "vkey", "serve", "warmup"):
+    for name in ("execute", "prove", "verify", "vkey", "serve", "warmup",
+                 "solidity-verifier"):
         c = sub.add_parser(name)
-        if name not in ("serve", "warmup"):
+        if name not in ("serve", "warmup", "solidity-verifier"):
             c.add_argument("elf")
+        if name == "solidity-verifier":
+            c.add_argument("vk_bin", help="gnark-format Groth16 vk bytes")
+            c.add_argument("-o", "--output", default="ZKMVerifier.sol")
         if name == "prove":
             c.add_argument("-o", "--output", default="proof.bin")
             c.add_argument("--mode", default="core", choices=["core", "compressed", "groth16"])
@@ -51,6 +57,15 @@ def main(argv=None):
 
     if args.cmd == "warmup":
         return _warmup(config, quick=args.quick)
+
+    if args.cmd == "solidity-verifier":
+        from .verifier.solidity import render_groth16_verifier
+
+        src = render_groth16_verifier(open(args.vk_bin, "rb").read())
+        with open(args.output, "w") as fh:
+            fh.write(src)
+        print(f"wrote {args.output} ({len(src):,} bytes)")
+        return 0
 
     if args.cmd == "serve":
         from .sdk.network import ProverServer
