@@ -285,6 +285,10 @@ def main():
     }
     if first_proof_s is not None:
         out["first_proof_s"] = round(first_proof_s, 2)
+    sc = getattr(m.machine, "shape_config", None)
+    if sc is not None:
+        out["shape_menu_hits"] = getattr(sc, "menu_hits", 0)
+        out["shape_menu_misses"] = getattr(sc, "menu_misses", 0)
     out.update(real)
     out.update(keccak)
     out.update(roof)

@@ -514,3 +514,50 @@ def test_lde_size_probe_bumps_shards():
     assert [r.shard for r in records] == list(range(1, len(records) + 1))
     ex2 = asm_run = Executor(p)
     assert len(ex2.run()) == 1
+
+
+def test_checkpoint_bytes_roundtrip_and_resume():
+    """Serialized checkpoint (the work-distribution unit, executor.rs:2330):
+    run half the guest, snapshot to bytes, restore into a FRESH executor,
+    finish there — final architectural state matches an uninterrupted run."""
+    from zkmips_tpu.executor import asm, Instruction, Opcode, Register
+    from zkmips_tpu.executor.executor import Executor
+
+    R, O = Register, Opcode
+    body = [
+        *asm.li(R.T0, 0), *asm.li(R.T1, 1), *asm.li(R.T2, 60),
+        asm.alu(O.ADD, R.T3, R.T0, R.T1),
+        Instruction(O.ADD, R.T0, R.T1, 0, False, True),
+        Instruction(O.ADD, R.T1, R.T3, 0, False, True),
+        asm.addi(R.T2, R.T2, -1 & 0xFFFFFFFF),
+        asm.branch(O.BGTZ, R.T2, 0, -20),
+        asm.nop(),
+    ]
+    p = asm.prog(body + asm.halt_sequence())
+
+    full = Executor(p)
+    full.run()
+
+    first = Executor(p)
+    for _ in range(150):
+        first.execute_cycle()
+    blob = first.checkpoint_bytes()
+    assert isinstance(blob, bytes) and blob[:4] == b"ZKCK"
+
+    second = Executor(p)
+    second.restore_bytes(blob)
+    assert second.global_clk == first.global_clk
+    second.run()
+    assert second.exited == full.exited
+    assert second.exit_code == full.exit_code
+    assert second.global_clk == full.global_clk
+    for reg in (R.T0, R.T1, R.T2, R.T3):
+        assert second.register(reg) == full.register(reg)
+
+    # tampered blobs are rejected, not silently misparsed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Executor(p).restore_bytes(b"XXXX" + blob[4:])
+    with _pytest.raises(ValueError):
+        Executor(p).restore_bytes(blob + b"\x00")

@@ -282,6 +282,82 @@ class Executor:
             "deferred_proofs_digest": list(self.deferred_proofs_digest),
         }
 
+    def checkpoint_bytes(self) -> bytes:
+        """Byte-stable serialized checkpoint (the work-distribution unit the
+        reference writes to disk between the execution and prove phases,
+        executor.rs:2330): a versioned little-endian codec, no pickle, safe
+        to ship to a remote prover worker."""
+        import struct
+
+        snap = self.checkpoint()
+        out = [b"ZKCK\x01\x00"]
+        out.append(struct.pack(
+            "<QQQQQ?I?", snap["pc"], snap["next_pc"], snap["clk"],
+            snap["global_clk"], snap["shard"], snap["next_is_delayslot"],
+            snap["exit_code"] & 0xFFFFFFFF, snap["exited"],
+        ))
+        out.append(struct.pack("<Q", snap["input_stream_ptr"]))
+        for key8 in ("committed_value_digest", "deferred_proofs_digest"):
+            vals = snap[key8]
+            out.append(struct.pack("<B", len(vals)))
+            out.append(struct.pack(f"<{len(vals)}I", *[v & 0xFFFFFFFF for v in vals]))
+        mem = snap["memory"]
+        out.append(struct.pack("<Q", len(mem)))
+        for addr in sorted(mem):
+            r = mem[addr]
+            out.append(struct.pack("<QIQQ", addr, r.value, r.shard, r.timestamp))
+        um = snap["uninitialized_memory"]
+        out.append(struct.pack("<Q", len(um)))
+        for addr in sorted(um):
+            out.append(struct.pack("<QI", addr, um[addr]))
+        to = snap["touched_order"]
+        out.append(struct.pack("<Q", len(to)))
+        out.append(struct.pack(f"<{len(to)}Q", *to))
+        return b"".join(out)
+
+    def restore_bytes(self, data: bytes):
+        """Inverse of ``checkpoint_bytes``."""
+        import struct
+
+        from .events import MemoryRecord
+
+        if data[:6] != b"ZKCK\x01\x00":
+            raise ValueError("bad checkpoint magic/version")
+        off = 6
+        (pc, next_pc, clk, global_clk, shard, delay, exit_code,
+         exited) = struct.unpack_from("<QQQQQ?I?", data, off)
+        off += struct.calcsize("<QQQQQ?I?")
+        (isp,) = struct.unpack_from("<Q", data, off); off += 8
+        digests = []
+        for _ in range(2):
+            (n,) = struct.unpack_from("<B", data, off); off += 1
+            digests.append(list(struct.unpack_from(f"<{n}I", data, off)))
+            off += 4 * n
+        (nm,) = struct.unpack_from("<Q", data, off); off += 8
+        memory = {}
+        for _ in range(nm):
+            addr, val, sh, ts = struct.unpack_from("<QIQQ", data, off)
+            off += struct.calcsize("<QIQQ")
+            memory[addr] = MemoryRecord(val, sh, ts)
+        (nu,) = struct.unpack_from("<Q", data, off); off += 8
+        um = {}
+        for _ in range(nu):
+            addr, val = struct.unpack_from("<QI", data, off); off += 12
+            um[addr] = val
+        (nt,) = struct.unpack_from("<Q", data, off); off += 8
+        touched = list(struct.unpack_from(f"<{nt}Q", data, off))
+        off += 8 * nt
+        if off != len(data):
+            raise ValueError("trailing bytes in checkpoint")
+        self.restore({
+            "pc": pc, "next_pc": next_pc, "clk": clk, "global_clk": global_clk,
+            "shard": shard, "next_is_delayslot": delay, "memory": memory,
+            "uninitialized_memory": um, "touched_order": touched,
+            "input_stream_ptr": isp, "exit_code": exit_code, "exited": exited,
+            "committed_value_digest": digests[0],
+            "deferred_proofs_digest": digests[1],
+        })
+
     def restore(self, snap: dict):
         self.pc = snap["pc"]
         self.next_pc = snap["next_pc"]

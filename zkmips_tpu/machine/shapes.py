@@ -92,11 +92,18 @@ class ShapeConfig:
         shape (fix_shape, shape/mod.rs:71 — but total: never None)."""
         best = lattice_shape(heights)
         best_area = best.area(heights, widths)
+        from_menu = False
         for shape in self.menu:
             if shape.fits(heights):
                 a = shape.area(heights, widths)
                 if a < best_area:
-                    best, best_area = shape, a
+                    best, best_area, from_menu = shape, a, True
+        # menu-hit accounting: a miss means this shard pays a fresh set of
+        # lattice-shape stage-kernel compiles (bench reports the counters)
+        if from_menu:
+            self.menu_hits = getattr(self, "menu_hits", 0) + 1
+        else:
+            self.menu_misses = getattr(self, "menu_misses", 0) + 1
         return best
 
     def fix_preprocessed_rows(self, rows: int) -> int:
