@@ -37,19 +37,20 @@ def _mesh(n_shard, n_col):
 
 
 def test_mesh_step_real_traces():
-    """Real fib guest -> 4 shards -> mesh commit/perm/collective, verified
-    against the host kernels (the dryrun_multichip core)."""
-    from zkmips_tpu.ops import field as f
+    """Real fib guest -> 4 shards -> the full mesh proving stage (commit,
+    in-kernel Fiat-Shamir transcript, LogUp perm, AIR quotient, FRI fold
+    chain) cross-checked bit-for-bit against a host replay with the real
+    DuplexChallenger (the dryrun_multichip core)."""
     from zkmips_tpu.parallel.kernels import (
-        commit_root,
+        host_stage_reference,
         make_multichip_step,
         septic_identity_host,
+        transcript_prefix_state,
     )
-    from zkmips_tpu.stark import permutation
 
     import jax
 
-    traces, digests, chip = graft._real_shard_traces(4)
+    traces, digests, pvs, chip = graft._real_shard_traces(4)
     s, _h, w = traces.shape
     mesh = _mesh(4, 2)
     w_pad = -w % 2
@@ -57,18 +58,20 @@ def test_mesh_step_real_traces():
         traces = np.concatenate(
             [traces, np.zeros((s, traces.shape[1], w_pad), dtype=np.uint32)], axis=2
         )
-    alpha = np.array([f.to_monty_int(3), 0, 0, 0], dtype=np.uint32)
-    beta = np.array([f.to_monty_int(7), 0, 0, 0], dtype=np.uint32)
-    step = make_multichip_step(mesh, chip=chip, alpha=alpha, beta=beta)
-    roots, cums, all_digests = step(traces, digests)
-    roots, cums, all_digests = jax.device_get((roots, cums, all_digests))
-    assert septic_identity_host(all_digests)
+    states0 = np.stack([transcript_prefix_state(pv) for pv in pvs])
+    step = make_multichip_step(mesh, chip=chip)
+    out = jax.device_get(step(traces, digests, pvs, states0))
+    assert septic_identity_host(out["all_digests"])
     for i in range(s):
-        assert np.array_equal(roots[i], np.asarray(commit_root(traces[i])))
-        _f, host_cum = permutation.generate_permutation_trace(
-            chip, None, traces[i], alpha, beta, 2, xp=np
-        )
-        assert np.array_equal(cums[i], np.asarray(host_cum))
+        ref = host_stage_reference(chip, traces[i], pvs[i])
+        for dev_key, ref_key in (
+            ("main_roots", "main_root"), ("perm_roots", "perm_root"),
+            ("quotient_roots", "quotient_root"), ("fold_roots", "fold_roots"),
+            ("final_polys", "final_poly"), ("cum_sums", "cum_sum"),
+        ):
+            assert np.array_equal(out[dev_key][i], ref[ref_key]), (
+                f"{ref_key} mismatch shard {i}"
+            )
 
 
 def test_mesh_step_rejects_tampered_digest():
@@ -76,7 +79,7 @@ def test_mesh_step_rejects_tampered_digest():
     from zkmips_tpu.ops import field as f
     from zkmips_tpu.parallel.kernels import septic_identity_host
 
-    _traces, digests, _chip = graft._real_shard_traces(4)
+    _traces, digests, _pvs, _chip = graft._real_shard_traces(4)
     assert septic_identity_host(digests)
     bad = np.array(digests)
     bad[1, 3] = f.to_monty_int(12345)
