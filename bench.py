@@ -31,6 +31,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_CYCLES_PER_SEC = 133_000.0
 REF_ELF = "/root/reference/crates/prover/elf/mipsel-zkm-zkvm-elf"
 
+# The driver runs bench.py under an external timeout; a run killed before
+# printing its JSON line records nothing (round 4 regression).  Guard: track
+# a wall deadline, print the headline JSON as soon as the primary metric is
+# measured, deadline-gate each optional section, and re-print the enriched
+# JSON as the final line (the driver parses the last JSON-looking line).
+_T_START = time.time()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "1400"))
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.time() - _T_START)
+
 
 def _device_available() -> bool:
     if os.environ.get("BENCH_DEVICE") in ("0", "false"):
@@ -254,6 +266,16 @@ def main():
         t0 = time.time()
         m.prove(pk, records, device=True)
         first_proof_s = time.time() - t0
+        # provisional headline: if the driver's timeout kills the steady pass,
+        # the cold-pass number still gets recorded (final line re-prints)
+        print(json.dumps({
+            "metric": "mips_cycles_proved_per_sec",
+            "value": round(cycles / first_proof_s, 2),
+            "unit": "cycles/s",
+            "vs_baseline": round(cycles / first_proof_s / BASELINE_CYCLES_PER_SEC, 5),
+            "cycles": cycles,
+            "note": "cold-pass provisional; steady pass follows",
+        }), flush=True)
         records, info = execute_for_proving(program, shard_size=shard_size)
 
     logger._ENABLED = True
@@ -267,10 +289,6 @@ def main():
     agg: dict = {}
     for k, (v, _c) in logger.spans_report().items():
         agg[k.split("/")[-1]] = round(agg.get(k.split("/")[-1], 0.0) + v, 3)
-
-    real = _bench_real_guest(config, device)
-    keccak = _bench_keccak(device)
-    roof = _kernel_roofline() if device else {}
 
     cps = cycles / dt
     out = {
@@ -289,10 +307,23 @@ def main():
     if sc is not None:
         out["shape_menu_hits"] = getattr(sc, "menu_hits", 0)
         out["shape_menu_misses"] = getattr(sc, "menu_misses", 0)
-    out.update(real)
-    out.update(keccak)
-    out.update(roof)
-    print(json.dumps(out))
+    # headline line NOW (the extras below may not fit the driver's timeout)
+    print(json.dumps(out), flush=True)
+
+    # optional sections: each deadline-gated and failure-isolated
+    for label, budget_s, fn in (
+        ("keccak", 240.0, lambda: _bench_keccak(device)),
+        ("real_guest", 120.0, lambda: _bench_real_guest(config, device)),
+        ("roofline", 60.0, lambda: _kernel_roofline() if device else {}),
+    ):
+        if _remaining() < budget_s:
+            out[f"skipped_{label}"] = "deadline"
+            continue
+        try:
+            out.update(fn())
+        except Exception as e:  # a broken extra must not lose the headline
+            out[f"error_{label}"] = repr(e)[:200]
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
