@@ -196,18 +196,51 @@ def quotient_chunks_blocked(
     sels = _selectors_dev(log_h, lqd, xp)
     sel_blocks, _ = split_rows(sels, b, 0, xp, "sel")
 
-    mb, mbr = split_rows(main_q, b, step, xp, "mainq")
-    pb = pbr = None
+    # next-row access: instead of materializing a full rolled copy of every
+    # quotient-coset LDE (split_rows roll_step doubles the footprint — two
+    # big chips' worth peaked ~5.6 GB per 2^20-cycle shard), each block
+    # kernel receives the NEXT block's first ``step`` rows and assembles the
+    # shifted view in-kernel (a fused slice+concat).  The roll is circular
+    # over the full height, so block i's successor head is block (i+1) % nb.
+    mb, _ = split_rows(main_q, b, 0, xp, "mainq")
+    main_q = None  # blocks carry the data; free the contiguous copy
+    pb = None
     if prep_q is not None:
-        pb, pbr = split_rows(prep_q, b, step, xp, "prepq")
-    eb = ebr = None
+        pb, _ = split_rows(prep_q, b, 0, xp, "prepq")
+        prep_q = None
+    eb = None
     if perm_q is not None:
-        eb, ebr = split_rows(perm_q, b, step, xp, "permq")
+        eb, _ = split_rows(perm_q, b, 0, xp, "permq")
+        perm_q = None
 
-    has_prep, has_perm, has_g = prep_q is not None, perm_q is not None, global_sum is not None
+    has_prep, has_perm, has_g = pb is not None, eb is not None, global_sum is not None
+
+    def _head(blocks, i):
+        """First ``step`` rows of block i's circular successor."""
+        fn = cached_jit(
+            "blk_head", (blocks[0].shape, step),
+            lambda: lambda x: x[:step],
+        )
+        return fn(blocks[(i + 1) % len(blocks)])
+
+    # rows of real (non-padding) data per block: split_rows zero-pads a
+    # below-block-size height up to b, so the circular shift must wrap at
+    # real_h (T(g·x) wraps with the coset's order big_h, not the pad size)
+    real_h = min(big_h, b)
+    pad_tail = b - real_h
 
     def make():
-        def fn(m, mr, p, pr, e, er, sel, pubs, ch0, ch1, cum, g, al):
+        def shifted(x, xh):
+            parts = [x[step:real_h], xh]
+            if pad_tail:
+                parts.append(xp.zeros((pad_tail, x.shape[1]), dtype=np.uint32))
+            return xp.concatenate(parts, axis=0)
+
+        def fn(m, mh, p, ph, e, eh, sel, pubs, ch0, ch1, cum, g, al):
+            mr = shifted(m, mh)
+            pr = shifted(p, ph) if has_prep else p
+            er = shifted(e, eh) if has_perm else e
+
             def var_fn(segment, col, offset):
                 if segment == air.MAIN:
                     return (m if offset == 0 else mr)[:, col]
@@ -235,16 +268,19 @@ def quotient_chunks_blocked(
 
         return fn
 
-    fn = cached_jit("blk_quot", (chip.name, b, has_prep, has_perm, has_g), make)
+    fn = cached_jit(
+        "blk_quot", (chip.name, b, real_h, step, has_prep, has_perm, has_g), make
+    )
     z = xp.zeros((b, 0), np.uint32)
+    zh = xp.zeros((step, 0), np.uint32)
     g_in = global_sum if has_g else np.zeros(14, dtype=np.uint32)
     q_blocks = []
     for i in range(max(big_h // b, 1)):
         q_blocks.append(
             fn(
-                mb[i], mbr[i],
-                pb[i] if has_prep else z, pbr[i] if has_prep else z,
-                eb[i] if has_perm else z, ebr[i] if has_perm else z,
+                mb[i], _head(mb, i),
+                pb[i] if has_prep else z, _head(pb, i) if has_prep else zh,
+                eb[i] if has_perm else z, _head(eb, i) if has_perm else zh,
                 sel_blocks[i], publics_monty, challenges[0], challenges[1],
                 cum_sum, g_in, alpha,
             )

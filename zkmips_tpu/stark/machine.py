@@ -118,6 +118,17 @@ import os as _os
 
 DEVICE_MIN_ROWS = int(_os.environ.get("ZKMIPS_DEVICE_MIN_ROWS", "4096"))
 
+# Pipelined shard proving serializes the HBM-peak phase (commit..quotient:
+# both coset LDEs of every committed matrix are resident at once, ~7 GB for
+# a 2^20-cycle shard) so overlapped workers stagger: one shard in its heavy
+# phase while others upload traces or run their open phase (~4 GB residual).
+# Without this, two full shards at the quotient stage exhaust one v5e's HBM.
+import threading as _threading
+
+_HEAVY_PHASE_SEM = _threading.Semaphore(
+    int(_os.environ.get("ZKMIPS_HEAVY_PHASES", "1"))
+)
+
 _PREP_KEYS: dict = {}
 
 
@@ -280,6 +291,9 @@ class StarkMachine:
         if preps:
             doms_mats = [(Domain(m.shape[0].bit_length() - 1, 1), m) for _n, m in preps]
             prep_data = pcs.commit(self.config.fri, doms_mats)
+            # program-lifetime commitment: open_batches must not free its
+            # coefficient matrices between shards
+            prep_data.persistent = True
             vk = VerifyingKey(
                 np.asarray(prep_data.root),
                 [(n, m.shape[0].bit_length() - 1) for n, m in preps],
@@ -359,6 +373,27 @@ class StarkMachine:
         ch = self.config.challenger()
         pk.vk.observe_into(ch)
         ch.observe_slice(public_values)
+
+        released = [xp is np]  # host path: no semaphore held
+        if xp is not np:
+            _HEAVY_PHASE_SEM.acquire()
+
+        def release_heavy():
+            if not released[0]:
+                released[0] = True
+                _HEAVY_PHASE_SEM.release()
+
+        try:
+            return self._prove_shard_body(
+                pk, chips, names, traces, log_degrees, ch, public_values, xp,
+                release_heavy,
+            )
+        finally:
+            release_heavy()
+
+    def _prove_shard_body(self, pk, chips, names, traces, log_degrees, ch,
+                          public_values, xp, release_heavy):
+        from ..utils.logger import span
 
         # 2. commit main
         with span("prove.main_commit"):
@@ -471,6 +506,15 @@ class StarkMachine:
         ch.observe_digest(quotient_data.root)
         zeta = ch.sample_ext()
 
+        # the main traces and permutation flats are dead past this point
+        # (opened values come from the committed coefficient/LDE matrices);
+        # dropping them frees ~1.4 GB per 2^20-cycle shard before the open
+        # phase, letting the next shard's heavy phase overlap this one's open
+        traces = None
+        perm_flats = None
+        q_mats = len(q_mats)  # only the count is needed below
+        release_heavy()
+
         # 5. open
         _open_prep = span("prove.open_prep"); _open_prep.__enter__()
         rounds = []
@@ -485,7 +529,7 @@ class StarkMachine:
         if perm_data is not None:
             perm_points = [[zeta, Domain(log_degrees[n], 1).next_point_ext(zeta)] for n in perm_names]
             rounds.append((perm_data, perm_points))
-        rounds.append((quotient_data, [[zeta]] * len(q_mats)))
+        rounds.append((quotient_data, [[zeta]] * q_mats))
         _open_prep.__exit__(None, None, None)
         opened_vals, fri_proof = pcs.open_batches(self.config.fri, rounds, ch, xp=xp)
 

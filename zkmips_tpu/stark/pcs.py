@@ -536,6 +536,14 @@ def open_batches(
 
             opened_values = jax.device_get(opened_values)
 
+    # the coefficient matrices' last consumer is the eval step above; free
+    # them (except program-lifetime prep data) so the residual open-phase
+    # footprint shrinks by ~1.4 GB per 2^20-cycle shard — overlapped shard
+    # workers rely on this (stark/machine._HEAVY_PHASE_SEM)
+    for pdata, _pts in rounds:
+        if not getattr(pdata, "persistent", False):
+            pdata.coeffs = None
+
     # 2. per-height reduced vectors (bitrev layout, ext (H, 4)) — batched:
     #    ONE kernel per height covering every (matrix, point) pair at that
     #    height (widths concatenated, points unrolled inside the kernel)
