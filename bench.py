@@ -240,11 +240,11 @@ def _bench_real_guest(config, device: bool) -> dict:
 
 
 def main():
-    # 200k iters = one full 2^20-row shard + a 2^18 tail: two worker threads
-    # keep both in flight without exhausting one v5e chip's HBM (two full
-    # 2^20 shards at the quotient stage OOM; larger workloads need
-    # ZKM_TRACE_GEN_WORKERS=1 or more chips)
-    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "200000"))
+    # 1M iters = six 2^20-cycle shards: enough to fill the shard pipeline
+    # (workers overlap host trace gen + tunnel upload with device proving;
+    # the heavy-phase semaphore + LDE drop/regen keep the overlapped
+    # footprint inside one v5e's HBM)
+    n_iters = int(os.environ.get("BENCH_FIB_ITERS", "1000000"))
     from zkmips_tpu.machine.machine import MipsMachine
     from zkmips_tpu.stark.machine import StarkConfig
     from zkmips_tpu.executor import execute_for_proving

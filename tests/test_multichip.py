@@ -40,7 +40,13 @@ def test_mesh_step_real_traces():
     """Real fib guest -> 4 shards -> the full mesh proving stage (commit,
     in-kernel Fiat-Shamir transcript, LogUp perm, AIR quotient, FRI fold
     chain) cross-checked bit-for-bit against a host replay with the real
-    DuplexChallenger (the dryrun_multichip core)."""
+    DuplexChallenger (the dryrun_multichip core).
+
+    Runs on the Branch chip: the Cpu chip's 21-lookup LogUp graph costs
+    XLA:CPU the better part of an hour to compile on the virtual mesh
+    (the TPU backend compiles the same kernels in seconds); the Cpu chip's
+    mesh commit + septic collective is covered by dryrun_multichip and the
+    device-placement prover test below."""
     from zkmips_tpu.parallel.kernels import (
         host_stage_reference,
         make_multichip_step,
@@ -50,7 +56,7 @@ def test_mesh_step_real_traces():
 
     import jax
 
-    traces, digests, pvs, chip = graft._real_shard_traces(4)
+    traces, digests, pvs, chip = graft._real_shard_traces(4, chip_name="Branch")
     s, _h, w = traces.shape
     mesh = _mesh(4, 2)
     w_pad = -w % 2

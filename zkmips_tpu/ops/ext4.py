@@ -136,6 +136,23 @@ def to_canonical(a):
     return f.from_monty(a)
 
 
+def powers(base: np.ndarray, n: int) -> np.ndarray:
+    """(n, 4): [1, base, ..., base^(n-1)] by log-doubling (numpy or jnp).
+
+    2*log2(n) batched ext muls instead of a length-n serial chain — a
+    chained (4,)-ext-mul sequence makes XLA:CPU's compile time exponential
+    in the chain length (observed: ~2x per 2 extra links; 26 links never
+    finished).  Values are identical to the serial product either way.
+    """
+    xp = f.xp_of(base)
+    out = ONE.astype(np.uint32)[None, :]
+    cur = base[None, :]
+    while out.shape[0] < n:
+        out = xp.concatenate([out, mul(out, cur)], axis=0)
+        cur = mul(cur, cur)
+    return out[:n]
+
+
 def powers_host(base: np.ndarray, n: int) -> np.ndarray:
     """numpy (n, 4): [1, base, base^2, ...] (host-side, base is ext monty)."""
     out = np.empty((n, 4), dtype=np.uint32)

@@ -485,11 +485,17 @@ def eval_expr(e: Expr, ctx: EvalContext) -> Val:
 
 
 def fold_constraints(constraints, alpha: np.ndarray, ctx: EvalContext):
-    """sum_k alpha^k * C_k as an ext value (prover & verifier folding)."""
+    """sum_k alpha^k * C_k as an ext value (prover & verifier folding).
+
+    The alpha powers come from a log-doubled table, not a serial
+    apow = apow*alpha chain: XLA:CPU compile time is exponential in the
+    length of a chained (4,)-ext-mul sequence (the Cpu chip's ~hundreds of
+    constraints made its quotient kernel uncompilable on the CPU mesh)."""
     acc = None
-    apow = ext4.ONE.astype(np.uint32)
-    for c in constraints:
+    apows = ext4.powers(alpha, len(constraints))
+    for k, c in enumerate(constraints):
         v = eval_expr(c, ctx)
+        apow = apows[k]
         if v.is_ext:
             term = ext4.mul(v.arr, apow) if v.arr.ndim == 1 else ext4.mul(v.arr, apow[None, :])
         else:
@@ -500,5 +506,4 @@ def fold_constraints(constraints, alpha: np.ndarray, ctx: EvalContext):
             else:
                 term = f.mul(apow[None, :], arr[:, None])
         acc = term if acc is None else ext4.add(acc, term)
-        apow = ext4.mul(apow, alpha)
     return acc

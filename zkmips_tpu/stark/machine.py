@@ -401,6 +401,11 @@ class StarkMachine:
                 self.config.fri, [(Domain(log_degrees[n], 1), traces[n]) for n in names], xp=xp
             )
         ch.observe_digest(main_data.root)
+        if xp is not np:
+            # LDEs are dead until the open phase (quotient reuses coeffs);
+            # drop them so more shard workers fit in HBM (regenerated by
+            # open_batches via ProverData.ensure_ldes)
+            main_data.drop_ldes()
         perm_challenges = [ch.sample_ext(), ch.sample_ext()]
 
         # 3. permutation traces
@@ -449,6 +454,8 @@ class StarkMachine:
                 xp=xp,
             )
             ch.observe_digest(perm_data.root)
+            if xp is not np:
+                perm_data.drop_ldes()
         global_sums = {}
         for chip in chips:
             ch.observe_slice(ext4.to_canonical(cum_sums[chip.name]))

@@ -95,10 +95,52 @@ class ProverData:
     coeffs: list  # per matrix: (n, w) coefficient matrix wrt its own domain
     ldes: list  # per matrix: (n << log_blowup, w) bitrev-row LDE on shift-g coset
     tree: merkle.MerkleTree
+    log_blowup: int = 1
 
     @property
     def root(self) -> np.ndarray:
         return self.tree.root
+
+    def drop_ldes(self):
+        """Release the LDE matrices (the dominant HBM footprint, 2x the
+        trace) while only the coefficients are needed — the quotient stage
+        consumes coeffs, not LDEs.  The Merkle digest layers stay; call
+        :meth:`ensure_ldes` before the open phase's reduce/query steps.
+
+        Purpose: shrink the heavy-phase footprint so a third/fourth shard
+        worker fits in one chip's HBM (stark/machine._HEAVY_PHASE_SEM)."""
+        self.ldes = None
+        self.tree.matrices = None
+
+    def ensure_ldes(self, xp):
+        """Regenerate dropped LDEs from the coefficient matrices (one
+        forward NTT each — ~100x cheaper than their HBM cost is worth
+        during the heavy phase) and reattach them to the query tree."""
+        if self.ldes is not None:
+            return
+        assert self.coeffs is not None, "coeffs already freed; cannot regen LDEs"
+        from .jit_util import cached_jit
+
+        ldes = []
+        for dom, c in zip(self.domains, self.coeffs):
+            log_n, w = dom.log_n, c.shape[1]
+            rel = np.uint32(f.to_monty_int(f.GENERATOR * f.inv_int(dom.shift) % f.P))
+
+            def make(log_n=log_n, w=w, lb=self.log_blowup):
+                def fn(cc, rel_m):
+                    from ..stark.blocks import powers_traced
+
+                    scaled = f.mul(cc, powers_traced(rel_m, 1 << log_n, xp)[:, None])
+                    big_n = (1 << log_n) << lb
+                    padded = xp.zeros((big_n, w), dtype=np.uint32).at[: 1 << log_n].set(scaled)
+                    return bits.bitrev_rows(ntt.ntt(padded))
+
+                return fn
+
+            fn = cached_jit("pcs_lde_regen", (log_n, w, self.log_blowup), make)
+            ldes.append(fn(c, rel))
+        self.ldes = ldes
+        self.tree.matrices = ldes
 
 
 def _commit_body(config: FriConfig, shapes, xp):
@@ -144,7 +186,7 @@ def commit(config: FriConfig, domains_and_matrices, xp=np) -> ProverData:
         fn = cached_jit("pcs_commit", (config.log_blowup, shapes), lambda: _commit_body(config, shapes, xp))
         coeffs, ldes, layers = fn([xp.asarray(m) for m in mats])
     tree = _mk(config).MerkleTree(ldes, xp=xp, layers=layers)
-    return ProverData(domains, coeffs, ldes, tree)
+    return ProverData(domains, coeffs, ldes, tree, config.log_blowup)
 
 
 def eval_at_ext_point(coeffs, dom: Domain, z: np.ndarray, xp=np) -> np.ndarray:
@@ -536,11 +578,15 @@ def open_batches(
 
             opened_values = jax.device_get(opened_values)
 
-    # the coefficient matrices' last consumer is the eval step above; free
-    # them (except program-lifetime prep data) so the residual open-phase
-    # footprint shrinks by ~1.4 GB per 2^20-cycle shard — overlapped shard
-    # workers rely on this (stark/machine._HEAVY_PHASE_SEM)
+    # regenerate any LDEs dropped during the heavy phase (drop_ldes), then
+    # free the coefficient matrices — their last consumer is the eval step
+    # above (except program-lifetime prep data).  Net: the residual
+    # open-phase footprint holds LDEs but not coeffs; the heavy phase held
+    # coeffs but not LDEs — overlapped shard workers rely on both
+    # (stark/machine._HEAVY_PHASE_SEM).
     for pdata, _pts in rounds:
+        if xp is not np:
+            pdata.ensure_ldes(xp)
         if not getattr(pdata, "persistent", False):
             pdata.coeffs = None
 

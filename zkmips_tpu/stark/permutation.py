@@ -84,23 +84,54 @@ def generate_permutation_trace(
     chunks = _lookup_chunks(sends, receives, batch_size)
     width = len(chunks) + 1
 
+    # log-doubling, NOT a serial beta*beta*... chain: XLA:CPU compile time
+    # goes exponential in the length of a chained (4,)-ext-mul sequence
+    # (~2x per 2 extra links; 26 links never finished compiling — the
+    # round-4 multichip hang), while the doubled form is 2*log2(n) batched
+    # ext muls.  Same field values either way.
     n_pows = 2 + max(len(l.values) for l in sends + receives)
-    beta_pows = [ext4.ONE.astype(np.uint32), beta]
-    for _ in range(2, n_pows):
-        beta_pows.append(ext4.mul(beta_pows[-1], beta))
+    _bp = ext4.ONE.astype(np.uint32)[None, :]
+    _cur = beta[None, :]
+    concat = xp.concatenate
+    while _bp.shape[0] < n_pows:
+        _bp = concat([_bp, ext4.mul(_bp, _cur)], axis=0)
+        _cur = ext4.mul(_cur, _cur)
+    beta_pows = [_bp[i] for i in range(n_pows)]
 
     # compute every lookup's denominator, invert them all in ONE batched call
-    # (ext4.inv is ~1.6k array ops; batching keeps the jit graph small)
+    # (ext4.inv is ~1.6k array ops; batching keeps the jit graph small).
+    #
+    # The fingerprint sum_i beta^{i+1} * value_i is built as ONE stacked
+    # (H, nv, 4) product + a tree mod-p reduction, NOT a serial
+    # add(mul(...)) chain over the values: XLA:CPU's simplifier goes
+    # super-linear on the chained broadcast form (a 24-value lookup's chain
+    # compiled for minutes and its executable effectively never finished —
+    # the round-4 multichip dryrun hang), while the reduction form compiles
+    # and runs in seconds.  Mod-p addition is associative, so the tree
+    # reduction is bit-identical to the serial chain.
+    from ..ops import bits as _bits
+
     flat = [lk for chunk in chunks for lk in chunk]
     denoms, mults = [], []
     bc = xp.broadcast_to
+
+    def _as_col(v):
+        if getattr(v, "ndim", 0) == 0:
+            return bc(xp.asarray(v)[None], (h,))
+        return v
+
     for lookup, is_send in flat:
-        d = ext4.add(alpha, ext4.scalar(lookup.argument_index))
-        for i, v in enumerate(lookup.values):
-            val = eval_expr(v, ctx).arr  # (H,) base or scalar
-            d = ext4.add(d[None, :] if d.ndim == 1 else d, f.mul(beta_pows[i + 1][None, :], _b(val)))
-        if d.ndim == 1:
-            d = bc(d[None, :], (h, 4))
+        d0 = ext4.add(alpha, ext4.scalar(lookup.argument_index))  # (4,)
+        if lookup.values:
+            nv = len(lookup.values)
+            vmat = xp.stack(
+                [_as_col(eval_expr(v, ctx).arr) for v in lookup.values], axis=1
+            )  # (H, nv) base
+            bp = xp.stack(beta_pows[1 : nv + 1], axis=0)  # (nv, 4)
+            prod = f.mul(vmat[:, :, None], bp[None, :, :])  # (H, nv, 4)
+            d = ext4.add(d0[None, :], _bits.sum_mod(prod, axis=1))
+        else:
+            d = bc(d0[None, :], (h, 4))
         denoms.append(d)
         mult = eval_expr(lookup.multiplicity, ctx).arr  # (H,)
         if not is_send:
@@ -109,7 +140,28 @@ def generate_permutation_trace(
             mult = bc(mult[None] if hasattr(mult, "__getitem__") else xp.asarray(mult)[None], (h,))
         mults.append(mult)
     stack = xp.stack
-    inv_all = ext4.inv(stack(denoms, axis=0))  # (L, H, 4)
+    # Montgomery batch inversion over the lookup axis: one ext4 inverse
+    # (≈95 base modmuls) for all L lookups instead of one each — 3L ext
+    # muls replace L norms+Fermat chains (~1.8x fewer modmuls for the Cpu
+    # chip's lookup count).  Field inverses are unique, so the resulting
+    # trace is bit-identical to the per-lookup path.  A zero denominator
+    # (probability ~L·H/p^4 over the Fiat-Shamir challenges) would poison
+    # the whole chain where the old path zeroed one entry; either way the
+    # proof is invalid, so no special-casing.
+    L = len(denoms)
+    if L > 2:
+        prefix = [denoms[0]]
+        for d in denoms[1:]:
+            prefix.append(ext4.mul(prefix[-1], d))
+        inv_p = ext4.inv(prefix[-1])
+        inv_list = [None] * L
+        for i in range(L - 1, 0, -1):
+            inv_list[i] = ext4.mul(inv_p, prefix[i - 1])
+            inv_p = ext4.mul(inv_p, denoms[i])
+        inv_list[0] = inv_p
+        inv_all = stack(inv_list, axis=0)  # (L, H, 4)
+    else:
+        inv_all = ext4.inv(stack(denoms, axis=0))
     fracs = f.mul(inv_all, stack(mults, axis=0)[:, :, None])
     cols = []
     li = 0
@@ -162,6 +214,22 @@ def eval_permutation_constraints(chip, builder: AirBuilder, batch_size: int = BA
         width = len(chunks) + 1
         alpha, beta = Challenge(0), Challenge(1)
 
+        # beta^k as a balanced tree of SHARED Mul nodes, not a serial
+        # bpow = bpow*beta chain: every backend that walks this DAG
+        # (device quotient kernels, host verifier, recursion/snark circuit
+        # emitters) then sees O(log k)-deep shared products — XLA:CPU's
+        # compile time is exponential in the length of a chained
+        # (4,)-ext-mul sequence (the round-4 multichip hang).
+        _bpow_cache = {1: beta}
+
+        def bpow(k: int):
+            node = _bpow_cache.get(k)
+            if node is None:
+                half = k // 2
+                node = bpow(half) * bpow(k - half)
+                _bpow_cache[k] = node
+            return node
+
         def perm(col, offset=0):
             return Var(air.PERM, col, offset)
 
@@ -169,10 +237,8 @@ def eval_permutation_constraints(chip, builder: AirBuilder, batch_size: int = BA
             rlcs, mults = [], []
             for lookup, is_send in chunk:
                 rlc = alpha + Const(lookup.argument_index)
-                bpow = beta
-                for v in lookup.values:
-                    rlc = rlc + bpow * v
-                    bpow = bpow * beta
+                for vi, v in enumerate(lookup.values):
+                    rlc = rlc + bpow(vi + 1) * v
                 rlcs.append(rlc)
                 mults.append(lookup.multiplicity if is_send else -lookup.multiplicity)
             product = rlcs[0]
